@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/**
+ * Loaders for the driver-generated testdata tables (TESTDATA.md) plus the
+ * determinism helpers shared by every oracle-checked query.
+ *
+ * Determinism contract (SURVEY §2.3): engine results are hash-compared with a
+ * DuckDB oracle, so every floating-point aggregate must be bit-identical
+ * across engines. Plain double summation is order-dependent (partial
+ * aggregation sums in partition order), so monetary aggregates go through an
+ * exact decimal accumulator: cast each input to DECIMAL(18,4) (deterministic
+ * nearest-value rounding of the double in both engines), sum exactly, cast
+ * the final sum back to double (again deterministic). Averages are derived
+ * from the exact sum divided by the count, one IEEE division in both engines.
+ */
+object Tables {
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir)
+    else spark.read.parquet(s"$dir/$name.parquet")
+
+  /**
+   * The events table carries parquet TIMESTAMP(NANOS), which Spark's parquet
+   * reader rejects outright unless the legacy nanosAsLong flag is on; we read
+   * the raw long and truncate ns → µs ourselves (`ts div 1000`, integral
+   * division — a double division would lose precision at 1.7e18). DuckDB's
+   * reader truncates ns → µs the same way, so `ts` is value-identical across
+   * engines at microsecond precision.
+   */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Exact order-independent money sum: decimal accumulate, double result. */
+  def moneySum(c: Column, scale: Int = 4): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average: one IEEE division of the exact sum by the count. */
+  def moneyAvg(c: Column, scale: Int = 4): Column =
+    moneySum(c, scale) / count(c)
+
+  /** Microsecond-precision UTC timestamp rendering, matching DuckDB
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S.%f')`. */
+  def tsString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  /** Second-precision rendering for window boundaries, matching DuckDB
+    * `strftime(ts, '%Y-%m-%d %H:%M:%S')`. */
+  def tsSecondString(c: Column): Column = date_format(c, "yyyy-MM-dd HH:mm:ss")
+}

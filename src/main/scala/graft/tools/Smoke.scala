@@ -1,0 +1,30 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke check: every testdata table loads and prints its schema. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-smoke")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      try {
+        val df = spark.read.parquet(s"$dir/$t.parquet")
+        println(s"== $t rows=${df.count()} schema=${df.schema.simpleString}")
+      } catch {
+        case e: Throwable => println(s"== $t FAILED: ${e.getMessage}")
+      }
+    }
+    spark.read.parquet(s"$dir/events.parquet").show(3, truncate = false)
+    spark.stop()
+  }
+}
