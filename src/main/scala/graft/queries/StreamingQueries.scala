@@ -1,0 +1,174 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.core.StreamingApp
+import Tables._
+
+/**
+ * Streaming inventory D20–D22 (SURVEY §2.3): the full framework path —
+ * FileStreamingSource → watermarked window aggregation →
+ * ParquetStreamingSink — executed with `Trigger.AvailableNow`, then read back
+ * as a batch result that must equal the batch oracle (D15's SQL).
+ *
+ * Watermark flush mechanics: in append mode a window only emits once the
+ * watermark passes its end, and the watermark used by batch N is computed
+ * from batch N-1's data. Staging therefore appends a far-future sentinel
+ * event as the last file: its batch pushes the watermark past every real
+ * window, AvailableNow keeps running micro-batches until no state change is
+ * pending, and the sentinel's own window is filtered out of the read-back.
+ * The oracle sees only real events, so engine and oracle agree exactly.
+ */
+object StreamingQueries {
+
+  /** D20: streaming E2E parity — one staged file, so a single data batch plus
+    * the sentinel flush batch. Exercises R1/R5/R7/R9/R10/R11 end-to-end. */
+  def d20StreamingE2E(spark: SparkSession, dir: String): DataFrame =
+    runWindowedStream(spark, dir, label = "d20", chunks = 1, shuffled = false)
+
+  /** D21: late/out-of-order replay — events staged as 10 multi-day chunks
+    * with rows shuffled inside each chunk, one file per micro-batch. Intra-
+    * chunk disorder is real late data, but every row stays inside the 30-min
+    * watermark (a later chunk's earliest event is newer than the previous
+    * chunk's max minus the delay), so nothing drops and the final state
+    * equals the batch oracle. */
+  def d21WatermarkLate(spark: SparkSession, dir: String): DataFrame =
+    runWindowedStream(spark, dir, label = "d21", chunks = 10, shuffled = true)
+
+  private def runWindowedStream(spark: SparkSession, dir: String, label: String,
+                                chunks: Int, shuffled: Boolean): DataFrame = {
+    val base = Files.createTempDirectory(s"graft-$label-")
+    val input = base.resolve("input")
+    val out = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+
+    stageInput(spark, dir, input, chunks, shuffled)
+
+    val evSchema = spark.read.parquet(input.toString).schema
+    val app = new StreamingApp(Some(spark))
+      .withConfig(Map(
+        "spark.app.checkpoint.version" -> "1.0.0",
+        "spark.app.checkpoints.path" -> ckpt.toString,
+        "spark.app.source.parquet.options.path" -> input.toString,
+        "spark.app.source.parquet.options.maxFilesPerTrigger" -> "1",
+        "spark.app.sink.parquet.options.path" -> out.toString,
+      ))
+      .initialize()
+      .withFileSource(schema = Some(evSchema))
+      .withParquetSink()
+    // the sink resolves checkpointLocation from session conf at generate time;
+    // derive it through the app's R10 path computation
+    spark.conf.set("spark.app.sink.parquet.options.checkpointLocation",
+      app.checkpointLocation.toString)
+
+    val stream = app.fileSource().generate(spark).load()
+    val agg = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(tsSecondString(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+    val query = app.parquetSink().generate(agg)
+      .outputMode("append")
+      .queryName(s"graft:$label")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+
+    spark.read.parquet(out.toString)
+      .filter(col("window_start") < SentinelCutoff)
+      .orderBy("window_start", "event_type")
+  }
+
+  /** Real events end 2024-01-30; the sentinel sits far past every real
+    * window so its watermark flushes them all. */
+  private val SentinelTs = "2024-06-01 00:00:00"
+  private val SentinelCutoff = "2024-03-01 00:00:00"
+
+  private def stageInput(spark: SparkSession, dir: String, input: Path,
+                         chunks: Int, shuffled: Boolean): Unit = {
+    val ev = events(spark, dir)
+    if (chunks <= 1) {
+      ev.coalesce(1).write.mode("append").parquet(input.toString)
+    } else {
+      // chunk by event-time range so later chunks never carry data older
+      // than the advancing watermark; shuffle rows inside a chunk to model
+      // intra-batch disorder
+      val withChunk = ev.withColumn("_chunk",
+        floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / lit(3)))
+      val nChunks = math.min(chunks, 10)
+      (0 until nChunks).foreach { c =>
+        val slice = if (c == nChunks - 1)
+          withChunk.filter(col("_chunk") >= c) else withChunk.filter(col("_chunk") === c)
+        val ordered =
+          if (shuffled) slice.sortWithinPartitions(hash(col("event_id")))
+          else slice
+        ordered.drop("_chunk").coalesce(1).write.mode("append").parquet(input.toString)
+      }
+    }
+    // sentinel file appended last => strictly newer modification time =>
+    // processed as the final micro-batch (file source orders by mod time)
+    val sentinel = spark.sql(
+      s"""SELECT CAST(-1 AS BIGINT) AS event_id,
+         |  TIMESTAMP '$SentinelTs' AS ts,
+         |  CAST(-1 AS BIGINT) AS user_id,
+         |  '__sentinel__' AS event_type,
+         |  CAST(0.0 AS DOUBLE) AS value,
+         |  '{}' AS props""".stripMargin)
+    sentinel.coalesce(1).write.mode("append").parquet(input.toString)
+  }
+
+  // ---------------------------------------------------------------- D22
+  /** Session windows: per-user sessions with a 30-minute gap. A new session
+    * starts when the gap to the previous event is >= the timeout (Spark's
+    * session interval is half-open `[start, last + gap)`), which the oracle's
+    * gap-and-island SQL mirrors with `>=`. */
+  def d22SessionWindows(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), moneySum(col("value")).as("sum_value"))
+      .select(col("user_id"),
+        tsString(col("session_window.start")).as("session_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("user_id", "session_start")
+
+  val d22Oracle: String =
+    """WITH t AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |), s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM t
+      |)
+      |SELECT user_id,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM s
+      |GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, BatchQueries.QueryFn] = Map(
+    "d20_streaming_e2e" -> (d20StreamingE2E _),
+    "d21_watermark_late" -> (d21WatermarkLate _),
+    "d22_session_windows" -> (d22SessionWindows _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the streaming paths must reproduce the batch tumbling-window result
+    "d20_streaming_e2e" -> BatchQueries.d15Oracle,
+    "d21_watermark_late" -> BatchQueries.d15Oracle,
+    "d22_session_windows" -> d22Oracle,
+  )
+}
