@@ -1,0 +1,254 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/**
+ * Deduplication operators for large-scale text pipelines (north-star surface,
+ * SURVEY §2.3 D17 family): exact fingerprint dedup, MinHash+LSH near-dup,
+ * SimHash near-dup, and exact n-gram Jaccard — all expressed as declarative
+ * column programs (codegen-friendly, no driver materialization).
+ *
+ * Scale design: every path shuffles on a constant-width key (md5 hex, a
+ * 64-bit band hash, or a 16-bit SimHash block), never on raw document text;
+ * candidate generation is linear in documents × bands, and only candidate
+ * pairs (not the n² pair space) are verified.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------ shingling
+
+  /** Distinct word n-gram shingles of `lower(textCol)`. Documents shorter
+    * than n words yield an empty array. */
+  def wordShingles(textCol: Column, n: Int = 3): Column = {
+    val ws = split(lower(textCol), "\\s+")
+    val grams = transform(sequence(lit(0), size(ws) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+    when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  }
+
+  // ------------------------------------------------------- exact dedup
+
+  /**
+   * Exact dedup by content fingerprint: md5 of the text is the shuffle key
+   * (16 bytes instead of the full document — the practical exact-dedup shape
+   * at 100 TB), keeping the lowest doc_id per group.
+   */
+  def exactByFingerprint(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("n_copies"))
+
+  def exactDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    exactByFingerprint(documents(spark, dir)).orderBy("fingerprint")
+
+  val exactDedupOracle: String =
+    """SELECT md5(text) AS fingerprint,
+      |  MIN(doc_id) AS keep_doc_id,
+      |  COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY fingerprint""".stripMargin
+
+  // ------------------------------------------------------ MinHash + LSH
+
+  /** k minhash values: for each seed, the minimum of `xxhash64(shingle, seed)`
+    * over the document's shingle set. */
+  def minHashSignature(shinglesCol: Column, k: Int = 64): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      seed => array_min(transform(shinglesCol, sh => xxhash64(sh, seed))))
+
+  /** LSH band hashes: the signature split into `bands` rows of `k/bands`
+    * values, each band hashed to one 64-bit key. */
+  def lshBands(sigCol: Column, k: Int = 64, bands: Int = 16): Column = {
+    val r = k / bands
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => struct(b.as("band"), xxhash64(slice(sigCol, b * r + 1, lit(r)), b).as("bh")))
+  }
+
+  /**
+   * MinHash+LSH near-duplicate pairs verified by exact Jaccard.
+   *
+   * Pipeline: shingle → 64-perm minhash → 16 bands × 4 rows → explode bands →
+   * self-join on (band, bandHash) → distinct candidate pairs → verify with
+   * exact Jaccard on the shingle arrays → threshold.
+   *
+   * With jaccard ≥ 0.8 the 16×4 banding misses a pair with probability
+   * ≤ (1-0.8⁴)¹⁶ < 4e-3 (and the testdata's planted near-dups sit at ≈0.99,
+   * where the miss probability is ~1e-22), so the verified output equals the
+   * exact threshold join and is oracle-checkable.
+   */
+  def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val banded = sh
+      .select(col("doc_id"), col("shingles"),
+        explode(lshBands(minHashSignature(col("shingles")))).as("b"))
+      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
+    val a = banded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = banded.select(col("band"), col("bh"),
+      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, Seq("band", "bh"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def minHashDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    minHashNearDupPairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  // ------------------------------------------------- exact n-gram Jaccard
+
+  /**
+   * Exact n-gram Jaccard threshold join, the non-approximate reference for
+   * the MinHash path — but still scalable: explode shingles and self-join on
+   * the shingle (an inverted index), count matches per pair, then Jaccard from the
+   * per-document shingle counts. Never materializes the n² pair space; pair
+   * cost is bounded by shingle co-occurrence.
+   */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val common = ex.as("x").join(ex.as("y"), Seq("sh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("sz_a") + col("sz_b") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
+
+  def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** Shared oracle for the MinHash and exact-Jaccard queries: the exact
+    * threshold join in DuckDB (word-3-gram shingles, distinct). */
+  val jaccardPairsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w WHERE len(ws) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM ex x JOIN ex y USING (sh)
+      |  WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(shingles) AS sz FROM sh)
+      |SELECT doc_a, doc_b,
+      |  CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) AS jaccard
+      |FROM common
+      |JOIN sz a ON a.doc_id = doc_a
+      |JOIN sz b ON b.doc_id = doc_b
+      |WHERE CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) >= 0.8
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash of the word multiset: per bit, the majority vote of the
+    * word hashes. Computed as a declarative fold: for each bit position, sum
+    * the ±1 contributions of every word hash, then pack the sign bits. */
+  def simHash(textCol: Column): Column = {
+    val ws = split(lower(textCol), "\\s+")
+    val hashes = transform(ws, w => xxhash64(w))
+    val packed = aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, b) => {
+        // bit counts are lambda variables, so use the SQL shift functions
+        // (the Scala wrappers only accept literal Int bit counts)
+        val votes = aggregate(hashes, lit(0),
+          (va, h) => va + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
+        acc + when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
+      })
+    packed
+  }
+
+  /**
+   * SimHash near-dup pairs within a Hamming radius, found by block banding:
+   * the 64-bit hash splits into 4 × 16-bit blocks; by pigeonhole any pair at
+   * distance ≤ 3 shares at least one identical block, so candidates = pairs
+   * sharing a block value, verified with bit_count(xor) ≤ 3. Exact for the
+   * radius — but hash-function-dependent, so rows-only checked (no DuckDB
+   * xxhash64) with the planted near-dups asserted in the test suite.
+   */
+  def simHashNearDupPairs(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val sh = docs.select(col("doc_id"), simHash(col("text")).as("sim"))
+    val blocks = sh.select(col("doc_id"), col("sim"),
+      explode(transform(sequence(lit(0), lit(3)),
+        b => struct(b.as("blk"),
+          call_function("shiftright", col("sim"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bv")))).as("b"))
+      .select(col("doc_id"), col("sim"), col("b.blk"), col("b.bv"))
+    val a = blocks.select(col("blk"), col("bv"), col("doc_id").as("doc_a"), col("sim").as("sim_a"))
+    val b = blocks.select(col("blk"), col("bv"), col("doc_id").as("doc_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("blk", "bv"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .filter(col("hamming") <= maxDistance)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  def simHashDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    simHashNearDupPairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  // -------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs: exact cosine ≥ threshold over all pairs.
+    * The double fold matches the DuckDB oracle bit-for-bit (see D19).
+    * For the 100 TB path use [[Similarity]]'s LSH bucketing to prune pairs;
+    * this exact form is the verifier. */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val ad = transform(col("ea"), x => x.cast("double"))
+    val bd = transform(col("eb"), x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", dot / (na * nb))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  def embeddingNearDupQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingNearDupPairs(embeddings(spark, dir)).orderBy("vec_a", "vec_b")
+
+  val embeddingNearDupOracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |    SUM(a.v * b.v) AS dot,
+      |    SQRT(SUM(a.v * a.v)) AS na, SQRT(SUM(b.v * b.v)) AS nb
+      |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vec_a, vec_b, dot / (na * nb) AS cosine
+      |FROM p
+      |WHERE dot / (na * nb) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+}

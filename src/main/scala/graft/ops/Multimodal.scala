@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/** A multimodal record: opaque media bytes plus typed metadata. The binary
+  * payload is the engine-level representation for image/audio/video columns —
+  * Spark treats it as `BinaryType`, stays out of its way in the row format,
+  * and lets per-partition decoders do the modality-specific work. */
+final case class MediaRecord(media_id: Long, kind: String, payload: Array[Byte],
+                             source: String)
+
+/** Decoded-media metadata (the output of the decode stage). */
+final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
+                              width: Long, height: Long, n_frames: Long,
+                              sample_rate: Long)
+
+/**
+ * Multimodal-column plumbing (north-star surface): binary payload columns
+ * with typed metadata, decoded/feature-extracted in batched per-partition
+ * passes.
+ *
+ * The decode itself is a clearly-marked DETERMINISTIC STUB — this container
+ * has no image/audio codecs, so `decodeStub` derives plausible metadata from
+ * the byte length alone. The Spark-side plumbing is real and tested: binary
+ * schema, a typed `Dataset[MediaRecord]`, `mapPartitions` with explicit
+ * batching (the Scala analogue of an arrow-batched UDF: the decoder sees
+ * blocks of records, amortizing any per-call setup such as a codec context),
+ * and partition-parallel execution with no driver materialization.
+ */
+object Multimodal {
+
+  /** Deterministic fake decode — REPLACE with a real codec in production.
+    * Metadata is a pure function of (kind, payload length) so the oracle can
+    * reproduce it arithmetically. */
+  def decodeStub(r: MediaRecord): DecodedMedia = {
+    val n = r.payload.length.toLong
+    r.kind match {
+      case "image" => DecodedMedia(r.media_id, r.kind, n, 320 + n % 320, 240 + n % 240, 1L, 0L)
+      case "video" => DecodedMedia(r.media_id, r.kind, n, 320 + n % 320, 240 + n % 240, 1 + n % 100, 0L)
+      case _       => DecodedMedia(r.media_id, r.kind, n, 0L, 0L, 0L, 8000 + (n % 3) * 8000)
+    }
+  }
+
+  /** Documents → media records: the text bytes stand in for a real payload
+    * (same schema and code path a binary parquet column would take). */
+  def mediaFromDocuments(docs: DataFrame): Dataset[MediaRecord] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        col("doc_id").as("media_id"),
+        element_at(array(lit("image"), lit("audio"), lit("video")),
+          (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source"))
+      .as[MediaRecord]
+  }
+
+  /** Batched per-partition decode: groups the partition iterator into blocks
+    * of `batchSize` (codec-context amortization), decodes each block. */
+  def decodeAll(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[DecodedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // a real decoder would open one codec context per batch here
+        batch.map(decodeStub)
+      }
+    }
+  }
+
+  /** Per-kind metadata rollup over the decoded media — the oracle reproduces
+    * the stub's arithmetic from octet lengths. */
+  def multimodalQuery(spark: SparkSession, dir: String): DataFrame =
+    decodeAll(mediaFromDocuments(documents(spark, dir)))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("width")).cast("double") / count(lit(1))).as("avg_width"),
+        sum(col("n_frames")).as("total_frames"),
+        max(col("sample_rate")).as("max_sample_rate"))
+      .orderBy("kind")
+
+  val multimodalOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), d AS (
+      |  SELECT media_id, kind, n AS n_bytes,
+      |    CASE WHEN kind IN ('image', 'video') THEN 320 + n % 320 ELSE 0 END AS width,
+      |    CASE WHEN kind IN ('image', 'video') THEN 240 + n % 240 ELSE 0 END AS height,
+      |    CASE WHEN kind = 'image' THEN 1
+      |         WHEN kind = 'video' THEN 1 + n % 100 ELSE 0 END AS n_frames,
+      |    CASE WHEN kind = 'audio' THEN 8000 + (n % 3) * 8000 ELSE 0 END AS sample_rate
+      |  FROM m
+      |)
+      |SELECT kind,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+      |  CAST(SUM(width) AS DOUBLE) / COUNT(*) AS avg_width,
+      |  CAST(SUM(n_frames) AS BIGINT) AS total_frames,
+      |  CAST(MAX(sample_rate) AS BIGINT) AS max_sample_rate
+      |FROM d
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+}

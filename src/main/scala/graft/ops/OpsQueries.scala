@@ -1,0 +1,43 @@
+package graft.ops
+
+import graft.queries.BatchQueries.QueryFn
+
+/**
+ * Registry of the north-star operator queries (dedup, similarity search,
+ * text analysis, multimodal) — the LLM-training-data-pipeline surface that
+ * complements the relational inventory in [[graft.queries.BatchQueries]].
+ *
+ * Oracle-backed wherever DuckDB can express the computation exactly; the
+ * hash/seed-dependent paths (SimHash, LSH-ANN, IVF) are rows-only checked by
+ * the driver and recall-asserted in the test suite.
+ */
+object OpsQueries {
+
+  val queries: Map[String, QueryFn] = Map(
+    "n01_dedup_fingerprint" -> (Dedup.exactDedupQuery _),
+    "n02_dedup_minhash_lsh" -> (Dedup.minHashDedupQuery _),
+    "n03_ngram_jaccard" -> (Dedup.ngramJaccardQuery _),
+    "n04_dedup_simhash" -> (Dedup.simHashDedupQuery _),
+    "n05_dedup_embedding" -> (Dedup.embeddingNearDupQuery _),
+    "n06_ann_lsh" -> (Similarity.annLshQuery _),
+    "n07_ann_ivf" -> (Similarity.ivfQuery _),
+    "n08_lang_id" -> (TextAnalysis.langIdQuery _),
+    "n09_quality_score" -> (TextAnalysis.qualityScoreQuery _),
+    "n10_token_count" -> (TextAnalysis.tokenCountQuery _),
+    "n11_fingerprint" -> (TextAnalysis.fingerprintQuery _),
+    "n12_multimodal_meta" -> (Multimodal.multimodalQuery _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "n01_dedup_fingerprint" -> Dedup.exactDedupOracle,
+    "n02_dedup_minhash_lsh" -> Dedup.jaccardPairsOracle,
+    "n03_ngram_jaccard" -> Dedup.jaccardPairsOracle,
+    // n04 SimHash and n06/n07 ANN are hash/seed-dependent: rows-only
+    "n05_dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "n08_lang_id" -> TextAnalysis.langIdOracle,
+    "n09_quality_score" -> TextAnalysis.qualityScoreOracle,
+    "n10_token_count" -> TextAnalysis.tokenCountOracle,
+    "n11_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "n12_multimodal_meta" -> Multimodal.multimodalOracle,
+  )
+}

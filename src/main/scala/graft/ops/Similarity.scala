@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/**
+ * Approximate-nearest-neighbor search over the embeddings table (north-star
+ * surface; the exact brute-force baseline is D19 in
+ * [[graft.queries.BatchQueries]]).
+ *
+ * Two scale paths:
+ *  - [[annLshTopK]]: MLlib BucketedRandomProjectionLSH over L2-normalized
+ *    vectors (euclidean on the unit sphere is monotone in cosine), the
+ *    library-grade random-projection route;
+ *  - [[ivfTopK]]: an IVF index — KMeans coarse centroids (fixed seed), every
+ *    vector assigned to its cell map-side, the query probes the nProbe
+ *    nearest cells and ranks them by exact cosine. At 100 TB this is the
+ *    shape that works: assignment is a broadcast map-side pass, the probe
+ *    touches ~nProbe/nlist of the data, and only the tiny centroid table
+ *    reaches the driver.
+ *
+ * Both are approximate and seed-dependent, so they are rows-only checked by
+ * the driver; the test suite asserts recall against the exact D19 top-k.
+ */
+object Similarity {
+
+  /** float array column → exact-double cosine similarity column (identical
+    * fold to D19, reused by both index paths for final ranking). */
+  def cosineCol(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
+    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    dot / (na * nb)
+  }
+
+  private val toUnitVector = udf { (xs: Seq[Float]) =>
+    val arr = xs.map(_.toDouble).toArray
+    val norm = math.sqrt(arr.map(x => x * x).sum)
+    Vectors.dense(if (norm == 0) arr else arr.map(_ / norm))
+  }
+
+  // ----------------------------------------------------------- LSH path
+
+  /** Top-k approximate neighbors of `queryVecId` via random-projection LSH
+    * (fixed seed ⇒ deterministic result). */
+  def annLshTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
+    val withVec = emb.withColumn("features", toUnitVector(col("embedding")))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
+    val model = lsh.fit(withVec)
+    val queryVec = withVec.filter(col("vec_id") === queryVecId)
+      .select("features").head().getAs[Vector](0)
+    model.approxNearestNeighbors(
+        withVec.filter(col("vec_id") =!= queryVecId), queryVec, k)
+      .select(col("vec_id"), col("label"), col("distCol").as("distance"))
+      .orderBy(col("distance"), col("vec_id"))
+  }
+
+  def annLshQuery(spark: SparkSession, dir: String): DataFrame =
+    annLshTopK(embeddings(spark, dir))
+
+  // ----------------------------------------------------------- IVF path
+
+  /** IVF top-k: KMeans(nlist) coarse quantizer, probe the nProbe closest
+    * cells by centroid cosine, exact cosine ranking inside the probed cells. */
+  def ivfTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+              nlist: Int = 8, nProbe: Int = 2): DataFrame = {
+    val withVec = emb.withColumn("features", toUnitVector(col("embedding")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell")
+      .fit(withVec)
+    val assigned = model.transform(withVec)
+
+    // tiny driver-side math: rank the nlist centroids against the query
+    val queryArr = assigned.filter(col("vec_id") === queryVecId)
+      .select("features").head().getAs[Vector](0).toArray
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val probed = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, cos(c.toArray, queryArr)) }
+      .sortBy { case (i, c) => (-c, i) }
+      .take(nProbe).map(_._1)
+
+    val query = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    assigned
+      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"), col("label"),
+        cosineCol(col("embedding"), col("qv")).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfTopK(embeddings(spark, dir))
+}

@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/**
+ * Text-analysis operators for training-data pipelines (north-star surface):
+ * marker-based language ID, quality scoring, token counting, and document
+ * fingerprinting. All are single-pass declarative column programs (one scan,
+ * no shuffle except the final presentation sort), which is exactly what you
+ * want for a 100 TB document sweep; every one is DuckDB-oracle-checked.
+ */
+object TextAnalysis {
+
+  // -------------------------------------------------------- language ID
+
+  /** Tiny function-word profiles per language. On the synthetic corpus the
+    * content is English-ish regardless of the labeled lang; the operator's
+    * contract (deterministic scoring + argmax with fixed priority) is what is
+    * verified, not model quality. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "und", "die", "das", "ist"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "fr" -> Seq("le", "la", "et", "de", "est"),
+    "zh" -> Seq("de", "shi", "he", "zai", "le"),
+  )
+
+  private def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isInCollection(markers)))
+
+  /** Language ID by marker-word counts with fixed-priority argmax. */
+  def langIdQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(lower(col("text")), "\\s+")
+    val counts = langMarkers.map { case (lang, ms) => lang -> markerCount(ws, ms) }
+    val m = greatest(counts.map(_._2): _*)
+    val predicted = counts.foldRight(lit("und")) { case ((lang, c), acc) =>
+      when(c === m && m > 0, lang).otherwise(acc)
+    }
+    // foldRight makes the FIRST matching language in declaration order win
+    val cols = Seq(col("doc_id"), col("lang")) ++
+      counts.map { case (l, c) => c.cast("long").as(s"c_$l") } :+
+      predicted.as("predicted")
+    documents(spark, dir)
+      .select(cols: _*)
+      .withColumn("is_match", col("predicted") === col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val langIdOracle: String = {
+    val cnt = langMarkers.map { case (lang, ms) =>
+      s"CAST(len(list_filter(ws, w -> w IN (${ms.map(m => s"'$m'").mkString(", ")}))) AS BIGINT) AS c_$lang"
+    }.mkString(",\n  ")
+    val m = s"greatest(${langMarkers.map { case (l, _) => s"c_$l" }.mkString(", ")})"
+    val pred = langMarkers.reverse.foldLeft("'und'") { case (acc, (lang, _)) =>
+      s"CASE WHEN c_$lang = $m AND $m > 0 THEN '$lang' ELSE $acc END"
+    }
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, string_split_regex(lower(text), '\\s+') AS ws FROM documents
+       |), c AS (
+       |  SELECT doc_id, lang,
+       |  $cnt
+       |  FROM w
+       |)
+       |SELECT doc_id, lang, c_en, c_de, c_es, c_fr, c_zh,
+       |  $pred AS predicted,
+       |  ($pred) = lang AS is_match
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ------------------------------------------------------ quality score
+
+  val qualityStopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
+
+  /** Heuristic document quality: length, word stats, stopword ratio, alpha
+    * ratio — combined into a fixed-weight score. Pure arithmetic on counts,
+    * so the double result is bit-identical across engines. */
+  def qualityScoreQuery(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val ws = split(lower(text), "\\s+")
+    val nChars = length(text).cast("long")
+    val nWords = size(ws).cast("long")
+    val stopCnt = size(filter(ws, w => w.isInCollection(qualityStopwords))).cast("long")
+    val alphaCnt = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val avgWordLen = alphaCnt.cast("double") / nWords
+    val stopRatio = stopCnt.cast("double") / nWords
+    val alphaRatio = alphaCnt.cast("double") / nChars
+    val lengthScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    val score = lengthScore * 0.25 + stopRatio * 0.25 + alphaRatio * 0.25 +
+      least(avgWordLen / lit(8.0), lit(1.0)) * 0.25
+    documents(spark, dir)
+      .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
+        stopCnt.as("n_stopwords"), avgWordLen.as("avg_word_len"),
+        stopRatio.as("stopword_ratio"), alphaRatio.as("alpha_ratio"),
+        score.as("quality_score"))
+      .orderBy("doc_id")
+  }
+
+  val qualityScoreOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          w -> w IN (${qualityStopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_cnt
+       |  FROM documents
+       |)
+       |SELECT doc_id, n_chars, n_words, n_stopwords,
+       |  CAST(alpha_cnt AS DOUBLE) / n_words AS avg_word_len,
+       |  CAST(n_stopwords AS DOUBLE) / n_words AS stopword_ratio,
+       |  CAST(alpha_cnt AS DOUBLE) / n_chars AS alpha_ratio,
+       |  least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.25
+       |    + (CAST(n_stopwords AS DOUBLE) / n_words) * 0.25
+       |    + (CAST(alpha_cnt AS DOUBLE) / n_chars) * 0.25
+       |    + least((CAST(alpha_cnt AS DOUBLE) / n_words) / 8.0, 1.0) * 0.25 AS quality_score
+       |FROM c
+       |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------ token counting
+
+  /** Token counts: whitespace tokens, regex word-ish tokens (a BPE-style
+    * pre-tokenizer split), and a subword estimate of ceil(len/4) pieces per
+    * word. */
+  def tokenCountQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("text"), "\\s+")
+    val bpeish = split(lower(col("text")), "[^a-z0-9]+")
+    val subwords = aggregate(ws, lit(0L),
+      (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("long"))
+    documents(spark, dir)
+      .select(col("doc_id"),
+        size(ws).cast("long").as("n_ws_tokens"),
+        size(filter(bpeish, t => t =!= "")).cast("long").as("n_word_tokens"),
+        subwords.as("n_subword_est"))
+      .orderBy("doc_id")
+  }
+
+  val tokenCountOracle: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS n_ws_tokens,
+      |  CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+      |        t -> t <> '')) AS BIGINT) AS n_word_tokens,
+      |  CAST(list_sum(list_transform(string_split_regex(text, '\s+'),
+      |        w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_subword_est
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------------- fingerprinting
+
+  /**
+   * Document fingerprints: md5 of whitespace-normalized text, plus a
+   * winnowing-style fingerprint — the minimum md5 over a stride of 20-char
+   * shingles (stride 7), robust to local edits. Both are order-independent
+   * string mins/hashes, so they hash-match across engines.
+   */
+  def fingerprintQuery(spark: SparkSession, dir: String): DataFrame = {
+    val norm = regexp_replace(lower(col("text")), "\\s+", " ")
+    val nShingles = greatest(
+      floor((length(norm) - 20).cast("double") / 7.0).cast("long") + 1, lit(0L))
+    documents(spark, dir)
+      .withColumn("norm", norm)
+      .withColumn("n_sh", nShingles)
+      .withColumn("fingerprint", md5(col("norm")))
+      .withColumn("winnow_fp",
+        when(col("n_sh") > 0,
+          array_min(transform(sequence(lit(0), col("n_sh") - 1),
+            i => md5(col("norm").substr(i * 7 + 1, lit(20))))))
+          .otherwise(md5(col("norm"))))
+      .select(col("doc_id"), col("fingerprint"), col("winnow_fp"),
+        length(col("norm")).cast("long").as("norm_len"))
+      .orderBy("doc_id")
+  }
+
+  val fingerprintOracle: String =
+    """WITH n AS (
+      |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS norm FROM documents
+      |), s AS (
+      |  SELECT doc_id, norm,
+      |    greatest(CAST(floor((length(norm) - 20) / 7.0) AS BIGINT) + 1, 0) AS n_sh
+      |  FROM n
+      |)
+      |SELECT doc_id,
+      |  md5(norm) AS fingerprint,
+      |  CASE WHEN n_sh > 0
+      |    THEN list_min([md5(norm[i * 7 + 1 : i * 7 + 20]) for i in range(0, n_sh)])
+      |    ELSE md5(norm) END AS winnow_fp,
+      |  CAST(length(norm) AS BIGINT) AS norm_len
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+}

@@ -582,7 +582,9 @@ object BatchQueries {
     val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), col("label"), round(dot / (na * nb), 4).as("score"))
+      // no rounding: both engines run the identical double fold, so the raw
+      // bits match; rounding identical doubles is the ambiguous operation
+      .select(col("vec_id"), col("label"), (dot / (na * nb)).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(5)
   }
@@ -605,7 +607,7 @@ object BatchQueries {
       |    SUM(a * b) AS dot, SUM(a * a) AS na2, SUM(b * b) AS nb2
       |  FROM ex JOIN qx USING (i) GROUP BY vec_id
       |)
-      |SELECT vec_id, label, ROUND(dot / (SQRT(na2) * SQRT(nb2)), 4) AS score
+      |SELECT vec_id, label, dot / (SQRT(na2) * SQRT(nb2)) AS score
       |FROM s
       |ORDER BY score DESC, vec_id
       |LIMIT 5""".stripMargin
