@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+import graft.queries.{BatchQueries, Tables}
+
+/** Behavior checks for the approximate (non-oracle) operators: planted
+  * near-dups are found, ANN paths agree with the exact baseline, HLL stays
+  * within its error bound, exact dedup actually deduplicates. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  test("simhash near-dup pairs include planted near-duplicates") {
+    val pairs = Dedup.simHashNearDupPairs(Tables.documents(spark, T.sf0001))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = Dedup.ngramJaccardPairs(Tables.documents(spark, T.sf0001))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    // simhash measures a different similarity than jaccard: it must catch a
+    // majority of the 0.99-jaccard planted pairs (recall), and false
+    // positives stay a small constant on this corpus
+    assert(pairs.intersect(planted).size >= planted.size / 2)
+    assert((pairs -- planted).size <= 10, s"unexpected pairs: ${pairs -- planted}")
+  }
+
+  test("exact fingerprint dedup collapses duplicated input") {
+    val docs = Tables.documents(spark, T.sf0001)
+    val doubled = docs.unionAll(docs)
+    val out = Dedup.exactByFingerprint(doubled)
+    assert(out.count() == docs.count())
+    assert(out.filter(col("n_copies") =!= 2).count() == 0)
+  }
+
+  test("ANN paths recover most of the exact top-5") {
+    val exact = BatchQueries.d19CosineTopK(spark, T.sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val lsh = Similarity.annLshQuery(spark, T.sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = Similarity.ivfQuery(spark, T.sf0001)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lsh.intersect(exact).size >= 3, s"lsh=$lsh exact=$exact")
+    assert(ivf.intersect(exact).size >= 3, s"ivf=$ivf exact=$exact")
+  }
+
+  test("approx_count_distinct within 10% of exact") {
+    val o = Tables.orders(spark, T.sf0001)
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approx = o.select(approx_count_distinct(col("o_custkey"))).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.10)
+  }
+
+  test("multimodal decode covers all kinds with positive sizes") {
+    val out = Multimodal.multimodalQuery(spark, T.sf0001).collect()
+    assert(out.map(_.getString(0)).toSet == Set("audio", "image", "video"))
+    assert(out.forall(_.getLong(1) > 0))
+  }
+}
