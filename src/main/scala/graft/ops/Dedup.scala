@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.queries.Tables._
@@ -53,11 +54,13 @@ object Dedup {
 
   // ------------------------------------------------------ MinHash + LSH
 
-  /** k minhash values: for each seed, the minimum of `xxhash64(shingle, seed)`
-    * over the document's shingle set. */
-  def minHashSignature(shinglesCol: Column, k: Int = 64): Column =
+  /** k minhash values over pre-hashed shingles: the variable-width shingle
+    * strings are hashed ONCE (`shingleHashesCol`), and each of the k
+    * permutations is a cheap fixed-width re-hash of that long — the standard
+    * "hash once, mix k times" optimization (k× fewer string hashes). */
+  def minHashSignature(shingleHashesCol: Column, k: Int = 64): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shinglesCol, sh => xxhash64(sh, seed))))
+      seed => array_min(transform(shingleHashesCol, h => xxhash64(h, seed))))
 
   /** LSH band hashes: the signature split into `bands` rows of `k/bands`
     * values, each band hashed to one 64-bit key. */
@@ -80,28 +83,45 @@ object Dedup {
    * exact threshold join and is oracle-checkable.
    */
   def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = docs
+    // shingle + hash once, behind a persist barrier: the expression tree is
+    // expensive and referenced from both sides of the candidate self-join,
+    // and higher-order functions re-evaluate per reference otherwise. At
+    // scale this persist is the materialized signature index (docs × k
+    // longs), the artifact any production minhash pipeline stores anyway.
+    // repartition first: the documents table arrives as very few input
+    // splits, and the signature computation is CPU-bound — spread it across
+    // every core before evaluating anything expensive
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
       .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .persist()
     val banded = sh
-      .select(col("doc_id"), col("shingles"),
-        explode(lshBands(minHashSignature(col("shingles")))).as("b"))
-      .select(col("doc_id"), col("shingles"), col("b.band"), col("b.bh"))
-    val a = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = banded.select(col("band"), col("bh"),
-      col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, Seq("band", "bh"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .select(col("doc_id"),
+        explode(lshBands(minHashSignature(col("sh_hashes")))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+      .persist()
+    val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
+  }
+
+  /** Join candidate (doc_a, doc_b) pairs back to the persisted shingle table
+    * and keep those with exact Jaccard ≥ threshold. */
+  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                            threshold: Double): DataFrame =
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "jaccard")
-  }
 
   def minHashDedupQuery(spark: SparkSession, dir: String): DataFrame =
     minHashNearDupPairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
@@ -116,22 +136,31 @@ object Dedup {
    * cost is bounded by shingle co-occurrence.
    */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
-    val sh = docs
+    // Prefix filtering (Bayardo/Chaudhuri all-pairs): order every document's
+    // shingles by global rarity and index only the first
+    // |sh| - ceil(t·|sh|) + 1 of them. Any pair with Jaccard ≥ t must share
+    // a prefix shingle, so joining prefixes is complete — while the hot
+    // stop-shingles (whose inverted lists explode quadratically) land in
+    // suffixes and never get joined. Exact, and the difference between an
+    // O(n²)-ish index join and a bounded one at corpus scale.
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
       .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("sz"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("sh"))
-    val common = ex.as("x").join(ex.as("y"), Seq("sh"))
+      .persist()
+    val ex = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
+      explode(col("shingles")).as("sh"))
+    val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = ex.join(freq, "sh")
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
+      .select("doc_id", "sh")
+    val candidates = prefix.as("x").join(prefix.as("y"), Seq("sh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    common
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(broadcast(sizes).withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast("double") / (col("sz_a") + col("sz_b") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "jaccard")
+      .distinct()
+    verifyJaccard(candidates, sh, threshold)
   }
 
   def ngramJaccardQuery(spark: SparkSession, dir: String): DataFrame =
@@ -193,7 +222,10 @@ object Dedup {
    * xxhash64) with the planted near-dups asserted in the test suite.
    */
   def simHashNearDupPairs(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
-    val sh = docs.select(col("doc_id"), simHash(col("text")).as("sim"))
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val sh = docs.repartition(par)
+      .select(col("doc_id"), simHash(col("text")).as("sim"))
+      .persist()
     val blocks = sh.select(col("doc_id"), col("sim"),
       explode(transform(sequence(lit(0), lit(3)),
         b => struct(b.as("blk"),
@@ -219,15 +251,21 @@ object Dedup {
     * For the 100 TB path use [[Similarity]]'s LSH bucketing to prune pairs;
     * this exact form is the verifier. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-    val ad = transform(col("ea"), x => x.cast("double"))
-    val bd = transform(col("eb"), x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
+    // normalize once per vector behind a persist barrier, so the n² pair
+    // stage does a single zip_with/aggregate fold (cosine of unit vectors =
+    // dot product) instead of three folds plus per-element casts per pair
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val dv = transform(col("embedding"), x => x.cast("double"))
+    val norm = sqrt(aggregate(dv, lit(0.0), (acc, x) => acc + x * x))
+    val unit = emb.repartition(par)
+      .select(col("vec_id"), transform(dv, x => x / norm).as("u"))
+      .persist()
+    val a = unit.select(col("vec_id").as("vec_a"), col("u").as("ua"))
+    val b = unit.select(col("vec_id").as("vec_b"), col("u").as("ub"))
+    val dot = aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dot / (na * nb))
+      .withColumn("cosine", dot)
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
@@ -240,15 +278,17 @@ object Dedup {
       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
       |    generate_subscripts(embedding, 1) AS i
       |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
       |), p AS (
-      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |    SUM(a.v * b.v) AS dot,
-      |    SQRT(SUM(a.v * a.v)) AS na, SQRT(SUM(b.v * b.v)) AS nb
-      |  FROM ex a JOIN ex b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
       |  GROUP BY 1, 2
       |)
-      |SELECT vec_a, vec_b, dot / (na * nb) AS cosine
+      |SELECT vec_a, vec_b, cosine
       |FROM p
-      |WHERE dot / (na * nb) >= 0.45
+      |WHERE cosine >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 }

@@ -37,7 +37,7 @@ object StreamingQueries {
     * chunk's max minus the delay), so nothing drops and the final state
     * equals the batch oracle. */
   def d21WatermarkLate(spark: SparkSession, dir: String): DataFrame =
-    runWindowedStream(spark, dir, label = "d21", chunks = 10, shuffled = true)
+    runWindowedStream(spark, dir, label = "d21", chunks = 5, shuffled = true)
 
   private def runWindowedStream(spark: SparkSession, dir: String, label: String,
                                 chunks: Int, shuffled: Boolean): DataFrame = {
@@ -99,9 +99,11 @@ object StreamingQueries {
       // chunk by event-time range so later chunks never carry data older
       // than the advancing watermark; shuffle rows inside a chunk to model
       // intra-batch disorder
-      val withChunk = ev.withColumn("_chunk",
-        floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / lit(3)))
+      // events span ~30 days; carve them into time-ordered day-range chunks
       val nChunks = math.min(chunks, 10)
+      val daysPerChunk = math.ceil(31.0 / nChunks).toInt
+      val withChunk = ev.withColumn("_chunk",
+        floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / lit(daysPerChunk)))
       (0 until nChunks).foreach { c =>
         val slice = if (c == nChunks - 1)
           withChunk.filter(col("_chunk") >= c) else withChunk.filter(col("_chunk") === c)
