@@ -29,16 +29,11 @@ import graft.queries.Tables._
  */
 object Similarity {
 
-  /** float array column → exact-double cosine similarity column (identical
-    * fold to D19, reused by both index paths for final ranking). */
-  def cosineCol(a: Column, b: Column): Column = {
-    val ad = transform(a, x => x.cast("double"))
-    val bd = transform(b, x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  /** float array column → exact-double cosine similarity column: the
+    * codegen'd [[graft.functions.CosineSimilarity]] kernel (bit-identical to
+    * D19's oracle formulation), reused by both index paths for ranking. */
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
 
   private val toUnitVector = udf { (xs: Seq[Float]) =>
     val arr = xs.map(_.toDouble).toArray

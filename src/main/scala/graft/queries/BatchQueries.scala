@@ -569,22 +569,19 @@ object BatchQueries {
 
   // ---------------------------------------------------------------- D19
   /** Similarity search: exact top-5 cosine neighbors of vec_id 0. The query
-    * vector is broadcast; both engines compute the dot/norm fold in double
-    * precision, in index order, so the rounded score is bit-stable.
-    * [[graft.ops.Similarity]] adds the LSH-bucketed variant for scale. */
+    * vector is broadcast; the scoring kernel is the codegen'd
+    * [[graft.functions.CosineSimilarity]] expression, whose double
+    * index-order fold is bit-identical to the oracle's SQL formulation.
+    * No rounding: both engines produce identical doubles, and rounding
+    * identical doubles is itself the cross-engine-ambiguous operation.
+    * [[graft.ops.Similarity]] adds the LSH/IVF variants for scale. */
   def d19CosineTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddings(spark, dir)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
-    val ad = transform(col("embedding"), x => x.cast("double"))
-    val bd = transform(col("qv"), x => x.cast("double"))
-    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(ad, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(bd, lit(0.0), (acc, x) => acc + x * x))
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      // no rounding: both engines run the identical double fold, so the raw
-      // bits match; rounding identical doubles is the ambiguous operation
-      .select(col("vec_id"), col("label"), (dot / (na * nb)).as("score"))
+      .select(col("vec_id"), col("label"),
+        graft.functions.CosineSimilarity(col("embedding"), col("qv")).as("score"))
       .orderBy(desc("score"), col("vec_id"))
       .limit(5)
   }
