@@ -1,0 +1,166 @@
+package graft.queries
+
+import java.nio.file.{Files, Path}
+import java.time.Instant
+import java.time.format.DateTimeFormatter
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import Tables._
+
+/** Input row for the typed sessionization path. */
+final case class SessionEvent(user_id: Long, event_id: Long, ts: Instant, value: Double)
+
+/** Output session for the typed sessionization path. */
+final case class UserSession(user_id: Long, session_start: String,
+                             n_events: Long, sum_value: Double)
+
+/**
+ * Streaming operator surface beyond the windowed-aggregation path
+ * (SURVEY §2.2): stream-static joins, streaming deduplication, and custom
+ * stateful processing via `flatMapGroupsWithState`.
+ */
+object StreamingOpsQueries {
+
+  private def tempDirs(label: String): (Path, Path, Path) = {
+    val base = Files.createTempDirectory(s"graft-$label-")
+    (base.resolve("input"), base.resolve("out"), base.resolve("ckpt"))
+  }
+
+  private def writeFileSeq(dfs: Seq[DataFrame], input: Path): Unit =
+    // sequential appends => strictly increasing modification times => the
+    // file stream source processes them in this order
+    dfs.foreach(_.coalesce(1).write.mode("append").parquet(input.toString))
+
+  private def runStream(spark: SparkSession, input: Path, out: Path, ckpt: Path,
+                        label: String, transform: DataFrame => DataFrame): DataFrame = {
+    val schema = spark.read.parquet(input.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input.toString)
+    val q = transform(stream).writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .queryName(s"graft:$label")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString)
+  }
+
+  // ---------------------------------------------------------------- d32
+  /** Stream-static join: the event stream joined to the static customer
+    * dimension (broadcast — the dimension is loaded once per micro-batch
+    * plan, the scalable shape for stream enrichment). Stateless, so no
+    * watermark is needed and every row appends exactly once. */
+  def d32StreamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d32")
+    writeFileSeq(Seq(events(spark, dir)), input)
+    val cust = customer(spark, dir)
+    runStream(spark, input, out, ckpt, "d32", stream =>
+      stream.join(broadcast(cust), stream("user_id") === cust("c_custkey"))
+        .select(col("event_id"), col("c_mktsegment"), col("value"),
+          tsString(col("ts")).as("ts")))
+      .orderBy("event_id")
+  }
+
+  val d32Oracle: String =
+    """SELECT event_id, c_mktsegment, value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+      |FROM events JOIN customer ON user_id = c_custkey
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- d33
+  /** Streaming exact dedup: the input is staged twice (the second file is a
+    * full late replay), and `dropDuplicates` on the key emits each event
+    * exactly once across micro-batches. The duplicate copies are identical
+    * rows, so the output set is deterministic regardless of arrival order. */
+  def d33StreamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d33")
+    val ev = events(spark, dir)
+    writeFileSeq(Seq(ev, ev), input)
+    runStream(spark, input, out, ckpt, "d33", stream =>
+      stream.dropDuplicates("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), tsString(col("ts")).as("ts")))
+      .orderBy("event_id")
+  }
+
+  val d33Oracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- d34
+  private val microsFmt =
+    DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
+
+  /**
+   * Custom stateful sessionization through the typed
+   * `KeyValueGroupedDataset.flatMapGroupsWithState` API — the streaming
+   * engine's escape hatch for state machines the built-in windows can't
+   * express. Executed here over the bounded events table (batch mode runs
+   * the same function with empty state), producing exactly D22's sessions:
+   * per-user 30-minute-gap sessions with the same half-open `>=` boundary
+   * and the same exact-decimal value sum as the SQL oracle.
+   *
+   * Scale note: each invocation sees one user's events; memory is bounded by
+   * per-user activity, and users are hash-partitioned across executors.
+   */
+  def d34FmgwsSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val gapMicros = 30L * 60 * 1000000
+    val sessions = events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, it: Iterator[SessionEvent], _: GroupState[Long]) =>
+          val evs = it.toArray
+            .sortBy(e => (e.ts.getEpochSecond, e.ts.getNano, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var start = 0
+          def emit(from: Int, until: Int): Unit = {
+            // exact-decimal sum matching CAST(SUM(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+            val sum = evs.slice(from, until)
+              .map(e => java.math.BigDecimal.valueOf(e.value)
+                .setScale(4, java.math.RoundingMode.HALF_UP))
+              .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+            out += UserSession(uid, microsFmt.format(evs(from).ts),
+              until - from, sum.doubleValue())
+          }
+          var i = 1
+          while (i < evs.length) {
+            val gap = java.time.Duration.between(evs(i - 1).ts, evs(i).ts)
+            if (gap.toNanos / 1000 >= gapMicros) { emit(start, i); start = i }
+            i += 1
+          }
+          if (evs.nonEmpty) emit(start, evs.length)
+          out.iterator
+      }
+      .toDF()
+    sessions.orderBy("user_id", "session_start")
+  }
+
+  // same result contract as D22, so the same gaps-and-islands oracle applies
+  val d34Oracle: String = StreamingQueries.d22Oracle
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, BatchQueries.QueryFn] = Map(
+    "d32_stream_static_join" -> (d32StreamStaticJoin _),
+    "d33_stream_dedup" -> (d33StreamDedup _),
+    "d34_fmgws_sessions" -> (d34FmgwsSessions _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d32_stream_static_join" -> d32Oracle,
+    "d33_stream_dedup" -> d33Oracle,
+    "d34_fmgws_sessions" -> d34Oracle,
+  )
+}
