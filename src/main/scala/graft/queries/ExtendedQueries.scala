@@ -248,6 +248,28 @@ object ExtendedQueries {
       |QUALIFY event_type = 'error'
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- d35
+  /** Skew-salted join ([[graft.ops.Scale.saltedJoin]]): result-identical to
+    * the plain equi-join — the oracle IS the plain join — while the hot keys
+    * spread over `buckets` reducers. */
+  def d35SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    val o = orders(spark, dir)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.ops.Scale.saltedJoin(li, o, "l_orderkey", buckets = 8)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val d35Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -260,6 +282,7 @@ object ExtendedQueries {
     "d29_map_ops" -> (d29MapOps _),
     "d30_struct_ops" -> (d30StructOps _),
     "d31_asof_join" -> (d31AsOfJoin _),
+    "d35_salted_join" -> (d35SaltedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -272,5 +295,6 @@ object ExtendedQueries {
     "d29_map_ops" -> d29Oracle,
     "d30_struct_ops" -> d30Oracle,
     "d31_asof_join" -> d31Oracle,
+    "d35_salted_join" -> d35Oracle,
   )
 }
