@@ -56,11 +56,12 @@ object Dedup {
 
   /** k minhash values over pre-hashed shingles: the variable-width shingle
     * strings are hashed ONCE (`shingleHashesCol`), and each of the k
-    * permutations is a cheap fixed-width re-hash of that long — the standard
-    * "hash once, mix k times" optimization (k× fewer string hashes). */
+    * permutations is a cheap fixed-width mix of that long ("hash once, mix k
+    * times"). The kernel is the codegen'd
+    * [[graft.functions.MinHashSignature]] expression — a primitive k×tokens
+    * loop instead of nested interpreted lambdas. */
   def minHashSignature(shingleHashesCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      seed => array_min(transform(shingleHashesCol, h => xxhash64(h, seed))))
+    graft.functions.MinHashSignature(shingleHashesCol, k)
 
   /** LSH band hashes: the signature split into `bands` rows of `k/bands`
     * values, each band hashed to one 64-bit key. */
@@ -195,22 +196,11 @@ object Dedup {
   // ------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash of the word multiset: per bit, the majority vote of the
-    * word hashes. Computed as a declarative fold: for each bit position, sum
-    * the ±1 contributions of every word hash, then pack the sign bits. */
+    * word hashes — the codegen'd [[graft.functions.SimHash64]] kernel over
+    * once-hashed words. */
   def simHash(textCol: Column): Column = {
     val ws = split(lower(textCol), "\\s+")
-    val hashes = transform(ws, w => xxhash64(w))
-    val packed = aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, b) => {
-        // bit counts are lambda variables, so use the SQL shift functions
-        // (the Scala wrappers only accept literal Int bit counts)
-        val votes = aggregate(hashes, lit(0),
-          (va, h) => va + when(call_function("shiftright", h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1))
-        acc + when(votes > 0, call_function("shiftleft", lit(1L), b)).otherwise(0L)
-      })
-    packed
+    graft.functions.SimHash64(transform(ws, w => xxhash64(w)))
   }
 
   /**
