@@ -1,0 +1,266 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import Tables._
+
+/** Buffer for the typed order-stats aggregator: exact cents plus count and
+  * extrema. */
+final case class OrderStatsBuf(cents: Long, n: Long, lo: Double, hi: Double)
+
+/**
+ * Remaining operator-surface closure (SURVEY §2.2): pivot, min_by/max_by,
+ * exact moments, multiset set-ops, posexplode, the SQL entry point with
+ * correlated subqueries, JSON/CSV source formats, and a custom typed
+ * `Aggregator` — each oracle-checked.
+ */
+object SurfaceQueries {
+
+  import BatchQueries.QueryFn
+
+  // ---------------------------------------------------------------- d36
+  /** Pivot with explicitly declared pivot values (declared values keep the
+    * plan single-pass and the output schema deterministic). */
+  def d36Pivot(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("o_orderpriority")
+
+  val d36Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- d37
+  /** min_by/max_by plus exact second moments: variance/stddev are computed
+    * from exact decimal sums (Σx, Σx²) rather than the engines' streaming
+    * moment kernels, whose merge order differs across engines. */
+  def d37AggFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val o = orders(spark, dir)
+    // exact integer-cents moments: a fractional-scale decimal whose unit
+    // count exceeds 2^53 casts to double differently across engines (two
+    // roundings vs one); scale-0 decimals convert correctly-rounded in both
+    val cents = round(col("o_totalprice") * 100, 0).cast("long")
+    val s1 = sum(cents.cast(DecimalType(18, 0)))
+    val s2 = sum((cents * cents).cast(DecimalType(38, 0)))
+    val n = count(lit(1))
+    val varCents =
+      (s2.cast("double") - s1.cast("double") * s1.cast("double") / n) / (n - 1)
+    val varExact = varCents / 10000.0
+    // min_by/max_by tie-break on equal prices is engine-nondeterministic, so
+    // the ordering key is a unique fixed-width string: cents ++ orderkey
+    val ordKey = concat(
+      lpad(round(col("o_totalprice") * 100, 0).cast("long").cast("string"), 14, "0"),
+      lpad(col("o_orderkey").cast("string"), 12, "0"))
+    o.groupBy("o_orderpriority")
+      .agg(
+        min_by(col("o_orderkey"), ordKey).as("cheapest_order"),
+        max_by(col("o_orderkey"), ordKey).as("priciest_order"),
+        min(col("o_totalprice")).as("min_price"),
+        max(col("o_totalprice")).as("max_price"),
+        sqrt(varExact).as("stddev_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val d37Oracle: String =
+    """WITH o AS (
+      |  SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c,
+      |    lpad(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) AS VARCHAR), 14, '0')
+      |      || lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS ord_key
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority,
+      |  min_by(o_orderkey, ord_key) AS cheapest_order,
+      |  max_by(o_orderkey, ord_key) AS priciest_order,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price,
+      |  sqrt(((CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+      |         - CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE)
+      |           * CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
+      |        / (COUNT(*) - 1)) / 10000.0) AS stddev_price
+      |FROM o
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- d38
+  /** Multiset set operations: intersectAll / exceptAll keep duplicate
+    * multiplicities (bag semantics), unlike their distinct cousins in D11. */
+  def d38MultisetOps(spark: SparkSession, dir: String): DataFrame = {
+    val a = orders(spark, dir).select(col("o_custkey").as("custkey"))
+    val b = orders(spark, dir).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("custkey"))
+    a.intersectAll(b).groupBy().agg(count(lit(1)).as("n")).select(lit("intersect_all").as("op"), col("n"))
+      .unionAll(a.exceptAll(b).groupBy().agg(count(lit(1)).as("n")).select(lit("except_all").as("op"), col("n")))
+      .orderBy("op")
+  }
+
+  val d38Oracle: String =
+    """WITH a AS (SELECT o_custkey AS custkey FROM orders),
+      |     b AS (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+      |SELECT 'except_all' AS op, COUNT(*) AS n FROM (SELECT custkey FROM a EXCEPT ALL SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT 'intersect_all' AS op, COUNT(*) AS n FROM (SELECT custkey FROM a INTERSECT ALL SELECT custkey FROM b)
+      |ORDER BY op""".stripMargin
+
+  // ---------------------------------------------------------------- d39
+  /** posexplode: generator with element position. */
+  def d39PosExplode(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(col("p_partkey"), posexplode(split(col("p_name"), " ")))
+      .select(col("p_partkey"), col("pos").cast("long").as("pos"), col("col").as("word"))
+      .orderBy("p_partkey", "pos")
+
+  val d39Oracle: String =
+    """SELECT p_partkey,
+      |  CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS BIGINT) AS pos,
+      |  unnest(string_split(p_name, ' ')) AS word
+      |FROM part
+      |ORDER BY p_partkey, pos""".stripMargin
+
+  // ---------------------------------------------------------------- d40
+  /** The SQL entry point with a correlated EXISTS subquery — Catalyst plans
+    * it as a left-semi join; the same ANSI text runs on both engines. */
+  val d40Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_active
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000.0)
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
+  def d40SqlSubquery(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("customer")
+    orders(spark, dir).createOrReplaceTempView("orders")
+    spark.sql(d40Sql)
+  }
+
+  // ---------------------------------------------------------------- d41/d42
+  /** JSON source round-trip: events staged as JSON lines, read back through
+    * the JSON source with an explicit schema, aggregated. Timestamps travel
+    * as ISO-8601 strings. */
+  def d41JsonSource(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft-d41-").resolve("json")
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        tsString(col("ts")).as("ts"))
+    ev.coalesce(4).write.mode("overwrite").json(staging.toString)
+    spark.read.schema(ev.schema).json(staging.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"),
+        min(col("ts")).as("first_ts"))
+      .orderBy("event_type")
+  }
+
+  val d41Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  MIN(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS first_ts
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  /** CSV source round-trip with header + explicit schema. */
+  def d42CsvSource(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft-d42-").resolve("csv")
+    val o = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    o.coalesce(4).write.mode("overwrite").option("header", "true").csv(staging.toString)
+    spark.read.schema(o.schema).option("header", "true").csv(staging.toString)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val d42Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- d43
+  /**
+   * Custom typed `Aggregator`: per-priority order statistics with an exact
+   * integer-cents accumulator (2-decimal money × 100 is always an exact
+   * integer, so the sum is order-independent and bit-stable). Exercises the
+   * typed aggregation surface (`Aggregator[IN, BUF, OUT]` + Encoders) that
+   * complements the untyped `functions._` path.
+   */
+  object OrderStatsAgg extends Aggregator[(String, Double), OrderStatsBuf, (Double, Long, Double, Double)] {
+    override def zero: OrderStatsBuf = OrderStatsBuf(0L, 0L, Double.MaxValue, Double.MinValue)
+    override def reduce(b: OrderStatsBuf, row: (String, Double)): OrderStatsBuf = {
+      val price = row._2
+      OrderStatsBuf(b.cents + math.round(price * 100), b.n + 1,
+        math.min(b.lo, price), math.max(b.hi, price))
+    }
+    override def merge(x: OrderStatsBuf, y: OrderStatsBuf): OrderStatsBuf =
+      OrderStatsBuf(x.cents + y.cents, x.n + y.n,
+        math.min(x.lo, y.lo), math.max(x.hi, y.hi))
+    override def finish(b: OrderStatsBuf): (Double, Long, Double, Double) =
+      (b.cents / 100.0, b.n, b.lo, b.hi)
+    override def bufferEncoder: Encoder[OrderStatsBuf] = Encoders.product[OrderStatsBuf]
+    override def outputEncoder: Encoder[(Double, Long, Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong,
+        Encoders.scalaDouble, Encoders.scalaDouble)
+  }
+
+  def d43TypedAggregator(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"))
+      .as[(String, Double)]
+      .groupByKey(_._1)
+      .agg(OrderStatsAgg.toColumn.name("stats"))
+      .select(col("key").as("o_orderpriority"),
+        col("stats._1").as("sum_price"), col("stats._2").as("n_orders"),
+        col("stats._3").as("min_price"), col("stats._4").as("max_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val d43Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_price,
+      |  COUNT(*) AS n_orders,
+      |  MIN(o_totalprice) AS min_price,
+      |  MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, QueryFn] = Map(
+    "d36_pivot" -> (d36Pivot _),
+    "d37_agg_funcs" -> (d37AggFuncs _),
+    "d38_multiset_ops" -> (d38MultisetOps _),
+    "d39_posexplode" -> (d39PosExplode _),
+    "d40_sql_subquery" -> (d40SqlSubquery _),
+    "d41_json_source" -> (d41JsonSource _),
+    "d42_csv_source" -> (d42CsvSource _),
+    "d43_typed_aggregator" -> (d43TypedAggregator _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d36_pivot" -> d36Oracle,
+    "d37_agg_funcs" -> d37Oracle,
+    "d38_multiset_ops" -> d38Oracle,
+    "d39_posexplode" -> d39Oracle,
+    "d40_sql_subquery" -> d40Sql,
+    "d41_json_source" -> d41Oracle,
+    "d42_csv_source" -> d42Oracle,
+    "d43_typed_aggregator" -> d43Oracle,
+  )
+}
