@@ -150,17 +150,51 @@ object StreamingOpsQueries {
   // same result contract as D22, so the same gaps-and-islands oracle applies
   val d34Oracle: String = StreamingQueries.d22Oracle
 
+  // ---------------------------------------------------------------- d44
+  /** Kafka payload decode: the connector's fixed binary frame schema
+    * ([[graft.sources.KafkaFrames]]) round-tripped — events → JSON value
+    * bytes → `from_json` decode → aggregation. The decode transform is
+    * identical for a live `format("kafka")` stream. */
+  def d44KafkaDecode(spark: SparkSession, dir: String): DataFrame = {
+    val frames = graft.sources.KafkaFrames.framesFromEvents(events(spark, dir))
+    val payloadSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    graft.sources.KafkaFrames.decodeJson(frames, payloadSchema)
+      .groupBy("topic", "partition", "event_type")
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("value")).as("sum_value"),
+        max(col("offset")).as("max_offset"))
+      .orderBy("topic", "partition", "event_type")
+  }
+
+  val d44Oracle: String =
+    """SELECT 'events' AS topic,
+      |  CAST(event_id % 8 AS INTEGER) AS partition,
+      |  event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+      |  MAX(event_id) AS max_offset
+      |FROM events
+      |GROUP BY 1, 2, 3
+      |ORDER BY topic, partition, event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, BatchQueries.QueryFn] = Map(
     "d32_stream_static_join" -> (d32StreamStaticJoin _),
     "d33_stream_dedup" -> (d33StreamDedup _),
     "d34_fmgws_sessions" -> (d34FmgwsSessions _),
+    "d44_kafka_decode" -> (d44KafkaDecode _),
   )
 
   val oracles: Map[String, String] = Map(
     "d32_stream_static_join" -> d32Oracle,
     "d33_stream_dedup" -> d33Oracle,
     "d34_fmgws_sessions" -> d34Oracle,
+    "d44_kafka_decode" -> d44Oracle,
   )
 }
