@@ -14,6 +14,10 @@ import Tables._
 /** Input row for the typed sessionization path. */
 final case class SessionEvent(user_id: Long, event_id: Long, ts: Instant, value: Double)
 
+/** Open-session state for the streaming sessionizer (epoch-micro bounds,
+  * exact integer-cents sum). */
+final case class SessState(startMicros: Long, lastMicros: Long, n: Long, cents: Long)
+
 /** Output session for the typed sessionization path. */
 final case class UserSession(user_id: Long, session_start: String,
                              n_events: Long, sum_value: Double)
@@ -150,6 +154,96 @@ object StreamingOpsQueries {
   // same result contract as D22, so the same gaps-and-islands oracle applies
   val d34Oracle: String = StreamingQueries.d22Oracle
 
+  // ---------------------------------------------------------------- d45
+  /**
+   * TRUE streaming sessionization: `flatMapGroupsWithState` with
+   * `EventTimeTimeout` over a multi-batch file stream. Per user, the state
+   * machine extends the open session while events arrive within the 30-min
+   * gap, emits it when a newer event opens the next one, and relies on the
+   * event-time timeout (watermark passing `last + gap`) to flush sessions
+   * that simply stop receiving events. The staged far-future sentinel pushes
+   * the watermark past every real session; the sentinel's own open session
+   * never times out and is therefore never emitted. Must equal the batch
+   * session-window oracle exactly.
+   */
+  def d45StreamingSessions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (input, out, ckpt) = tempDirs("d45")
+    StreamingQueries.stageInput(spark, dir, input, chunks = 5, shuffled = false)
+
+    val gapMicros = 30L * 60 * 1000000
+    val schema = spark.read.parquet(input.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input.toString)
+
+    val sessions = stream
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        sessionize(gapMicros) _)
+
+    val q = sessions.toDF().writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .queryName("graft:d45")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.read.parquet(out.toString)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Open-session state: boundaries in epoch micros, exact cents sum. */
+  private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000
+
+  private def sessionize(gapMicros: Long)(
+      uid: Long, it: Iterator[SessionEvent],
+      state: GroupState[SessState]): Iterator[UserSession] = {
+    def toSession(s: SessState): UserSession =
+      UserSession(uid, microsFmt.format(Instant.ofEpochSecond(
+        s.startMicros / 1000000L, (s.startMicros % 1000000L) * 1000)),
+        s.n, s.cents / 100.0)
+
+    if (!it.hasNext) {
+      // timeout path: the watermark passed last + gap — the session is final
+      if (state.exists && state.hasTimedOut) {
+        val done = toSession(state.get)
+        state.remove()
+        Iterator.single(done)
+      } else Iterator.empty
+    } else {
+      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
+      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+      var cur = state.getOption
+      evs.foreach { e =>
+        val t = micros(e.ts)
+        val cents = math.round(e.value * 100)
+        cur match {
+          case Some(s) if t - s.lastMicros >= gapMicros =>
+            out += toSession(s)
+            cur = Some(SessState(t, t, 1, cents))
+          case Some(s) =>
+            cur = Some(SessState(s.startMicros, math.max(s.lastMicros, t),
+              s.n + 1, s.cents + cents))
+          case None =>
+            cur = Some(SessState(t, t, 1, cents))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        // fire once the watermark passes the session's gap horizon
+        state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
+      }
+      out.iterator
+    }
+  }
+
   // ---------------------------------------------------------------- d44
   /** Kafka payload decode: the connector's fixed binary frame schema
     * ([[graft.sources.KafkaFrames]]) round-tripped — events → JSON value
@@ -189,6 +283,7 @@ object StreamingOpsQueries {
     "d33_stream_dedup" -> (d33StreamDedup _),
     "d34_fmgws_sessions" -> (d34FmgwsSessions _),
     "d44_kafka_decode" -> (d44KafkaDecode _),
+    "d45_streaming_sessions" -> (d45StreamingSessions _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +291,6 @@ object StreamingOpsQueries {
     "d33_stream_dedup" -> d33Oracle,
     "d34_fmgws_sessions" -> d34Oracle,
     "d44_kafka_decode" -> d44Oracle,
+    "d45_streaming_sessions" -> StreamingQueries.d22Oracle,
   )
 }
