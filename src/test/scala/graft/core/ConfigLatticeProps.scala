@@ -1,0 +1,74 @@
+package graft.core
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.SparkTestSession
+import graft.sources.StreamingSource
+
+/** A source with generated defaults, for property-testing the resolution
+  * lattice in isolation. */
+final case class ProbeSource(basePrefix: String,
+                             defaults: Map[String, Option[String]],
+                             config: Map[String, String] = Map.empty)
+  extends StreamingSource {
+  override def format: String = "probe"
+}
+
+/** Property tests for the 3-tier config lattice (SURVEY §5 plan): session
+  * conf beats defaults, empty string counts as unset, None defaults never
+  * surface, and resolution touches exactly the declared option names. */
+object ConfigLatticeProps extends Properties("ConfigLattice") {
+  lazy val spark = SparkTestSession.spark
+
+  private val nameGen: Gen[String] =
+    Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString))
+  private val valueGen: Gen[String] =
+    Gen.choose(1, 16).flatMap(n => Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+  private val defaultsGen: Gen[Map[String, Option[String]]] =
+    Gen.mapOfN(6, Gen.zip(nameGen, Gen.option(valueGen)))
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def freshPrefix(): String = s"spark.prop${counter.incrementAndGet()}.source"
+
+  property("defaults surface exactly when no conf is set; None stays absent") =
+    forAll(defaultsGen) { defaults =>
+      val src = ProbeSource(freshPrefix(), defaults)
+      src.options(spark) == defaults.collect { case (k, Some(v)) => k -> v }
+    }
+
+  property("non-empty session conf beats the default; empty string does not") =
+    forAll(defaultsGen, valueGen) { (defaults, conf) =>
+      defaults.isEmpty || {
+        val src = ProbeSource(freshPrefix(), defaults)
+        val names = defaults.keys.toSeq.sorted
+        val winner = names.head
+        val loser = names.last
+        spark.conf.set(s"${src.configOptionsPrefix}.$winner", conf)
+        if (loser != winner) spark.conf.set(s"${src.configOptionsPrefix}.$loser", "")
+        val opts = src.options(spark)
+        val winnerOk = opts.get(winner).contains(conf)
+        val loserOk = loser == winner || opts.get(loser) == defaults(loser)
+        winnerOk && loserOk
+      }
+    }
+
+  property("direct config spark.* keys write through to session conf and win") =
+    forAll(defaultsGen, valueGen) { (defaults, conf) =>
+      defaults.isEmpty || {
+        val prefix = freshPrefix()
+        val name = defaults.keys.min
+        val probe = ProbeSource(prefix, defaults,
+          config = Map(s"$prefix.probe.options.$name" -> conf))
+        val opts = probe.options(spark)
+        opts.get(name).contains(conf) &&
+          spark.conf.get(s"$prefix.probe.options.$name") == conf
+      }
+    }
+
+  property("resolution never invents option names") =
+    forAll(defaultsGen) { defaults =>
+      val src = ProbeSource(freshPrefix(), defaults)
+      src.options(spark).keySet.subsetOf(defaults.keySet)
+    }
+}
