@@ -240,6 +240,31 @@ object SurfaceQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- d46
+  /** Versioned-table time travel ([[graft.sources.VersionedTable]], the
+    * offline `startingVersion`/time-travel surface): three day-range commits,
+    * snapshot read at version 1 — only the first two ranges are visible. */
+  def d46TimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    val table = Files.createTempDirectory("graft-d46-").resolve("t").toString
+    val ev = events(spark, dir)
+    val day = datediff(col("ts").cast("date"), to_date(lit("2024-01-01")))
+    graft.sources.VersionedTable.commit(ev.filter(day < 10), table)
+    graft.sources.VersionedTable.commit(ev.filter(day >= 10 && day < 20), table)
+    graft.sources.VersionedTable.commit(ev.filter(day >= 20), table)
+    graft.sources.VersionedTable.read(spark, table, version = Some(1L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val d46Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) < 20
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -251,6 +276,7 @@ object SurfaceQueries {
     "d41_json_source" -> (d41JsonSource _),
     "d42_csv_source" -> (d42CsvSource _),
     "d43_typed_aggregator" -> (d43TypedAggregator _),
+    "d46_time_travel" -> (d46TimeTravel _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +288,6 @@ object SurfaceQueries {
     "d41_json_source" -> d41Oracle,
     "d42_csv_source" -> d42Oracle,
     "d43_typed_aggregator" -> d43Oracle,
+    "d46_time_travel" -> d46Oracle,
   )
 }
