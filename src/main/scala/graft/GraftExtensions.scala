@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+
+/**
+ * Session-extension hook: `spark.sql.extensions=graft.GraftExtensions`
+ * registers the engine's codegen kernels as SQL functions at session build
+ * time (the construction-time counterpart of the per-session
+ * `CosineSimilarity.register(spark)` path, which covers already-built
+ * sessions).
+ *
+ * SQL surface:
+ *   cosine_similarity(array<float>, array<float>) → double
+ *   simhash64(array<bigint>)                      → bigint
+ *   minhash_signature(array<bigint>, k)           → array<bigint>
+ */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, clazz: Class[_]): ExpressionInfo =
+    new ExpressionInfo(clazz.getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("cosine_similarity"),
+      info("cosine_similarity", classOf[CosineSimilarity]),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64", classOf[SimHash64]),
+      (args: Seq[Expression]) => SimHash64(args.head)))
+    ext.injectFunction((FunctionIdentifier("minhash_signature"),
+      info("minhash_signature", classOf[MinHashSignature]),
+      (args: Seq[Expression]) => MinHashSignature(args(0),
+        args(1).eval().asInstanceOf[Number].intValue())))
+  }
+}
