@@ -26,6 +26,7 @@ object OpsQueries {
     "n10_token_count" -> (TextAnalysis.tokenCountQuery _),
     "n11_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "n12_multimodal_meta" -> (Multimodal.multimodalQuery _),
+    "n13_tfidf_top_term" -> (TextAnalysis.tfidfQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -39,5 +40,6 @@ object OpsQueries {
     "n10_token_count" -> TextAnalysis.tokenCountOracle,
     "n11_fingerprint" -> TextAnalysis.fingerprintOracle,
     "n12_multimodal_meta" -> Multimodal.multimodalOracle,
+    "n13_tfidf_top_term" -> TextAnalysis.tfidfOracle,
   )
 }

@@ -149,6 +149,59 @@ object TextAnalysis {
       |FROM documents
       |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ TF-IDF
+
+  /**
+   * Top TF-IDF term per document. The IDF is the rational form
+   * `(N + 1) / (df + 1)` rather than its logarithm — transcendentals are
+   * engine-ambiguous in the last ulp (see README determinism notes) and the
+   * per-document argmax ranking is unchanged by the monotone log. Two
+   * shuffles: term counting and document-frequency join; argmax via max_by
+   * over a unique (score, term) ordering.
+   */
+  def tfidfQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val n = docs.count() // tiny scalar, the only driver-side value
+    val terms = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), "[^a-z]+")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(qualityStopwords: _*))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, "term")
+      .withColumn("tfidf", col("tf") * (lit(n + 1.0) / (col("df") + 1)))
+    // argmax via MAX over a (score, term) struct: scores are ratios of small
+    // ints so ties across terms are real, and the term tie-breaks
+    val best = max(struct(col("tfidf").as("tfidf"), col("term").as("term")))
+    scored.groupBy("doc_id")
+      .agg(best.getField("term").as("top_term"),
+        best.getField("tfidf").as("top_score"))
+      .orderBy("doc_id")
+  }
+
+  val tfidfOracle: String =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+       |  FROM documents
+       |), t AS (
+       |  SELECT doc_id, term FROM terms
+       |  WHERE term <> '' AND term NOT IN (${qualityStopwords.map(w => s"'$w'").mkString(", ")})
+       |), tf AS (
+       |  SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2
+       |), df AS (
+       |  SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1
+       |), scored AS (
+       |  SELECT doc_id, term,
+       |    tf * (((SELECT COUNT(*) FROM documents) + 1.0) / (df + 1)) AS tfidf
+       |  FROM tf JOIN df USING (term)
+       |)
+       |SELECT doc_id,
+       |  (MAX({'tfidf': tfidf, 'term': term})).term AS top_term,
+       |  (MAX({'tfidf': tfidf, 'term': term})).tfidf AS top_score
+       |FROM scored
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- fingerprinting
 
   /**
