@@ -265,6 +265,42 @@ object SurfaceQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- d47
+  /** Exact median and quartiles per priority. Spark's percentile family
+    * interpolates as `lo + (hi - lo) * frac`; the oracle reproduces that
+    * exact IEEE sequence from row_number-selected neighbors (DuckDB's own
+    * `median` computes `(lo + hi) / 2`, a different rounding sequence). */
+  def d47Percentiles(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(median(col("o_totalprice")).as("median_price"),
+        percentile(col("o_totalprice"), lit(0.25)).as("p25_price"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  val d47Oracle: String =
+    """WITH ranked AS (
+      |  SELECT o_orderpriority, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rn,
+      |    COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM orders
+      |), pick AS (
+      |  SELECT o_orderpriority, n,
+      |    -- 1-based neighbors for percentile p: pos = 1 + (n-1)*p
+      |    MAX(CASE WHEN rn = CAST(floor(1 + (n - 1) * 0.5) AS BIGINT) THEN o_totalprice END) AS med_lo,
+      |    MAX(CASE WHEN rn = CAST(ceil(1 + (n - 1) * 0.5) AS BIGINT) THEN o_totalprice END) AS med_hi,
+      |    MAX(CASE WHEN rn = CAST(floor(1 + (n - 1) * 0.25) AS BIGINT) THEN o_totalprice END) AS q_lo,
+      |    MAX(CASE WHEN rn = CAST(ceil(1 + (n - 1) * 0.25) AS BIGINT) THEN o_totalprice END) AS q_hi
+      |  FROM ranked
+      |  GROUP BY o_orderpriority, n
+      |)
+      |SELECT o_orderpriority,
+      |  med_lo + (med_hi - med_lo) * ((1 + (n - 1) * 0.5) - floor(1 + (n - 1) * 0.5)) AS median_price,
+      |  q_lo + (q_hi - q_lo) * ((1 + (n - 1) * 0.25) - floor(1 + (n - 1) * 0.25)) AS p25_price,
+      |  n AS n_orders
+      |FROM pick
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -277,6 +313,7 @@ object SurfaceQueries {
     "d42_csv_source" -> (d42CsvSource _),
     "d43_typed_aggregator" -> (d43TypedAggregator _),
     "d46_time_travel" -> (d46TimeTravel _),
+    "d47_percentiles" -> (d47Percentiles _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -289,5 +326,6 @@ object SurfaceQueries {
     "d42_csv_source" -> d42Oracle,
     "d43_typed_aggregator" -> d43Oracle,
     "d46_time_travel" -> d46Oracle,
+    "d47_percentiles" -> d47Oracle,
   )
 }
