@@ -24,7 +24,10 @@ object Smoke {
         case e: Throwable => println(s"== $t FAILED: ${e.getMessage}")
       }
     }
-    spark.read.parquet(s"$dir/events.parquet").show(3, truncate = false)
+    // reference-style data-quality gate over a joined sample
+    val joined = graft.queries.BatchQueries.d05LeftJoin(spark, dir)
+    println(s"== data-quality gate (d05 output): ${graft.core.DataQuality.passesE2EGate(joined)}")
+    println(s"== fingerprint: ${graft.core.DataQuality.nonNullFingerprint(joined).toSeq.sorted}")
     spark.stop()
   }
 }
