@@ -153,6 +153,8 @@ object Dedup {
       explode(col("shingles")).as("sh"))
     val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    // NB: freq stays a shuffle join on purpose — the distinct-shingle table
+    // grows with the corpus, so broadcasting it would not survive scale-up
     val prefix = ex.join(freq, "sh")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)

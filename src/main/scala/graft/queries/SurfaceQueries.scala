@@ -301,6 +301,64 @@ object SurfaceQueries {
       |FROM pick
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- d48
+  /** Array higher-order functions: filter / exists / forall / slice /
+    * sequence + aggregate / zip_with. */
+  def d48ArrayHof(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(col("p_name"), " ")
+    part(spark, dir)
+      .select(col("p_partkey"),
+        filter(ws, w => length(w) > 4).as("long_words"),
+        size(filter(ws, w => length(w) > 4)).cast("long").as("n_long"),
+        exists(ws, w => w === "bolt").as("has_bolt"),
+        forall(ws, w => length(w) < 10).as("all_short"),
+        slice(ws, 1, 2).as("first_two"),
+        aggregate(sequence(lit(1), col("p_size")), lit(0L),
+          (acc, x) => acc + x).as("seq_sum"),
+        zip_with(ws, ws, (a, b) => concat(a, lit("-"), b)).as("self_zip"))
+      .orderBy("p_partkey")
+  }
+
+  val d48Oracle: String =
+    """SELECT p_partkey,
+      |  list_filter(string_split(p_name, ' '), w -> length(w) > 4) AS long_words,
+      |  CAST(len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS BIGINT) AS n_long,
+      |  len(list_filter(string_split(p_name, ' '), w -> w = 'bolt')) > 0 AS has_bolt,
+      |  len(list_filter(string_split(p_name, ' '), w -> length(w) >= 10)) = 0 AS all_short,
+      |  list_slice(string_split(p_name, ' '), 1, 2) AS first_two,
+      |  CAST(list_sum(range(1, p_size + 1)) AS BIGINT) AS seq_sum,
+      |  list_transform(string_split(p_name, ' '), w -> w || '-' || w) AS self_zip
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- d49
+  /** Conditional and bitwise scalar functions. */
+  def d49CondBitwise(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_or_null"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_label"),
+        col("o_orderkey").bitwiseAND(255L).as("key_and"),
+        col("o_orderkey").bitwiseOR(16L).as("key_or"),
+        col("o_orderkey").bitwiseXOR(7L).as("key_xor"),
+        shiftleft(pmod(col("o_orderkey"), lit(1024)), 2).as("key_shl"),
+        shiftright(col("o_orderkey"), 3).as("key_shr"),
+        bit_count(col("o_orderkey")).cast("long").as("key_bits"))
+      .orderBy("o_orderkey")
+
+  val d49Oracle: String =
+    """SELECT o_orderkey,
+      |  nullif(o_orderstatus, 'O') AS status_or_null,
+      |  COALESCE(nullif(o_orderstatus, 'O'), 'OPEN') AS status_label,
+      |  o_orderkey & 255 AS key_and,
+      |  o_orderkey | 16 AS key_or,
+      |  xor(o_orderkey, 7) AS key_xor,
+      |  (o_orderkey % 1024) << 2 AS key_shl,
+      |  o_orderkey >> 3 AS key_shr,
+      |  CAST(bit_count(o_orderkey) AS BIGINT) AS key_bits
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -314,6 +372,8 @@ object SurfaceQueries {
     "d43_typed_aggregator" -> (d43TypedAggregator _),
     "d46_time_travel" -> (d46TimeTravel _),
     "d47_percentiles" -> (d47Percentiles _),
+    "d48_array_hof" -> (d48ArrayHof _),
+    "d49_cond_bitwise" -> (d49CondBitwise _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -327,5 +387,7 @@ object SurfaceQueries {
     "d43_typed_aggregator" -> d43Oracle,
     "d46_time_travel" -> d46Oracle,
     "d47_percentiles" -> d47Oracle,
+    "d48_array_hof" -> d48Oracle,
+    "d49_cond_bitwise" -> d49Oracle,
   )
 }
