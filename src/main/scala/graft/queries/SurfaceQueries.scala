@@ -267,9 +267,12 @@ object SurfaceQueries {
 
   // ---------------------------------------------------------------- d47
   /** Exact median and quartiles per priority. Spark's percentile family
-    * interpolates as `lo + (hi - lo) * frac`; the oracle reproduces that
-    * exact IEEE sequence from row_number-selected neighbors (DuckDB's own
-    * `median` computes `(lo + hi) / 2`, a different rounding sequence). */
+    * interpolates with the two-weight form
+    * `(hiIdx - pos) * lo + (pos - loIdx) * hi` (with the single-index case
+    * returning lo directly); the oracle reproduces that exact IEEE sequence
+    * from row_number-selected neighbors (DuckDB's own `median` computes
+    * `(lo + hi) / 2`, a different rounding sequence — and `lo + (hi-lo)*frac`
+    * differs too, which cross-scale validation caught). */
   def d47Percentiles(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .groupBy("o_orderpriority")
@@ -295,8 +298,14 @@ object SurfaceQueries {
       |  GROUP BY o_orderpriority, n
       |)
       |SELECT o_orderpriority,
-      |  med_lo + (med_hi - med_lo) * ((1 + (n - 1) * 0.5) - floor(1 + (n - 1) * 0.5)) AS median_price,
-      |  q_lo + (q_hi - q_lo) * ((1 + (n - 1) * 0.25) - floor(1 + (n - 1) * 0.25)) AS p25_price,
+      |  CASE WHEN (1 + (n - 1) * 0.5) = floor(1 + (n - 1) * 0.5) THEN med_lo
+      |       ELSE (ceil(1 + (n - 1) * 0.5) - (1 + (n - 1) * 0.5)) * med_lo
+      |          + ((1 + (n - 1) * 0.5) - floor(1 + (n - 1) * 0.5)) * med_hi
+      |  END AS median_price,
+      |  CASE WHEN (1 + (n - 1) * 0.25) = floor(1 + (n - 1) * 0.25) THEN q_lo
+      |       ELSE (ceil(1 + (n - 1) * 0.25) - (1 + (n - 1) * 0.25)) * q_lo
+      |          + ((1 + (n - 1) * 0.25) - floor(1 + (n - 1) * 0.25)) * q_hi
+      |  END AS p25_price,
       |  n AS n_orders
       |FROM pick
       |ORDER BY o_orderpriority""".stripMargin
