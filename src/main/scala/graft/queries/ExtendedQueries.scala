@@ -270,6 +270,38 @@ object ExtendedQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- d50
+  /** Shipping-priority top-10 (TPC-H Q3 shape): segment-filtered customers,
+    * date-bracketed orders and lineitems, revenue top-k. Broadcast the
+    * filtered customer side, shuffle-join orders⋈lineitem, top-k via
+    * TakeOrderedAndProject. */
+  def d50ShippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1998-06-15 00:00:00").cast("timestamp_ntz")
+    val c = customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = orders(spark, dir).filter(col("o_orderdate") < cutoff)
+    val li = lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"),
+        col("o_orderdate").cast("date").as("o_orderdate"), col("o_orderpriority"))
+      .agg(moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val d50Oracle: String =
+    """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders   ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1998-06-15 00:00:00'
+      |GROUP BY 1, 2, 3
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -283,6 +315,7 @@ object ExtendedQueries {
     "d30_struct_ops" -> (d30StructOps _),
     "d31_asof_join" -> (d31AsOfJoin _),
     "d35_salted_join" -> (d35SaltedJoin _),
+    "d50_shipping_priority" -> (d50ShippingPriority _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,5 +329,6 @@ object ExtendedQueries {
     "d30_struct_ops" -> d30Oracle,
     "d31_asof_join" -> d31Oracle,
     "d35_salted_join" -> d35Oracle,
+    "d50_shipping_priority" -> d50Oracle,
   )
 }
