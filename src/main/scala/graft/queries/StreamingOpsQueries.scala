@@ -244,6 +244,66 @@ object StreamingOpsQueries {
     }
   }
 
+  // ---------------------------------------------------------------- d51
+  /**
+   * Stream-stream interval join: the click stream joined to the purchase
+   * stream on user within a 30-minute event-time window, both sides
+   * watermarked (watermarks bound the join state; an inner join emits
+   * matches as both sides arrive, so the AvailableNow result is complete
+   * and equals the batch interval join).
+   */
+  def d51StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-d51-")
+    val ev = events(spark, dir)
+    val clickDir = base.resolve("clicks")
+    val purchaseDir = base.resolve("purchases")
+    ev.filter(col("event_type") === "click").coalesce(1)
+      .write.parquet(clickDir.toString)
+    ev.filter(col("event_type") === "purchase").coalesce(1)
+      .write.parquet(purchaseDir.toString)
+
+    def readStreamOf(p: Path, prefix: String) = {
+      val schema = spark.read.parquet(p.toString).schema
+      spark.readStream.schema(schema).parquet(p.toString)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    }
+    val clicks = readStreamOf(clickDir, "click")
+    val purchases = readStreamOf(purchaseDir, "purchase")
+    val joined = clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("click_user").as("user_id"),
+        tsString(col("click_ts")).as("click_ts"),
+        tsString(col("purchase_ts")).as("purchase_ts"))
+
+    val out = base.resolve("out")
+    val q = joined.writeStream
+      .format("parquet")
+      .option("path", out.toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .outputMode("append")
+      .queryName("graft:d51")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out.toString).orderBy("click_id", "purchase_id")
+  }
+
+  val d51Oracle: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |  strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON c.user_id = p.user_id
+      | AND p.ts >= c.ts
+      | AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   // ---------------------------------------------------------------- d44
   /** Kafka payload decode: the connector's fixed binary frame schema
     * ([[graft.sources.KafkaFrames]]) round-tripped — events → JSON value
@@ -284,6 +344,7 @@ object StreamingOpsQueries {
     "d34_fmgws_sessions" -> (d34FmgwsSessions _),
     "d44_kafka_decode" -> (d44KafkaDecode _),
     "d45_streaming_sessions" -> (d45StreamingSessions _),
+    "d51_stream_stream_join" -> (d51StreamStreamJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,5 +353,6 @@ object StreamingOpsQueries {
     "d34_fmgws_sessions" -> d34Oracle,
     "d44_kafka_decode" -> d44Oracle,
     "d45_streaming_sessions" -> StreamingQueries.d22Oracle,
+    "d51_stream_stream_join" -> d51Oracle,
   )
 }
