@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.AnalysisException
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -32,7 +33,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => SimHash64(args.head)))
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", classOf[MinHashSignature]),
-      (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Number].intValue())))
+      (args: Seq[Expression]) => {
+        def fail(msg: String): Nothing = throw new AnalysisException(
+          "INTERNAL_ERROR",
+          Map("message" -> s"minhash_signature(array<bigint>, k): $msg"),
+          Option.empty[Throwable])
+        if (args.length != 2)
+          fail(s"expects 2 arguments, got ${args.length}")
+        if (!args(1).foldable)
+          fail("k must be a literal (foldable) integer, got " + args(1).sql)
+        args(1).eval() match {
+          case n: Number if n.intValue() > 0 => MinHashSignature(args(0), n.intValue())
+          case other => fail(s"k must be a positive integer literal, got $other")
+        }
+      }))
   }
 }

@@ -21,12 +21,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
  * promoted to codegen because the ANN / near-dup paths evaluate it O(n²)
  * times.
  *
- * Null/edge semantics: null if either input is null; NaN on zero-norm input
- * (0/0), matching the HOF formulation. Arrays must have equal length —
- * enforced by the caller's schema (fixed-dimension embeddings).
+ * Null/edge semantics: null if either input is null or contains a null
+ * element (the HOF formulation propagates element nulls the same way); NaN
+ * on zero-norm input (0/0). Arrays must have equal length — enforced by the
+ * caller's schema (fixed-dimension embeddings).
  */
 case class CosineSimilarity(left: Expression, right: Expression)
   extends BinaryExpression {
+
+  // result can be null via null array elements even when inputs are non-null
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     val ok = Seq(left, right).forall(_.dataType match {
@@ -50,6 +54,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var nb = 0.0
     var i = 0
     while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
       val x = xs.getFloat(i).toDouble
       val y = ys.getFloat(i).toDouble
       dot += x * y
@@ -69,17 +74,24 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $hasNull = true; break; }
          |  double $x = (double) $a.getFloat($i);
          |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y;
          |  $na += $x * $x;
          |  $nb += $y * $y;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

@@ -22,10 +22,20 @@ object Scale {
    * of the row's key and position), while the dim side is replicated into
    * all `buckets` values — so a hot key's rows spread over `buckets`
    * reducers instead of one. Result equals the unsalted join exactly.
+   *
+   * Only fact-preserving join types are accepted: for right/full-outer the
+   * replicated dim side would emit each unmatched dim row `buckets` times,
+   * so those types are rejected up front.
    */
   def saltedJoin(fact: DataFrame, dim: DataFrame, key: String,
                  buckets: Int = 16, joinType: String = "inner"): DataFrame = {
     require(buckets > 0)
+    val allowed = Set("inner", "left", "left_outer", "leftouter",
+      "left_semi", "leftsemi", "semi", "left_anti", "leftanti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "_")),
+      s"saltedJoin supports inner/left/semi/anti join types only, got '$joinType': " +
+        "the salted dim replication would duplicate unmatched dim rows for " +
+        "right/full outer joins")
     val saltedFact = fact.withColumn("_salt",
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
     val explodedDim = dim.withColumn("_salt",

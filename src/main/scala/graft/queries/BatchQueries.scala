@@ -435,14 +435,16 @@ object BatchQueries {
   def d14Arrays(spark: SparkSession, dir: String): DataFrame =
     part(spark, dir)
       .select(col("p_partkey"),
-        split(col("p_name"), " ").as("words"),
+        // array built + operated on natively; rendered as a delimited string
+        // because the driver's comparator hashes scalar cells only
+        array_join(split(col("p_name"), " "), "|").as("words"),
         size(split(col("p_name"), " ")).cast("long").as("n_words"),
         array_contains(split(col("p_name"), " "), "bolt").as("has_bolt"))
       .orderBy("p_partkey")
 
   val d14ArraysOracle: String =
     """SELECT p_partkey,
-      |  string_split(p_name, ' ') AS words,
+      |  array_to_string(string_split(p_name, ' '), '|') AS words,
       |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words,
       |  list_contains(string_split(p_name, ' '), 'bolt') AS has_bolt
       |FROM part
@@ -463,13 +465,16 @@ object BatchQueries {
   def d14CollectList(spark: SparkSession, dir: String): DataFrame =
     orders(spark, dir)
       .groupBy(col("o_custkey"))
-      .agg(array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+      // collect_list is the operator under test; the sorted array is rendered
+      // as a comma string so the comparator can hash the cell
+      .agg(array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+          x => x.cast("string")), ",").as("order_keys"),
         count(lit(1)).as("n_orders"))
       .orderBy("o_custkey")
 
   val d14CollectOracle: String =
     """SELECT o_custkey,
-      |  list_sort(list(o_orderkey)) AS order_keys,
+      |  array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
       |  COUNT(*) AS n_orders
       |FROM orders
       |GROUP BY o_custkey

@@ -182,7 +182,8 @@ object ExtendedQueries {
     val merged = map_concat(m, map(lit("size"), col("p_size").cast("string")))
     part(spark, dir)
       .select(col("p_partkey"),
-        map_keys(merged).as("keys"),
+        // map_keys under test; joined to a scalar for the comparator
+        array_join(map_keys(merged), ",").as("keys"),
         element_at(m, "brand").as("brand_val"),
         element_at(merged, "size").cast("long").as("size_val"),
         map_contains_key(m, "type").as("has_type"),
@@ -192,7 +193,7 @@ object ExtendedQueries {
 
   val d29Oracle: String =
     """SELECT p_partkey,
-      |  ['brand', 'type', 'size'] AS keys,
+      |  'brand,type,size' AS keys,
       |  p_brand AS brand_val,
       |  CAST(p_size AS BIGINT) AS size_val,
       |  true AS has_type,

@@ -229,8 +229,9 @@ object StreamingOpsQueries {
             out += toSession(s)
             cur = Some(SessState(t, t, 1, cents))
           case Some(s) =>
-            cur = Some(SessState(s.startMicros, math.max(s.lastMicros, t),
-              s.n + 1, s.cents + cents))
+            // a late-but-admitted event can predate the open session's start
+            cur = Some(SessState(math.min(s.startMicros, t),
+              math.max(s.lastMicros, t), s.n + 1, s.cents + cents))
           case None =>
             cur = Some(SessState(t, t, 1, cents))
         }

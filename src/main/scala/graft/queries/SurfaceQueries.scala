@@ -317,26 +317,29 @@ object SurfaceQueries {
     val ws = split(col("p_name"), " ")
     part(spark, dir)
       .select(col("p_partkey"),
-        filter(ws, w => length(w) > 4).as("long_words"),
+        // HOFs are the operators under test; array results are rendered as
+        // delimited strings because the comparator hashes scalar cells only
+        array_join(filter(ws, w => length(w) > 4), "|").as("long_words"),
         size(filter(ws, w => length(w) > 4)).cast("long").as("n_long"),
         exists(ws, w => w === "bolt").as("has_bolt"),
         forall(ws, w => length(w) < 10).as("all_short"),
-        slice(ws, 1, 2).as("first_two"),
+        array_join(slice(ws, 1, 2), "|").as("first_two"),
         aggregate(sequence(lit(1), col("p_size")), lit(0L),
           (acc, x) => acc + x).as("seq_sum"),
-        zip_with(ws, ws, (a, b) => concat(a, lit("-"), b)).as("self_zip"))
+        array_join(zip_with(ws, ws, (a, b) => concat(a, lit("-"), b)), "|")
+          .as("self_zip"))
       .orderBy("p_partkey")
   }
 
   val d48Oracle: String =
     """SELECT p_partkey,
-      |  list_filter(string_split(p_name, ' '), w -> length(w) > 4) AS long_words,
+      |  COALESCE(array_to_string(list_filter(string_split(p_name, ' '), w -> length(w) > 4), '|'), '') AS long_words,
       |  CAST(len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS BIGINT) AS n_long,
       |  len(list_filter(string_split(p_name, ' '), w -> w = 'bolt')) > 0 AS has_bolt,
       |  len(list_filter(string_split(p_name, ' '), w -> length(w) >= 10)) = 0 AS all_short,
-      |  list_slice(string_split(p_name, ' '), 1, 2) AS first_two,
+      |  array_to_string(list_slice(string_split(p_name, ' '), 1, 2), '|') AS first_two,
       |  CAST(list_sum(range(1, p_size + 1)) AS BIGINT) AS seq_sum,
-      |  list_transform(string_split(p_name, ' '), w -> w || '-' || w) AS self_zip
+      |  array_to_string(list_transform(string_split(p_name, ' '), w -> w || '-' || w), '|') AS self_zip
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 

@@ -31,9 +31,13 @@ object VersionedTable {
   def versions(table: String): Seq[Long] = {
     val dir = commitsDir(table)
     if (!Files.exists(dir)) Seq.empty
-    else Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString).filter(_.forall(_.isDigit))
-      .map(_.toLong).toSeq.sorted
+    else {
+      val stream = Files.list(dir)
+      try stream.iterator().asScala
+        .map(_.getFileName.toString).filter(_.forall(_.isDigit))
+        .map(_.toLong).toSeq.sorted
+      finally stream.close()
+    }
   }
 
   def latestVersion(table: String): Option[Long] = versions(table).lastOption
