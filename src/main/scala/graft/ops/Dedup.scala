@@ -22,12 +22,22 @@ object Dedup {
   // ------------------------------------------------------------ shingling
 
   /** Distinct word n-gram shingles of `lower(textCol)`. Documents shorter
-    * than n words yield an empty array. */
+    * than n words yield an empty array.
+    *
+    * The word array is bound to a lambda variable (single-element-array
+    * `transform` trick) so the regex split runs ONCE per row: interpreted
+    * higher-order functions re-evaluate a subexpression at every reference,
+    * and the naive form — `element_at(split(...), i+k)` inside the gram
+    * lambda — re-split the full text 3× per shingle (~150× per document,
+    * the dominant cost of the n02/n03 pipelines before this fix). */
   def wordShingles(textCol: Column, n: Int = 3): Column = {
-    val ws = split(lower(textCol), "\\s+")
-    val grams = transform(sequence(lit(0), size(ws) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
-    when(size(ws) >= n, array_distinct(grams)).otherwise(array().cast("array<string>"))
+    val shinglesOf: Column => Column = ws => {
+      val grams = transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+      when(size(ws) >= n, array_distinct(grams))
+        .otherwise(array().cast("array<string>"))
+    }
+    element_at(transform(array(split(lower(textCol), "\\s+")), shinglesOf), 1)
   }
 
   // ------------------------------------------------------- exact dedup
@@ -64,11 +74,15 @@ object Dedup {
     graft.functions.MinHashSignature(shingleHashesCol, k)
 
   /** LSH band hashes: the signature split into `bands` rows of `k/bands`
-    * values, each band hashed to one 64-bit key. */
+    * values, each band hashed to one 64-bit key. The signature expression is
+    * bound to a lambda variable first so it is evaluated once per row, not
+    * once per band (interpreted HOFs re-evaluate per reference — see
+    * [[wordShingles]]). */
   def lshBands(sigCol: Column, k: Int = 64, bands: Int = 16): Column = {
     val r = k / bands
-    transform(sequence(lit(0), lit(bands - 1)),
-      b => struct(b.as("band"), xxhash64(slice(sigCol, b * r + 1, lit(r)), b).as("bh")))
+    element_at(transform(array(sigCol), sig =>
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), xxhash64(slice(sig, b * r + 1, lit(r)), b).as("bh")))), 1)
   }
 
   /**
