@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64}
 
 /**
  * Session-extension hook: `spark.sql.extensions=graft.GraftExtensions`
@@ -16,6 +16,7 @@ import graft.functions.{CosineSimilarity, MinHashSignature, SimHash64}
  *
  * SQL surface:
  *   cosine_similarity(array<float>, array<float>) → double
+ *   dot_product(array<double>, array<double>)     → double
  *   simhash64(array<bigint>)                      → bigint
  *   minhash_signature(array<bigint>, k)           → array<bigint>
  */
@@ -28,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", classOf[CosineSimilarity]),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", classOf[DotProduct]),
+      (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64", classOf[SimHash64]),
       (args: Seq[Expression]) => SimHash64(args.head)))

@@ -258,20 +258,26 @@ object Dedup {
     * this exact form is the verifier. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
     // normalize once per vector behind a persist barrier, so the n² pair
-    // stage does a single zip_with/aggregate fold (cosine of unit vectors =
-    // dot product) instead of three folds plus per-element casts per pair
+    // stage does a single dot-product per pair (cosine of unit vectors =
+    // dot product). The cast array and norm are bound to lambda variables —
+    // the naive `transform(dv, x => x / norm)` re-evaluates the norm fold
+    // (and the cast transform under it) per element, an O(dim²) per row
+    // interpretive blowup (see wordShingles). The pair-stage kernel is the
+    // codegen'd [[graft.functions.DotProduct]], bit-identical to the
+    // aggregate(zip_with(...)) fold it replaces.
     val par = emb.sparkSession.sparkContext.defaultParallelism
-    val dv = transform(col("embedding"), x => x.cast("double"))
-    val norm = sqrt(aggregate(dv, lit(0.0), (acc, x) => acc + x * x))
+    val unitOf = element_at(transform(array(transform(col("embedding"),
+        x => x.cast("double"))), dv =>
+      element_at(transform(array(sqrt(aggregate(dv, lit(0.0),
+          (acc, x) => acc + x * x))), nrm =>
+        transform(dv, x => x / nrm)), 1)), 1)
     val unit = emb.repartition(par)
-      .select(col("vec_id"), transform(dv, x => x / norm).as("u"))
+      .select(col("vec_id"), unitOf.as("u"))
       .persist()
     val a = unit.select(col("vec_id").as("vec_a"), col("u").as("ua"))
     val b = unit.select(col("vec_id").as("vec_b"), col("u").as("ub"))
-    val dot = aggregate(zip_with(col("ua"), col("ub"), (x, y) => x * y),
-      lit(0.0), (acc, x) => acc + x)
     a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", dot)
+      .withColumn("cosine", graft.functions.DotProduct(col("ua"), col("ub")))
       .filter(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")
   }
