@@ -27,6 +27,9 @@ object OpsQueries {
     "n11_fingerprint" -> (TextAnalysis.fingerprintQuery _),
     "n12_multimodal_meta" -> (Multimodal.multimodalQuery _),
     "n13_tfidf_top_term" -> (TextAnalysis.tfidfQuery _),
+    "n14_hash_sample" -> (Sampling.hashSampleQuery _),
+    "n15_seq_packing" -> ((s, d) => Sampling.seqPackingQuery(s, d)),
+    "n16_repetition_stats" -> (TextAnalysis.repetitionStatsQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -41,5 +44,8 @@ object OpsQueries {
     "n11_fingerprint" -> TextAnalysis.fingerprintOracle,
     "n12_multimodal_meta" -> Multimodal.multimodalOracle,
     "n13_tfidf_top_term" -> TextAnalysis.tfidfOracle,
+    "n14_hash_sample" -> Sampling.hashSampleOracle,
+    "n15_seq_packing" -> Sampling.seqPackingOracle,
+    "n16_repetition_stats" -> TextAnalysis.repetitionStatsOracle,
   )
 }

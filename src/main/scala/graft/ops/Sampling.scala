@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/**
+ * Deterministic sampling and sequence-packing operators for training-data
+ * pipelines (north-star surface; complements [[Dedup]]/[[TextAnalysis]]).
+ *
+ * Both are built on content- or key-hash determinism rather than RNG state:
+ * at 100 TB a sample must be reproducible across reruns, partitionings, and
+ * engine versions, which `DataFrame.sample`'s per-partition RNG is not. The
+ * md5-bucket form is the industry-standard reproducible train/val/test
+ * split (hash the key, bucket mod 100).
+ */
+object Sampling {
+
+  /** Stable [0, 100) bucket from the md5 of a salted key column — the
+    * reproducible-split primitive. Pure column program: codegen'd md5 +
+    * string slice, no RNG, no shuffle. */
+  def hashBucket(key: org.apache.spark.sql.Column, salt: String = "graft:"): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /**
+   * Deterministic train/validation/test split by key hash: 80/10/10.
+   * Filtering to one split is a map-side predicate (no shuffle), so the
+   * split composes with partition pruning at any scale.
+   */
+  def hashSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val b = hashBucket(col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), b.as("bucket"),
+        when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+          .as("split"))
+      .orderBy("doc_id")
+  }
+
+  val hashSampleOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS UBIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'validation'
+      |       ELSE 'test' END AS split
+      |FROM b
+      |ORDER BY doc_id""".stripMargin
+
+  /**
+   * Greedy contiguous sequence packing: documents are packed in doc_id order
+   * into fixed token-budget bins (the LLM pre-training batch-construction
+   * op), per source shard. A document opens a new bin when the running token
+   * count would cross the budget boundary — expressed as
+   * `floor(exclusive_cumsum / budget)`, one window cumsum, no iteration.
+   *
+   * Packing is per-`source` (PARTITION BY), so the window sort is
+   * per-shard, not global — the shape that scales: each shard packs
+   * independently on its own executor group.
+   */
+  def seqPackingQuery(spark: SparkSession, dir: String,
+                      budget: Int = 2048): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tokens"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .withColumn("bin",
+        floor((col("cum") - col("tokens")) / lit(budget.toDouble)).cast("long"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_docs"), sum(col("tokens")).as("sum_tokens"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+      .orderBy("source", "bin")
+  }
+
+  val seqPackingOracle: String =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tokens
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, doc_id, tokens,
+      |    SUM(tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |                      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t
+      |)
+      |SELECT source, CAST(FLOOR((cum - tokens) / 2048.0) AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS sum_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin
+}

@@ -121,6 +121,47 @@ object TextAnalysis {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------------------- repetition signals
+
+  /**
+   * Gopher/C4-style repetition quality signals: duplicate-word fraction and
+   * top-word fraction per document. Computed via explode + two aggregations
+   * (word counts, then per-doc stats) — the shape that scales to arbitrary
+   * document counts, unlike an O(words²) per-row array program. Ratios are
+   * integer-count divisions, so doubles are bit-identical across engines.
+   */
+  def repetitionStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    counts.groupBy("doc_id")
+      .agg(sum(col("c")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"), col("top_count"),
+        ((col("n_words") - col("n_distinct")).cast("double") / col("n_words"))
+          .as("dup_word_ratio"),
+        (col("top_count").cast("double") / col("n_words")).as("top_word_ratio"))
+      .orderBy("doc_id")
+  }
+
+  val repetitionStatsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY 1, 2
+      |), s AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+      |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT doc_id, n_words, n_distinct, top_count,
+      |  CAST(n_words - n_distinct AS DOUBLE) / n_words AS dup_word_ratio,
+      |  CAST(top_count AS DOUBLE) / n_words AS top_word_ratio
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ token counting
 
   /** Token counts: whitespace tokens, regex word-ish tokens (a BPE-style

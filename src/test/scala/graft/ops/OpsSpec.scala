@@ -51,6 +51,44 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(approx - exact).toDouble / exact < 0.10)
   }
 
+  test("hash sample is a deterministic partition near the 80/10/10 target") {
+    val out = Sampling.hashSampleQuery(spark, T.sf0001)
+    val total = out.count()
+    val bySplit = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.values.sum == total)
+    // md5 buckets are uniform-ish; 500 docs gives loose but real bounds
+    assert(bySplit("train").toDouble / total > 0.7)
+    assert(bySplit.getOrElse("validation", 0L) + bySplit.getOrElse("test", 0L) > 0)
+    // determinism: a second evaluation is identical
+    assert(out.collect().toSeq == Sampling.hashSampleQuery(spark, T.sf0001).collect().toSeq)
+  }
+
+  test("sequence packing keeps every bin at or under budget (except single-doc overflow)") {
+    val budget = 256
+    val bins = Sampling.seqPackingQuery(spark, T.sf0001, budget).collect()
+    assert(bins.nonEmpty)
+    bins.foreach { r =>
+      val nDocs = r.getLong(2); val sumTokens = r.getLong(3)
+      // greedy open-at-boundary packing: a bin only exceeds the budget via
+      // the single document that crosses the boundary, never by more than
+      // one document's tokens
+      assert(nDocs > 0)
+      assert(sumTokens < 2L * budget, s"bin $r overpacked")
+    }
+  }
+
+  test("repetition stats: ratios bounded and consistent with distinct counts") {
+    val rows = TextAnalysis.repetitionStatsQuery(spark, T.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nWords = r.getLong(1); val nDistinct = r.getLong(2); val top = r.getLong(3)
+      assert(nDistinct <= nWords && top <= nWords && top >= 1)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("multimodal decode covers all kinds with positive sizes") {
     val out = Multimodal.multimodalQuery(spark, T.sf0001).collect()
     assert(out.map(_.getString(0)).toSet == Set("audio", "image", "video"))
