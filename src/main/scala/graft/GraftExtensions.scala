@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(clazz.getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension (§7.3(c)): per-key top-k planner strategy
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", classOf[CosineSimilarity]),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

@@ -371,6 +371,32 @@ object SurfaceQueries {
       |FROM orders
       |ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- d52
+  /** The custom whole-operator path (§7.3(c)): per-key exact top-k through
+    * [[graft.plans.TopKPerKey]] — a library LogicalPlan planned by an
+    * injected SparkStrategy into a partial/final bounded-heap pair (only
+    * ≤ k rows per key per partition reach the shuffle). Top-3 orders by
+    * price per order priority; the oracle is the row_number window
+    * formulation the operator replaces. */
+  def d52TopKOperator(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopKPerKey(
+      orders(spark, dir).select("o_orderpriority", "o_orderkey", "o_totalprice"),
+      keys = Seq(col("o_orderpriority")),
+      order = Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      k = 3)
+      .orderBy(col("o_orderpriority"), col("o_totalprice").desc, col("o_orderkey"))
+
+  val d52Oracle: String =
+    """WITH r AS (
+      |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |)
+      |SELECT o_orderpriority, o_orderkey, o_totalprice
+      |FROM r WHERE rn <= 3
+      |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -386,6 +412,7 @@ object SurfaceQueries {
     "d47_percentiles" -> (d47Percentiles _),
     "d48_array_hof" -> (d48ArrayHof _),
     "d49_cond_bitwise" -> (d49CondBitwise _),
+    "d52_topk_operator" -> (d52TopKOperator _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -401,5 +428,6 @@ object SurfaceQueries {
     "d47_percentiles" -> d47Oracle,
     "d48_array_hof" -> d48Oracle,
     "d49_cond_bitwise" -> d49Oracle,
+    "d52_topk_operator" -> d52Oracle,
   )
 }
