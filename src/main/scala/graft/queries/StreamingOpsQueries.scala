@@ -44,15 +44,17 @@ object StreamingOpsQueries {
     val schema = spark.read.parquet(input.toString).schema
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(input.toString)
-    val q = transform(stream).writeStream
-      .format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .queryName(s"graft:$label")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = transform(stream).writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .queryName(s"graft:$label")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out.toString)
   }
 
@@ -184,15 +186,17 @@ object StreamingOpsQueries {
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
         sessionize(gapMicros) _)
 
-    val q = sessions.toDF().writeStream
-      .format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append")
-      .queryName("graft:d45")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = sessions.toDF().writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .queryName("graft:d45")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 
     spark.read.parquet(out.toString)
       .filter(col("user_id") >= 0)
@@ -281,15 +285,17 @@ object StreamingOpsQueries {
         tsString(col("purchase_ts")).as("purchase_ts"))
 
     val out = base.resolve("out")
-    val q = joined.writeStream
-      .format("parquet")
-      .option("path", out.toString)
-      .option("checkpointLocation", base.resolve("ckpt").toString)
-      .outputMode("append")
-      .queryName("graft:d51")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .queryName("graft:d51")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.read.parquet(out.toString).orderBy("click_id", "purchase_id")
   }
 

@@ -39,6 +39,23 @@ object StreamingQueries {
   def d21WatermarkLate(spark: SparkSession, dir: String): DataFrame =
     runWindowedStream(spark, dir, label = "d21", chunks = 5, shuffled = true)
 
+  /**
+   * Run `f` with `spark.sql.shuffle.partitions` = `n`, restoring the prior
+   * value after. A streaming query fixes its state-store partition count
+   * from this conf at first start, and every micro-batch then commits one
+   * state file per partition per stateful operator — so at local/bench data
+   * volumes a 32-partition state store spends more time on per-batch commit
+   * fan-out than on data. Size it to key cardinality: these bounded replays
+   * use a small constant; a production deployment at 100 TB would size it
+   * up (it is per-query, recorded in the checkpoint, not global).
+   */
+  private[queries] def withStatePartitions[A](spark: SparkSession, n: Int)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, prev)
+  }
+
   private def runWindowedStream(spark: SparkSession, dir: String, label: String,
                                 chunks: Int, shuffled: Boolean): DataFrame = {
     val base = Files.createTempDirectory(s"graft-$label-")
@@ -73,12 +90,14 @@ object StreamingQueries {
       .select(tsSecondString(col("window.start")).as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
-    val query = app.parquetSink().generate(agg)
-      .outputMode("append")
-      .queryName(s"graft:$label")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(spark, 8) {
+      val query = app.parquetSink().generate(agg)
+        .outputMode("append")
+        .queryName(s"graft:$label")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
 
     spark.read.parquet(out.toString)
       .filter(col("window_start") < SentinelCutoff)
@@ -102,16 +121,21 @@ object StreamingQueries {
       // events span ~30 days; carve them into time-ordered day-range chunks
       val nChunks = math.min(chunks, 10)
       val daysPerChunk = math.ceil(31.0 / nChunks).toInt
+      // persist: each chunk write below re-reads this frame (one scan + chunk
+      // tag instead of nChunks parquet scans)
       val withChunk = ev.withColumn("_chunk",
         floor(datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))) / lit(daysPerChunk)))
-      (0 until nChunks).foreach { c =>
-        val slice = if (c == nChunks - 1)
-          withChunk.filter(col("_chunk") >= c) else withChunk.filter(col("_chunk") === c)
-        val ordered =
-          if (shuffled) slice.sortWithinPartitions(hash(col("event_id")))
-          else slice
-        ordered.drop("_chunk").coalesce(1).write.mode("append").parquet(input.toString)
-      }
+        .persist()
+      try {
+        (0 until nChunks).foreach { c =>
+          val slice = if (c == nChunks - 1)
+            withChunk.filter(col("_chunk") >= c) else withChunk.filter(col("_chunk") === c)
+          val ordered =
+            if (shuffled) slice.sortWithinPartitions(hash(col("event_id")))
+            else slice
+          ordered.drop("_chunk").coalesce(1).write.mode("append").parquet(input.toString)
+        }
+      } finally withChunk.unpersist()
     }
     // sentinel file appended last => strictly newer modification time =>
     // processed as the final micro-batch (file source orders by mod time)
