@@ -27,7 +27,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator extension (§7.3(c)): per-key top-k planner strategy
+    // plus the optimizer rewrite of the row_number()<=k window idiom onto it
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     ext.injectFunction((FunctionIdentifier("cosine_similarity"),
       info("cosine_similarity", classOf[CosineSimilarity]),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))

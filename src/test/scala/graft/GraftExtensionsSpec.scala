@@ -39,6 +39,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT size(minhash_signature(array(CAST(5 AS BIGINT), CAST(9 AS BIGINT)), 16)) AS n")
         .head().getInt(0)
       assert(sig == 16)
+      val dp = spark.sql("SELECT dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d")
+        .head().getDouble(0)
+      assert(dp == 11.0)
+
+      // the injected optimizer rule rewrites the row_number()<=k idiom onto
+      // the custom top-k operator, and results match the window formulation
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val df = spark.range(0, 1000).select(
+        (col("id") % 7).as("g"), col("id"),
+        (col("id") * 37 % 101).as("score"))
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id"))
+      val topk = df.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3).drop("rn")
+      val planStr = topk.queryExecution.executedPlan.toString
+      assert(planStr.contains("TopKPerKeyFinal"), planStr)
+      assert(!planStr.contains("Window"), planStr)
+      val expected = df.collect().groupBy(_.getLong(0)).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r.getLong(2), r.getLong(1))).take(3).toSeq
+      }.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val got = topk.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == expected)
+
+      // a filter that keeps the rn column must NOT be rewritten
+      val keepRn = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      assert(keepRn.queryExecution.executedPlan.toString.contains("Window"))
     } finally {
       // leave the shared-context default session as the suites expect it
       SparkSession.setDefaultSession(shared)
