@@ -3,7 +3,7 @@ package graft.queries
 import java.nio.file.Files
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -397,6 +397,87 @@ object SurfaceQueries {
       |FROM r WHERE rn <= 3
       |ORDER BY o_orderpriority, o_totalprice DESC, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- d53
+  /** Map higher-order functions (transform_keys / transform_values /
+    * map_filter / map_zip_with), checked as scalars against ground-truth
+    * arithmetic (map cells themselves aren't comparator-hashable). */
+  def d53MapHof(spark: SparkSession, dir: String): DataFrame = {
+    val m = map_from_arrays(
+      array(lit("a"), lit("b"), lit("c")),
+      array(col("p_size"), col("p_size") * 2, col("p_size") * 3))
+    part(spark, dir)
+      .select(col("p_partkey"),
+        element_at(transform_values(m, (_, v) => v * 10), "b")
+          .cast("long").as("tv_b"),
+        array_join(map_keys(transform_keys(m, (k, _) => upper(k))), ",").as("tk"),
+        size(map_filter(m, (_, v) => v > 10)).cast("long").as("mf_n"),
+        element_at(map_zip_with(m, m, (_, v1, v2) => v1 + v2), "c")
+          .cast("long").as("mzw_c"))
+      .orderBy("p_partkey")
+  }
+
+  val d53Oracle: String =
+    """SELECT p_partkey,
+      |  CAST(p_size * 2 * 10 AS BIGINT) AS tv_b,
+      |  'A,B,C' AS tk,
+      |  CAST(CASE WHEN p_size > 10 THEN 3
+      |            WHEN p_size * 2 > 10 THEN 2
+      |            WHEN p_size * 3 > 10 THEN 1 ELSE 0 END AS BIGINT) AS mf_n,
+      |  CAST(p_size * 3 * 2 AS BIGINT) AS mzw_c
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- d54
+  /** Generator functions beyond explode/posexplode: `stack` (columns → rows)
+    * and `inline` (array-of-struct → rows), unioned. */
+  def d54Generators(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .selectExpr("o_orderkey",
+        "stack(2, 'base', o_totalprice, 'doubled', o_totalprice + o_totalprice) AS (label, v)")
+      .unionAll(orders(spark, dir).selectExpr(
+        "o_orderkey",
+        "inline(array(named_struct('label', 'neg', 'v', -o_totalprice)))"))
+      .orderBy("o_orderkey", "label")
+
+  val d54Oracle: String =
+    """SELECT o_orderkey, label, v FROM (
+      |  SELECT o_orderkey, 'base' AS label, o_totalprice AS v FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'doubled', o_totalprice + o_totalprice FROM orders
+      |  UNION ALL
+      |  SELECT o_orderkey, 'neg', -o_totalprice FROM orders
+      |)
+      |ORDER BY o_orderkey, label""".stripMargin
+
+  // ---------------------------------------------------------------- d55
+  /** RANGE window frame (value-based bounds, vs the ROWS frames of D07/D08):
+    * per return flag, statistics over all line items whose quantity lies
+    * within 5 units below the current row's. Only order-independent
+    * aggregates (count / integer sum / min / max) so float summation order
+    * can't diverge across engines. */
+  def d55RangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_returnflag").orderBy(col("l_quantity"))
+      .rangeBetween(-5L, Window.currentRow)
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+        col("l_quantity"),
+        count(lit(1)).over(w).as("n_in_range"),
+        sum(col("l_quantity").cast("long")).over(w).as("qty_in_range"))
+      // (l_orderkey, l_linenumber) is not unique in the synthetic table —
+      // include quantity + flag so the presentation order is total (rows
+      // agreeing on all four sort keys have identical window results)
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+  }
+
+  val d55Oracle: String =
+    """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
+      |  COUNT(*) OVER w AS n_in_range,
+      |  SUM(CAST(l_quantity AS BIGINT)) OVER w AS qty_in_range
+      |FROM lineitem
+      |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
+      |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
+      |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -413,6 +494,9 @@ object SurfaceQueries {
     "d48_array_hof" -> (d48ArrayHof _),
     "d49_cond_bitwise" -> (d49CondBitwise _),
     "d52_topk_operator" -> (d52TopKOperator _),
+    "d53_map_hof" -> (d53MapHof _),
+    "d54_generators" -> (d54Generators _),
+    "d55_range_frame" -> (d55RangeFrame _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -429,5 +513,8 @@ object SurfaceQueries {
     "d48_array_hof" -> d48Oracle,
     "d49_cond_bitwise" -> d49Oracle,
     "d52_topk_operator" -> d52Oracle,
+    "d53_map_hof" -> d53Oracle,
+    "d54_generators" -> d54Oracle,
+    "d55_range_frame" -> d55Oracle,
   )
 }
