@@ -17,6 +17,11 @@ final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
                               width: Long, height: Long, n_frames: Long,
                               sample_rate: Long)
 
+/** One sampled video frame: index into the stream plus the byte offset a
+  * real demuxer would seek to (stub arithmetic — see [[Multimodal]]). */
+final case class SampledFrame(media_id: Long, n_frames: Long,
+                              frame_idx: Long, frame_off: Long)
+
 /**
  * Multimodal-column plumbing (north-star surface): binary payload columns
  * with typed metadata, decoded/feature-extracted in batched per-partition
@@ -70,6 +75,55 @@ object Multimodal {
       }
     }
   }
+
+  /**
+   * Frame sampling over the video records: up to `maxFrames` evenly-spaced
+   * frame indices per video (`idx_i = ⌊i·n_frames/k⌋`), each with the byte
+   * offset a demuxer would seek to (`idx · ⌊n_bytes/n_frames⌋` in the stub's
+   * fixed-frame-size model). A typed flatMap — the row-explosion plumbing a
+   * real frame extractor plugs into; all arithmetic integer and
+   * oracle-reproducible.
+   */
+  def sampleVideoFrames(media: Dataset[MediaRecord],
+                        maxFrames: Int = 4): Dataset[SampledFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeAll(media).filter(col("kind") === "video").as[DecodedMedia]
+      .flatMap { d =>
+        val k = math.min(maxFrames.toLong, d.n_frames)
+        val frameBytes = d.n_bytes / d.n_frames
+        (0L until k).map { i =>
+          val idx = i * d.n_frames / k
+          SampledFrame(d.media_id, d.n_frames, idx, idx * frameBytes)
+        }
+      }
+  }
+
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    sampleVideoFrames(mediaFromDocuments(documents(spark, dir)))
+      .toDF()
+      .orderBy("media_id", "frame_idx")
+
+  val frameSampleOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), v AS (
+      |  SELECT media_id, n AS n_bytes, 1 + n % 100 AS n_frames,
+      |    least(4, 1 + n % 100) AS k
+      |  FROM m WHERE kind = 'video'
+      |), f AS (
+      |  SELECT media_id, n_bytes, n_frames, k,
+      |    unnest(range(0, k)) AS i
+      |  FROM v
+      |)
+      |SELECT media_id, CAST(n_frames AS BIGINT) AS n_frames,
+      |  CAST((i * n_frames) // k AS BIGINT) AS frame_idx,
+      |  CAST(((i * n_frames) // k) * (n_bytes // n_frames) AS BIGINT) AS frame_off
+      |FROM f
+      |ORDER BY media_id, frame_idx""".stripMargin
 
   /** Per-kind metadata rollup over the decoded media — the oracle reproduces
     * the stub's arithmetic from octet lengths. */

@@ -30,6 +30,7 @@ object OpsQueries {
     "n14_hash_sample" -> (Sampling.hashSampleQuery _),
     "n15_seq_packing" -> ((s, d) => Sampling.seqPackingQuery(s, d)),
     "n16_repetition_stats" -> (TextAnalysis.repetitionStatsQuery _),
+    "n17_multimodal_frames" -> (Multimodal.frameSampleQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -47,5 +48,6 @@ object OpsQueries {
     "n14_hash_sample" -> Sampling.hashSampleOracle,
     "n15_seq_packing" -> Sampling.seqPackingOracle,
     "n16_repetition_stats" -> TextAnalysis.repetitionStatsOracle,
+    "n17_multimodal_frames" -> Multimodal.frameSampleOracle,
   )
 }

@@ -478,6 +478,66 @@ object SurfaceQueries {
       |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
       |ORDER BY l_orderkey, l_linenumber, l_quantity, l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- d56
+  /** MERGE-style upsert ([[graft.ops.Upsert]]): customers ending in 0 get a
+    * segment upgrade (matched → update), a shifted key block is appended
+    * (not matched → insert), and the merged snapshot must equal the oracle's
+    * anti-join + union formulation. */
+  def d56MergeUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val base = customer(spark, dir)
+      .select("c_custkey", "c_name", "c_mktsegment")
+    val upgraded = base.filter(col("c_custkey") % 10 === 0)
+      .withColumn("c_mktsegment", lit("UPGRADED"))
+    val inserts = base.filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(lit("new:"), col("c_name")).as("c_name"),
+        lit("NEWCOMER").as("c_mktsegment"))
+    graft.ops.Upsert.upsert(base, upgraded.unionByName(inserts), "c_custkey")
+      .orderBy("c_custkey")
+  }
+
+  val d56Oracle: String =
+    """WITH base AS (
+      |  SELECT c_custkey, c_name, c_mktsegment FROM customer
+      |), updates AS (
+      |  SELECT c_custkey, c_name, 'UPGRADED' AS c_mktsegment
+      |  FROM base WHERE c_custkey % 10 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'new:' || c_name, 'NEWCOMER'
+      |  FROM base WHERE c_custkey % 97 = 0
+      |)
+      |SELECT * FROM updates
+      |UNION ALL
+      |SELECT b.* FROM base b ANTI JOIN updates u USING (c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- d57
+  /** Parquet schema evolution: a second file adds a column; reading the
+    * directory with `mergeSchema=true` null-fills the old rows (the
+    * source-side evolution surface the reference exposes as options —
+    * global `spark.sql.parquet.mergeSchema=false`, sink `mergeSchema`). */
+  def d57SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val base = Files.createTempDirectory("graft-d57-").toString
+    val c = customer(spark, dir)
+    c.filter(col("c_custkey") % 2 === 0)
+      .select("c_custkey", "c_name")
+      .write.mode("overwrite").parquet(s"$base/gen=0")
+    c.filter(col("c_custkey") % 2 =!= 0)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .write.mode("overwrite").parquet(s"$base/gen=1")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$base/gen=0", s"$base/gen=1")
+      .orderBy("c_custkey")
+  }
+
+  val d57Oracle: String =
+    """SELECT c_custkey, c_name, NULL AS c_mktsegment
+      |FROM customer WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer WHERE c_custkey % 2 <> 0
+      |ORDER BY c_custkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -497,6 +557,8 @@ object SurfaceQueries {
     "d53_map_hof" -> (d53MapHof _),
     "d54_generators" -> (d54Generators _),
     "d55_range_frame" -> (d55RangeFrame _),
+    "d56_merge_upsert" -> (d56MergeUpsert _),
+    "d57_schema_evolution" -> (d57SchemaEvolution _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -516,5 +578,7 @@ object SurfaceQueries {
     "d53_map_hof" -> d53Oracle,
     "d54_generators" -> d54Oracle,
     "d55_range_frame" -> d55Oracle,
+    "d56_merge_upsert" -> d56Oracle,
+    "d57_schema_evolution" -> d57Oracle,
   )
 }
