@@ -538,6 +538,57 @@ object SurfaceQueries {
       |FROM customer WHERE c_custkey % 2 <> 0
       |ORDER BY c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- d58
+  /** LATERAL correlated subquery (SQL surface): per customer, an aggregate
+    * over just that customer's orders, customers without orders kept
+    * (count 0 / null max). */
+  def d58Lateral(spark: SparkSession, dir: String): DataFrame = {
+    customer(spark, dir).createOrReplaceTempView("v_customer")
+    orders(spark, dir).createOrReplaceTempView("v_orders")
+    spark.sql(
+      """SELECT c.c_custkey, t.n_orders, t.max_price
+        |FROM v_customer c,
+        |LATERAL (
+        |  SELECT COUNT(*) AS n_orders, MAX(o.o_totalprice) AS max_price
+        |  FROM v_orders o WHERE o.o_custkey = c.c_custkey
+        |) t
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  val d58Oracle: String =
+    """SELECT c.c_custkey, t.n_orders, t.max_price
+      |FROM customer c,
+      |LATERAL (
+      |  SELECT COUNT(*) AS n_orders, MAX(o.o_totalprice) AS max_price
+      |  FROM orders o WHERE o.o_custkey = c.c_custkey
+      |) t
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- d59
+  /** Regex and string→map functions: regexp_extract_all, regexp_count,
+    * split_part, str_to_map. */
+  def d59RegexpStrmap(spark: SparkSession, dir: String): DataFrame =
+    part(spark, dir)
+      .select(col("p_partkey"),
+        array_join(regexp_extract_all(col("p_name"), lit("[a-z]+"), lit(0)), "|")
+          .as("alpha_runs"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"),
+        split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
+        element_at(
+          str_to_map(concat(lit("brand:"), col("p_brand"),
+            lit(",size:"), col("p_size")), lit(","), lit(":")),
+          "size").cast("long").as("size_from_map"))
+      .orderBy("p_partkey")
+
+  val d59Oracle: String =
+    """SELECT p_partkey,
+      |  array_to_string(regexp_extract_all(p_name, '[a-z]+'), '|') AS alpha_runs,
+      |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+      |  split_part(p_type, ' ', 1) AS type_head,
+      |  CAST(p_size AS BIGINT) AS size_from_map
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -559,6 +610,8 @@ object SurfaceQueries {
     "d55_range_frame" -> (d55RangeFrame _),
     "d56_merge_upsert" -> (d56MergeUpsert _),
     "d57_schema_evolution" -> (d57SchemaEvolution _),
+    "d58_lateral" -> (d58Lateral _),
+    "d59_regexp_strmap" -> (d59RegexpStrmap _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -580,5 +633,7 @@ object SurfaceQueries {
     "d55_range_frame" -> d55Oracle,
     "d56_merge_upsert" -> d56Oracle,
     "d57_schema_evolution" -> d57Oracle,
+    "d58_lateral" -> d58Oracle,
+    "d59_regexp_strmap" -> d59Oracle,
   )
 }

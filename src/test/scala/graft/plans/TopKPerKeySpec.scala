@@ -55,4 +55,27 @@ class TopKPerKeySpec extends AnyFunSuite {
     val n = Tables.orders(spark, T.sf0001).count()
     assert(byOperator(Int.MaxValue).count() == n)
   }
+
+  test("null keys and null order values follow SortOrder null placement") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, java.lang.Long)](
+      (1L, 5L), (1L, null), (1L, 1L), (null, 3L), (null, 7L))
+      .toDF("g", "x")
+    // asc nulls-first: per group the 2 smallest with null first
+    val got = TopKPerKey(df, Seq(col("g")), Seq(col("x").asc), 2)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    val expected = Set(
+      (Some(1L): Option[Any], None: Option[Any]),
+      (Some(1L): Option[Any], Some(1L): Option[Any]),
+      (None: Option[Any], Some(3L): Option[Any]),
+      (None: Option[Any], Some(7L): Option[Any]))
+    assert(got == expected, got)
+  }
+
+  test("empty input yields empty output") {
+    val empty = Tables.orders(spark, T.sf0001).filter(lit(false))
+      .select("o_orderpriority", "o_orderkey", "o_totalprice")
+    assert(TopKPerKey(empty, Seq(col("o_orderpriority")),
+      Seq(col("o_totalprice").desc), 3).count() == 0)
+  }
 }
