@@ -589,6 +589,29 @@ object SurfaceQueries {
       |FROM part
       |ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- d60
+  /** DataSource V2 batch read ([[graft.sources.v2.GraftSeqSource]]): the
+    * full connector stack (TableProvider → ScanBuilder → Batch →
+    * PartitionReaderFactory, short-named via DataSourceRegister) planned
+    * into 8 input partitions, with column pruning pushed into the scan.
+    * Oracle = the same sequence arithmetic from DuckDB's range(). */
+  def d60Dsv2Seq(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("graft-seq")
+      .option("start", "0").option("end", "60000")
+      .load()
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("sq")).as("sum_sq"))
+      .orderBy("g")
+
+  val d60Oracle: String =
+    """SELECT id % 7 AS g, COUNT(*) AS n,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(id * id) AS BIGINT) AS sum_sq
+      |FROM range(0, 60000) t(id)
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -612,6 +635,7 @@ object SurfaceQueries {
     "d57_schema_evolution" -> (d57SchemaEvolution _),
     "d58_lateral" -> (d58Lateral _),
     "d59_regexp_strmap" -> (d59RegexpStrmap _),
+    "d60_dsv2_seq" -> (d60Dsv2Seq _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -635,5 +659,6 @@ object SurfaceQueries {
     "d57_schema_evolution" -> d57Oracle,
     "d58_lateral" -> d58Oracle,
     "d59_regexp_strmap" -> d59Oracle,
+    "d60_dsv2_seq" -> d60Oracle,
   )
 }
