@@ -311,6 +311,51 @@ object StreamingOpsQueries {
       | AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- d61
+  /**
+   * foreachBatch sink with exactly-once commit markers
+   * ([[graft.sinks.IdempotentParquetWriter]] — the offline equivalent of the
+   * Delta sink's txnAppId/txnVersion): the event stream replays as three
+   * files, each micro-batch lands in its own `batch=<id>` directory guarded
+   * by a commit marker, and the union of batch directories must equal the
+   * input exactly (the same guarantee a checkpoint-recovery replay gets).
+   */
+  def d61ForeachBatch(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d61")
+    val ev = events(spark, dir)
+    // three deterministic key-range files -> three micro-batches
+    writeFileSeq(Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2)), input)
+
+    val writer = graft.sinks.IdempotentParquetWriter(
+      out.toString, ckpt.resolve("commits").toString, "graft-d61")
+    val schema = spark.read.parquet(input.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input.toString)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("value"), tsString(col("ts")).as("ts"))
+
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = stream.writeStream
+        .foreachBatch((df: DataFrame, id: Long) => writer.write(df, id))
+        .option("checkpointLocation", ckpt.resolve("stream").toString)
+        .outputMode("append")
+        .queryName("graft:d61")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString).drop("batch").orderBy("event_id")
+  }
+
+  val d61Oracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- d44
   /** Kafka payload decode: the connector's fixed binary frame schema
     * ([[graft.sources.KafkaFrames]]) round-tripped — events → JSON value
@@ -352,6 +397,7 @@ object StreamingOpsQueries {
     "d44_kafka_decode" -> (d44KafkaDecode _),
     "d45_streaming_sessions" -> (d45StreamingSessions _),
     "d51_stream_stream_join" -> (d51StreamStreamJoin _),
+    "d61_foreach_batch" -> (d61ForeachBatch _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -361,5 +407,6 @@ object StreamingOpsQueries {
     "d44_kafka_decode" -> d44Oracle,
     "d45_streaming_sessions" -> StreamingQueries.d22Oracle,
     "d51_stream_stream_join" -> d51Oracle,
+    "d61_foreach_batch" -> d61Oracle,
   )
 }
