@@ -31,6 +31,7 @@ object OpsQueries {
     "n15_seq_packing" -> ((s, d) => Sampling.seqPackingQuery(s, d)),
     "n16_repetition_stats" -> (TextAnalysis.repetitionStatsQuery _),
     "n17_multimodal_frames" -> (Multimodal.frameSampleQuery _),
+    "n18_stratified_sample" -> (Sampling.stratifiedSampleQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -49,5 +50,6 @@ object OpsQueries {
     "n15_seq_packing" -> Sampling.seqPackingOracle,
     "n16_repetition_stats" -> TextAnalysis.repetitionStatsOracle,
     "n17_multimodal_frames" -> Multimodal.frameSampleOracle,
+    "n18_stratified_sample" -> Sampling.stratifiedSampleOracle,
   )
 }

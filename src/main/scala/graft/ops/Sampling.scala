@@ -80,6 +80,39 @@ object Sampling {
       .orderBy("source", "bin")
   }
 
+  /**
+   * Deterministic stratified downsampling: per-language keep rates applied
+   * through the same md5 bucket — the corpus-rebalancing op (downsample the
+   * dominant language, keep the rest whole) with full reproducibility. A
+   * map-side predicate; rates are a tiny literal map, no shuffle, no RNG.
+   */
+  def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
+    val keepPct: Map[String, Int] = Map("en" -> 40).withDefaultValue(100)
+    val b = hashBucket(col("doc_id"), salt = "strat:")
+    val rate = when(col("lang") === "en", lit(keepPct("en"))).otherwise(lit(100))
+    documents(spark, dir)
+      .withColumn("bucket", b)
+      .filter(col("bucket") < rate)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy("lang")
+  }
+
+  val stratifiedSampleOracle: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substring(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS UBIGINT) % 100 AS bucket
+      |  FROM documents
+      |)
+      |SELECT lang, COUNT(*) AS n_kept,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM b
+      |WHERE bucket < (CASE WHEN lang = 'en' THEN 40 ELSE 100 END)
+      |GROUP BY lang
+      |ORDER BY lang""".stripMargin
+
   val seqPackingOracle: String =
     """WITH t AS (
       |  SELECT source, doc_id,
