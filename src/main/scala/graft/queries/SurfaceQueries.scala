@@ -191,6 +191,31 @@ object SurfaceQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  // ---------------------------------------------------------------- d62
+  /** ORC source round-trip (the remaining built-in columnar format beside
+    * parquet): write orders as ORC, read back with predicate + projection
+    * pushdown, aggregate — must equal the parquet-derived oracle. */
+  def d62OrcSource(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Files.createTempDirectory("graft-d62-").resolve("orc")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice"))
+      .write.mode("overwrite").orc(staging.toString)
+    spark.read.orc(staging.toString)
+      .filter(col("o_totalprice") > 50000.0)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  val d62Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |WHERE o_totalprice > 50000.0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- d43
   /**
    * Custom typed `Aggregator`: per-priority order statistics with an exact
@@ -636,6 +661,7 @@ object SurfaceQueries {
     "d58_lateral" -> (d58Lateral _),
     "d59_regexp_strmap" -> (d59RegexpStrmap _),
     "d60_dsv2_seq" -> (d60Dsv2Seq _),
+    "d62_orc_source" -> (d62OrcSource _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -660,5 +686,6 @@ object SurfaceQueries {
     "d58_lateral" -> d58Oracle,
     "d59_regexp_strmap" -> d59Oracle,
     "d60_dsv2_seq" -> d60Oracle,
+    "d62_orc_source" -> d62Oracle,
   )
 }
