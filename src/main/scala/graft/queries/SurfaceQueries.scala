@@ -216,6 +216,38 @@ object SurfaceQueries {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- d63
+  /** Typed cogroup (`KeyValueGroupedDataset.cogroup`): orders and line items
+    * grouped on the order key, one output row per order with item stats —
+    * the escape hatch for per-key logic a join+agg can't express (here it
+    * CAN, which is what makes it oracle-checkable). */
+  def d63Cogroup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val og = orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .as[(Long, Double)].groupByKey(_._1)
+    val lg = lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long"))
+      .as[(Long, Long)].groupByKey(_._1)
+    og.cogroup(lg) { (k, os, ls) =>
+      val ov = os.toSeq
+      if (ov.isEmpty) Iterator.empty // line items without an order row
+      else {
+        val items = ls.map(_._2).toSeq
+        Iterator((k, ov.head._2, items.size.toLong, items.sum))
+      }
+    }.toDF("o_orderkey", "o_totalprice", "n_items", "sum_qty")
+      .orderBy("o_orderkey")
+  }
+
+  val d63Oracle: String =
+    """SELECT o.o_orderkey, o.o_totalprice,
+      |  COUNT(l.l_orderkey) AS n_items,
+      |  CAST(COALESCE(SUM(CAST(l.l_quantity AS BIGINT)), 0) AS BIGINT) AS sum_qty
+      |FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |GROUP BY 1, 2
+      |ORDER BY o.o_orderkey""".stripMargin
+
   // ---------------------------------------------------------------- d43
   /**
    * Custom typed `Aggregator`: per-priority order statistics with an exact
@@ -662,6 +694,7 @@ object SurfaceQueries {
     "d59_regexp_strmap" -> (d59RegexpStrmap _),
     "d60_dsv2_seq" -> (d60Dsv2Seq _),
     "d62_orc_source" -> (d62OrcSource _),
+    "d63_cogroup" -> (d63Cogroup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -687,5 +720,6 @@ object SurfaceQueries {
     "d59_regexp_strmap" -> d59Oracle,
     "d60_dsv2_seq" -> d60Oracle,
     "d62_orc_source" -> d62Oracle,
+    "d63_cogroup" -> d63Oracle,
   )
 }
