@@ -42,9 +42,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("minhash_signature"),
       info("minhash_signature", classOf[MinHashSignature]),
       (args: Seq[Expression]) => {
+        // USER_RAISED_EXCEPTION renders the message plainly (SQLSTATE P0001)
+        // — INTERNAL_ERROR would frame a user mistake as an engine bug
         def fail(msg: String): Nothing = throw new AnalysisException(
-          "INTERNAL_ERROR",
-          Map("message" -> s"minhash_signature(array<bigint>, k): $msg"),
+          "USER_RAISED_EXCEPTION",
+          Map("errorMessage" -> s"minhash_signature(array<bigint>, k): $msg"),
           Option.empty[Throwable])
         if (args.length != 2)
           fail(s"expects 2 arguments, got ${args.length}")

@@ -87,9 +87,11 @@ object Sampling {
    * map-side predicate; rates are a tiny literal map, no shuffle, no RNG.
    */
   def stratifiedSampleQuery(spark: SparkSession, dir: String): DataFrame = {
-    val keepPct: Map[String, Int] = Map("en" -> 40).withDefaultValue(100)
+    val keepPct: Map[String, Int] = Map("en" -> 40) // unlisted langs keep 100%
     val b = hashBucket(col("doc_id"), salt = "strat:")
-    val rate = when(col("lang") === "en", lit(keepPct("en"))).otherwise(lit(100))
+    val rate = keepPct.foldLeft(lit(100): org.apache.spark.sql.Column) {
+      case (acc, (lang, pct)) => when(col("lang") === lang, lit(pct)).otherwise(acc)
+    }
     documents(spark, dir)
       .withColumn("bucket", b)
       .filter(col("bucket") < rate)

@@ -22,10 +22,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
  *  - the projection above drops the row-number column (the operator does
  *    not produce it).
  *
- * Registered by `graft.GraftExtensions` via `injectOptimizerRule`. The
+ * Registered by `graft.GraftExtensions` via `injectOptimizerRule`; opt out
+ * per session with `spark.graft.topkRewrite.enabled=false`. The
  * row_number ordering must be total per key for the original query to be
  * deterministic; under that same precondition the heap result is the same
  * row set.
+ *
+ * Memory model: the heap pass holds k copied rows per distinct key per
+ * partition (map-side) / per key (reduce-side) with no spill — the same
+ * in-memory footprint class as a hash aggregation of `collect k per key`,
+ * smaller than the window's full-partition sort buffer whenever rows-per-
+ * key ≫ k, but without WindowExec's spill-to-disk path. For extreme
+ * key-cardinality-per-partition workloads, disable the rewrite.
  */
 object TopKRewriteRule extends Rule[LogicalPlan] {
 
@@ -44,7 +52,13 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
   private val standardRowFrame =
     SpecifiedWindowFrame(RowFrame, UnboundedPreceding, CurrentRow)
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.topkRewrite.enabled", "true").toBoolean)
+      return plan
+    rewrite(plan)
+  }
+
+  private def rewrite(plan: LogicalPlan): LogicalPlan = plan.transformDown {
     case p @ Project(projectList,
         Filter(cond, w @ Window(Seq(alias @ Alias(
           WindowExpression(RowNumber(),

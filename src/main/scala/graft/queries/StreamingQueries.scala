@@ -109,8 +109,8 @@ object StreamingQueries {
   private val SentinelTs = "2024-06-01 00:00:00"
   private val SentinelCutoff = "2024-03-01 00:00:00"
 
-  private[queries] def stageInput(spark: SparkSession, dir: String, input: Path,
-                                  chunks: Int, shuffled: Boolean): Unit = {
+  private[graft] def stageInput(spark: SparkSession, dir: String, input: Path,
+                                chunks: Int, shuffled: Boolean): Unit = {
     val ev = events(spark, dir)
     if (chunks <= 1) {
       ev.coalesce(1).write.mode("append").parquet(input.toString)

@@ -78,10 +78,11 @@ private[v2] class GraftSeqScan(start: Long, end: Long, numPartitions: Int,
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] = {
-    val total = end - start
+    // BigInt bounds: total * i overflows Long once the range nears 2^63/n
+    val total = BigInt(end) - BigInt(start)
     (0 until numPartitions).map { i =>
-      val lo = start + total * i / numPartitions
-      val hi = start + total * (i + 1) / numPartitions
+      val lo = (BigInt(start) + total * i / numPartitions).toLong
+      val hi = (BigInt(start) + total * (i + 1) / numPartitions).toLong
       GraftSeqPartition(lo, hi): InputPartition
     }.toArray
   }

@@ -35,15 +35,9 @@ object ProfileStream {
     val base = Files.createTempDirectory("graft-profstream-")
     val input = base.resolve("input")
     // same staging shape as d21: 5 chunks + sentinel, one file per batch
-    val m = classOf[graft.queries.StreamingQueries.type]
-    graft.queries.StreamingQueries // touch
-    val stage = graft.queries.StreamingQueries.getClass
-      .getDeclaredMethod("stageInput", classOf[SparkSession], classOf[String],
-        classOf[java.nio.file.Path], classOf[Int], classOf[Boolean])
-    stage.setAccessible(true)
     val t0 = System.nanoTime()
-    stage.invoke(graft.queries.StreamingQueries, spark, sfDir, input,
-      Integer.valueOf(5), java.lang.Boolean.TRUE)
+    graft.queries.StreamingQueries.stageInput(spark, sfDir, input,
+      chunks = 5, shuffled = true)
     println(f"STAGE ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
     val schema = spark.read.parquet(input.toString).schema

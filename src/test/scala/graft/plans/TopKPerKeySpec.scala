@@ -72,6 +72,17 @@ class TopKPerKeySpec extends AnyFunSuite {
     assert(got == expected, got)
   }
 
+  test("empty keys = global top-k: exactly k rows across all partitions") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).repartition(8)
+      .select(col("id"), (col("id") * 37 % 101).as("score"))
+    val got = TopKPerKey(df, Seq.empty, Seq(col("score").desc, col("id")), 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = df.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, s) => (-s, id) }.take(5).toSet
+    assert(got == expected)
+  }
+
   test("empty input yields empty output") {
     val empty = Tables.orders(spark, T.sf0001).filter(lit(false))
       .select("o_orderpriority", "o_orderkey", "o_totalprice")
