@@ -1,0 +1,56 @@
+package graft.queries
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+
+/** The plans we would want on a 1000-executor cluster, asserted on the
+  * headline queries: filters and projections reach the scans, small dims
+  * broadcast, global top-k never globally sorts. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private def plan(name: String): String = {
+    val df = graft.SparkEntry.queries(name)(spark, T.sf0001)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("d01: the shipdate filter is pushed into the parquet scan") {
+    val p = plan("d01_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+  }
+
+  test("d01: the scan reads only referenced columns (pruned ReadSchema)") {
+    val p = plan("d01_pricing_summary")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!read.contains("l_comment") && !read.contains("l_orderkey"), read)
+  }
+
+  test("d02: dimension joins broadcast") {
+    val p = plan("d02_revenue_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("d03: global top-10 plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("d03_top_parts")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d62: the price predicate is pushed into the ORC scan") {
+    val p = plan("d62_orc_source")
+    assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"), p)
+  }
+
+  test("whole-stage codegen covers the d01 aggregation pipeline") {
+    // AQE only materializes codegen stages in the final plan — execute first
+    val df = graft.SparkEntry.queries("d01_pricing_summary")(spark, T.sf0001)
+    df.collect() // finalizes THIS queryExecution's adaptive plan (a write
+    // would execute a separate wrapping plan and leave this one unplanned)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), p)
+    // "*(n)" prefixes are the WholeStageCodegen stage markers: scan-filter-
+    // project-partialAgg must share one codegen stage, finalAgg another
+    assert(p.contains("*(1) Filter") && p.contains("*(1) HashAggregate"), p)
+    assert(p.contains("*(2) HashAggregate"), p)
+  }
+}
