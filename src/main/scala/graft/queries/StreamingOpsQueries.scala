@@ -30,7 +30,7 @@ final case class UserSession(user_id: Long, session_start: String,
 object StreamingOpsQueries {
 
   private def tempDirs(label: String): (Path, Path, Path) = {
-    val base = Files.createTempDirectory(s"graft-$label-")
+    val base = Tables.scratchDir(label)
     (base.resolve("input"), base.resolve("out"), base.resolve("ckpt"))
   }
 
@@ -258,7 +258,7 @@ object StreamingOpsQueries {
    * and equals the batch interval join).
    */
   def d51StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft-d51-")
+    val base = Tables.scratchDir("d51")
     val ev = events(spark, dir)
     val clickDir = base.resolve("clicks")
     val purchaseDir = base.resolve("purchases")

@@ -58,7 +58,7 @@ object StreamingQueries {
 
   private def runWindowedStream(spark: SparkSession, dir: String, label: String,
                                 chunks: Int, shuffled: Boolean): DataFrame = {
-    val base = Files.createTempDirectory(s"graft-$label-")
+    val base = Tables.scratchDir(label)
     val input = base.resolve("input")
     val out = base.resolve("out")
     val ckpt = base.resolve("ckpt")

@@ -151,7 +151,7 @@ object SurfaceQueries {
     * the JSON source with an explicit schema, aggregated. Timestamps travel
     * as ISO-8601 strings. */
   def d41JsonSource(spark: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft-d41-").resolve("json")
+    val staging = Tables.scratchDir("d41").resolve("json")
     val ev = events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
         tsString(col("ts")).as("ts"))
@@ -173,7 +173,7 @@ object SurfaceQueries {
 
   /** CSV source round-trip with header + explicit schema. */
   def d42CsvSource(spark: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft-d42-").resolve("csv")
+    val staging = Tables.scratchDir("d42").resolve("csv")
     val o = orders(spark, dir)
       .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         col("o_totalprice"), col("o_orderpriority"))
@@ -196,7 +196,7 @@ object SurfaceQueries {
     * parquet): write orders as ORC, read back with predicate + projection
     * pushdown, aggregate — must equal the parquet-derived oracle. */
   def d62OrcSource(spark: SparkSession, dir: String): DataFrame = {
-    val staging = Files.createTempDirectory("graft-d62-").resolve("orc")
+    val staging = Tables.scratchDir("d62").resolve("orc")
     orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"),
         col("o_totalprice"))
@@ -302,7 +302,7 @@ object SurfaceQueries {
     * offline `startingVersion`/time-travel surface): three day-range commits,
     * snapshot read at version 1 — only the first two ranges are visible. */
   def d46TimeTravel(spark: SparkSession, dir: String): DataFrame = {
-    val table = Files.createTempDirectory("graft-d46-").resolve("t").toString
+    val table = Tables.scratchDir("d46").resolve("t").toString
     val ev = events(spark, dir)
     val day = datediff(col("ts").cast("date"), to_date(lit("2024-01-01")))
     graft.sources.VersionedTable.commit(ev.filter(day < 10), table)
@@ -574,7 +574,7 @@ object SurfaceQueries {
     * source-side evolution surface the reference exposes as options —
     * global `spark.sql.parquet.mergeSchema=false`, sink `mergeSchema`). */
   def d57SchemaEvolution(spark: SparkSession, dir: String): DataFrame = {
-    val base = Files.createTempDirectory("graft-d57-").toString
+    val base = Tables.scratchDir("d57").toString
     val c = customer(spark, dir)
     c.filter(col("c_custkey") % 2 === 0)
       .select("c_custkey", "c_name")

@@ -19,6 +19,22 @@ import org.apache.spark.sql.types.DecimalType
  */
 object Tables {
 
+  /**
+   * Scratch directory for query-local staging (stream inputs, checkpoints,
+   * sink outputs): RAM-backed `/dev/shm` when present, else the system tmp
+   * dir. Micro-batch latency is dominated by fsync of tiny offset/commit/
+   * state files; on a shared VM, disk-backed /tmp adds multi-second jitter
+   * that has nothing to do with the engine. Production deployments put
+   * checkpoints on object storage — local scratch placement is a bench
+   * environment choice, not a semantics change.
+   */
+  def scratchDir(label: String): java.nio.file.Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+      java.nio.file.Files.createTempDirectory(shm, s"graft-$label-")
+    else java.nio.file.Files.createTempDirectory(s"graft-$label-")
+  }
+
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
