@@ -169,6 +169,9 @@ object Dedup {
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     // NB: freq stays a shuffle join on purpose — the distinct-shingle table
     // grows with the corpus, so broadcasting it would not survive scale-up
+    // NOT persisted: the candidate self-join's two sides are identical
+    // subplans, so ReuseExchange already computes the prefix shuffle once —
+    // an explicit persist measured slower (extra materialization barrier)
     val prefix = ex.join(freq, "sh")
       .withColumn("rn", row_number().over(wDoc))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * lit(threshold)) + 1)
