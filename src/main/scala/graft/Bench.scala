@@ -25,18 +25,20 @@ object Bench {
 
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
-      try {
-        SparkEntry.queries(name)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      } finally {
-        // dedup/similarity queries persist intermediate indexes; drop them so
-        // later queries aren't measured under someone else's memory pressure
-        spark.catalog.clearCache()
-      }
-      (System.nanoTime() - t0) / 1e9
+      val elapsed =
+        try {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9 // captured BEFORE cache teardown
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      // dedup/similarity queries persist intermediate indexes; drop them so
+      // later queries aren't measured under someone else's memory pressure
+      // (outside the timed window — teardown isn't the query's cost)
+      spark.catalog.clearCache()
+      elapsed
     }
 
     // warmup (unreported): scan-agg, broadcast-join, generator, and

@@ -136,8 +136,8 @@ class StreamingApp(session: Option[SparkSession] = None,
         appCheckpointVersion.getOrElse("stable"), "_checkpoints")
     case None =>
       throw new RuntimeException(
-        "StreamingApp checkpoints require spark.app.checkpoints.path and " +
-          "spark.app.checkpoints.version")
+        "StreamingApp checkpoints require spark.app.checkpoints.path " +
+          "(spark.app.checkpoint.version is optional and defaults to \"stable\")")
   }
 
   def withSource(source: StreamingSource): this.type = { _source = Some(source); this }

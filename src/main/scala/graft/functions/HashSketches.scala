@@ -29,12 +29,16 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
+  // result can be null via null array elements even when the input is non-null
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
+      if (hs.isNullAt(i)) return null // match the HOF null propagation
       val h = hs.getLong(i)
       var b = 0
       while (b < 64) {
@@ -60,20 +64,27 @@ case class SimHash64(child: Expression) extends UnaryExpression {
       val b = ctx.freshName("b")
       val h = ctx.freshName("h")
       val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |int $n = $a.numElements();
          |int[] $votes = new int[64];
+         |boolean $hasNull = false;
          |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $hasNull = true; break; }
          |  long $h = $a.getLong($i);
          |  for (int $b = 0; $b < 64; $b++) {
          |    $votes[$b] += (((($h >>> $b) & 1L) == 1L) ? 1 : -1);
          |  }
          |}
-         |long $out = 0L;
-         |for (int $b = 0; $b < 64; $b++) {
-         |  if ($votes[$b] > 0) $out |= (1L << $b);
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($votes[$b] > 0) $out |= (1L << $b);
+         |  }
+         |  ${ev.value} = $out;
          |}
-         |${ev.value} = $out;
        """.stripMargin
     })
 
@@ -102,9 +113,17 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // result can be null via null array elements even when the input is non-null
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any = {
     val hs = input.asInstanceOf[ArrayData]
     val n = hs.numElements()
+    var j = 0
+    while (j < n) { // match the HOF null propagation
+      if (hs.isNullAt(j)) return null
+      j += 1
+    }
     val sig = new Array[Long](k)
     var s = 0
     while (s < k) {
@@ -132,18 +151,28 @@ case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
       // call through the companion object's MODULE$ — static forwarders on
       // case classes are not guaranteed
       val cls = "graft.functions.MinHashSignature$.MODULE$"
+      val hasNull = ctx.freshName("hasNull")
+      val j = ctx.freshName("j")
       s"""
          |int $n = $a.numElements();
-         |long[] $sig = new long[$k];
-         |for (int $s = 0; $s < $k; $s++) {
-         |  long $best = Long.MAX_VALUE;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    long $m = $cls.mix($a.getLong($i), $s);
-         |    if ($m < $best) $best = $m;
-         |  }
-         |  $sig[$s] = $best;
+         |boolean $hasNull = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($a.isNullAt($j)) { $hasNull = true; break; }
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $sig = new long[$k];
+         |  for (int $s = 0; $s < $k; $s++) {
+         |    long $best = Long.MAX_VALUE;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $m = $cls.mix($a.getLong($i), $s);
+         |      if ($m < $best) $best = $m;
+         |    }
+         |    $sig[$s] = $best;
+         |  }
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |}
        """.stripMargin
     })
 

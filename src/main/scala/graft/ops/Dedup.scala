@@ -79,6 +79,9 @@ object Dedup {
     * once per band (interpreted HOFs re-evaluate per reference — see
     * [[wordShingles]]). */
   def lshBands(sigCol: Column, k: Int = 64, bands: Int = 16): Column = {
+    require(k % bands == 0,
+      s"lshBands needs bands ($bands) to divide k ($k): a remainder would " +
+        "silently drop the trailing signature values and weaken the banding")
     val r = k / bands
     element_at(transform(array(sigCol), sig =>
       transform(sequence(lit(0), lit(bands - 1)),

@@ -36,11 +36,14 @@ object Scale {
       s"saltedJoin supports inner/left/semi/anti join types only, got '$joinType': " +
         "the salted dim replication would duplicate unmatched dim rows for " +
         "right/full outer joins")
-    val saltedFact = fact.withColumn("_salt",
+    // collision-free working column: a fixed "_salt" would silently overwrite
+    // (and then drop) a user column of that name
+    val salt = s"__graft_salt_${java.util.UUID.randomUUID().toString.take(8)}"
+    val saltedFact = fact.withColumn(salt,
       pmod(xxhash64(col(key), monotonically_increasing_id()), lit(buckets.toLong)).cast("int"))
-    val explodedDim = dim.withColumn("_salt",
+    val explodedDim = dim.withColumn(salt,
       explode(sequence(lit(0), lit(buckets - 1))))
-    saltedFact.join(explodedDim, Seq(key, "_salt"), joinType).drop("_salt")
+    saltedFact.join(explodedDim, Seq(key, salt), joinType).drop(salt)
   }
 
   /**

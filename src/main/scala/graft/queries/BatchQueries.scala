@@ -551,9 +551,10 @@ object BatchQueries {
       |ORDER BY event_id""".stripMargin
 
   // ---------------------------------------------------------------- D18
-  /** Text analysis: tokenize, stopword-filter, top-20 words with tie-break. */
-  val d18Stopwords: Seq[String] =
-    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
+  /** Text analysis: tokenize, stopword-filter, top-20 words with tie-break.
+    * One shared stopword list with the quality/TF-IDF operators — two copies
+    * would silently drift and desynchronize the shared oracle semantics. */
+  val d18Stopwords: Seq[String] = graft.ops.TextAnalysis.qualityStopwords
 
   def d18WordTopK(spark: SparkSession, dir: String): DataFrame =
     documents(spark, dir)

@@ -14,9 +14,14 @@ import Tables._
 /** Input row for the typed sessionization path. */
 final case class SessionEvent(user_id: Long, event_id: Long, ts: Instant, value: Double)
 
-/** Open-session state for the streaming sessionizer (epoch-micro bounds,
-  * exact integer-cents sum). */
-final case class SessState(startMicros: Long, lastMicros: Long, n: Long, cents: Long)
+/** One open session: epoch-micro bounds, event count, and the value sum in
+  * exact 1e-4 units (DECIMAL(18,4)-equivalent integer accumulation). */
+final case class SessState(startMicros: Long, lastMicros: Long, n: Long, units: Long)
+
+/** Streaming-sessionizer state: ALL of a user's open sessions. A late (but
+  * in-watermark) event can bridge two of them, so a single-session state
+  * would have to emit eagerly and could never retract. */
+final case class SessVec(sessions: Seq[SessState])
 
 /** Output session for the typed sessionization path. */
 final case class UserSession(user_id: Long, session_start: String,
@@ -203,50 +208,60 @@ object StreamingOpsQueries {
       .orderBy("user_id", "session_start")
   }
 
-  /** Open-session state: boundaries in epoch micros, exact cents sum. */
   private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000
 
+  /** Value in exact 1e-4 units — the integer form of the oracle's
+    * `CAST(value AS DECIMAL(18,4))` accumulation (half-up, sign-correct;
+    * `math.round(v * 100)` would lose >2-decimal inputs and round negative
+    * ties toward +inf). */
+  private def valueUnits(v: Double): Long =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
+  /**
+   * Watermark-correct sessionization: the state is the user's full open
+   * interval set, new events enter as single-point sessions, and one
+   * gap-merge pass unifies everything — so a late-but-in-watermark event
+   * that arrives between (or before) open sessions extends or BRIDGES them
+   * instead of forcing an eager, unretractable emission. A session is
+   * emitted only when the watermark has passed `last + gap`: any event the
+   * watermark still admits has `t ≥ watermark ≥ last + gap`, which by the
+   * gap rule cannot extend or bridge it — emission is final by construction.
+   */
   private def sessionize(gapMicros: Long)(
       uid: Long, it: Iterator[SessionEvent],
-      state: GroupState[SessState]): Iterator[UserSession] = {
+      state: GroupState[SessVec]): Iterator[UserSession] = {
     def toSession(s: SessState): UserSession =
       UserSession(uid, microsFmt.format(Instant.ofEpochSecond(
         s.startMicros / 1000000L, (s.startMicros % 1000000L) * 1000)),
-        s.n, s.cents / 100.0)
+        s.n, s.units / 10000.0)
 
-    if (!it.hasNext) {
-      // timeout path: the watermark passed last + gap — the session is final
-      if (state.exists && state.hasTimedOut) {
-        val done = toSession(state.get)
-        state.remove()
-        Iterator.single(done)
-      } else Iterator.empty
-    } else {
-      val evs = it.toArray.sortBy(e => (micros(e.ts), e.event_id))
-      val out = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-      var cur = state.getOption
-      evs.foreach { e =>
-        val t = micros(e.ts)
-        val cents = math.round(e.value * 100)
-        cur match {
-          case Some(s) if t - s.lastMicros >= gapMicros =>
-            out += toSession(s)
-            cur = Some(SessState(t, t, 1, cents))
-          case Some(s) =>
-            // a late-but-admitted event can predate the open session's start
-            cur = Some(SessState(math.min(s.startMicros, t),
-              math.max(s.lastMicros, t), s.n + 1, s.cents + cents))
-          case None =>
-            cur = Some(SessState(t, t, 1, cents))
-        }
-      }
-      cur.foreach { s =>
-        state.update(s)
-        // fire once the watermark passes the session's gap horizon
-        state.setTimeoutTimestamp((s.lastMicros + gapMicros) / 1000L)
-      }
-      out.iterator
+    val existing = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+    val points = it.map { e =>
+      val t = micros(e.ts)
+      SessState(t, t, 1, valueUnits(e.value))
+    }.toSeq
+    // gap-merge in start order (strict `< gap`: a gap of exactly the
+    // timeout opens a new session, matching session_window / the oracle)
+    val merged = (existing ++ points)
+      .sortBy(s => (s.startMicros, s.lastMicros))
+      .foldLeft(List.empty[SessState]) {
+        case (cur :: rest, s) if s.startMicros - cur.lastMicros < gapMicros =>
+          SessState(cur.startMicros, math.max(cur.lastMicros, s.lastMicros),
+            cur.n + s.n, cur.units + s.units) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
+    val wmMicros = state.getCurrentWatermarkMs() * 1000L
+    val (done, open) = merged.partition(s => s.lastMicros + gapMicros <= wmMicros)
+    if (open.isEmpty) state.remove()
+    else {
+      state.update(SessVec(open))
+      // fire once the watermark passes the earliest open gap horizon
+      state.setTimeoutTimestamp((open.map(_.lastMicros).min + gapMicros) / 1000L)
     }
+    done.iterator.map(toSession)
   }
 
   // ---------------------------------------------------------------- d51

@@ -30,9 +30,24 @@ object Tables {
    */
   def scratchDir(label: String): java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
-      java.nio.file.Files.createTempDirectory(shm, s"graft-$label-")
-    else java.nio.file.Files.createTempDirectory(s"graft-$label-")
+    val dir =
+      if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm))
+        java.nio.file.Files.createTempDirectory(shm, s"graft-$label-")
+      else java.nio.file.Files.createTempDirectory(s"graft-$label-")
+    // tmpfs space is RAM: reclaim every scratch tree when the JVM exits
+    // (repeated bench/verify sessions would otherwise accumulate staged
+    // copies of the test tables until /dev/shm fills)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(p: java.nio.file.Path): Unit = {
+        if (java.nio.file.Files.isDirectory(p, java.nio.file.LinkOption.NOFOLLOW_LINKS)) {
+          val s = java.nio.file.Files.list(p)
+          try s.forEach(rm(_)) finally s.close()
+        }
+        java.nio.file.Files.deleteIfExists(p)
+      }
+      try rm(dir) catch { case _: Throwable => () }
+    }))
+    dir
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
