@@ -229,7 +229,7 @@ object StreamingOpsQueries {
    * watermark still admits has `t ≥ watermark ≥ last + gap`, which by the
    * gap rule cannot extend or bridge it — emission is final by construction.
    */
-  private def sessionize(gapMicros: Long)(
+  private[graft] def sessionize(gapMicros: Long)(
       uid: Long, it: Iterator[SessionEvent],
       state: GroupState[SessVec]): Iterator[UserSession] = {
     def toSession(s: SessState): UserSession =
