@@ -210,6 +210,21 @@ object StreamingOpsQueries {
 
   private def micros(i: Instant): Long = i.getEpochSecond * 1000000L + i.getNano / 1000
 
+  /** Pure gap-merge over a session/point set: sort by start, merge any
+    * interval whose start is strictly under `gap` past the running
+    * interval's last event (`>= gap` opens a new session, matching
+    * `session_window` and the gaps-and-islands oracle). Counts and unit
+    * sums are additive under merge, so the result is independent of how
+    * the input was previously grouped into sessions. */
+  private[graft] def mergeSessions(ss: Seq[SessState], gapMicros: Long): List[SessState] =
+    ss.sortBy(s => (s.startMicros, s.lastMicros))
+      .foldLeft(List.empty[SessState]) {
+        case (cur :: rest, s) if s.startMicros - cur.lastMicros < gapMicros =>
+          SessState(cur.startMicros, math.max(cur.lastMicros, s.lastMicros),
+            cur.n + s.n, cur.units + s.units) :: rest
+        case (acc, s) => s :: acc
+      }.reverse
+
   /** Value in exact 1e-4 units — the integer form of the oracle's
     * `CAST(value AS DECIMAL(18,4))` accumulation (half-up, sign-correct;
     * `math.round(v * 100)` would lose >2-decimal inputs and round negative
@@ -242,16 +257,7 @@ object StreamingOpsQueries {
       val t = micros(e.ts)
       SessState(t, t, 1, valueUnits(e.value))
     }.toSeq
-    // gap-merge in start order (strict `< gap`: a gap of exactly the
-    // timeout opens a new session, matching session_window / the oracle)
-    val merged = (existing ++ points)
-      .sortBy(s => (s.startMicros, s.lastMicros))
-      .foldLeft(List.empty[SessState]) {
-        case (cur :: rest, s) if s.startMicros - cur.lastMicros < gapMicros =>
-          SessState(cur.startMicros, math.max(cur.lastMicros, s.lastMicros),
-            cur.n + s.n, cur.units + s.units) :: rest
-        case (acc, s) => s :: acc
-      }.reverse
+    val merged = StreamingOpsQueries.mergeSessions(existing ++ points, gapMicros)
 
     val wmMicros = state.getCurrentWatermarkMs() * 1000L
     val (done, open) = merged.partition(s => s.lastMicros + gapMicros <= wmMicros)
