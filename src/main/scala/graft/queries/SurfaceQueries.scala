@@ -529,7 +529,10 @@ object SurfaceQueries {
   val d55Oracle: String =
     """SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity,
       |  COUNT(*) OVER w AS n_in_range,
-      |  SUM(CAST(l_quantity AS BIGINT)) OVER w AS qty_in_range
+      |  -- cast back to BIGINT: DuckDB SUM(BIGINT) yields HUGEINT, which
+      |  -- arrow/pandas-side hashing renders as float64 and hash-mismatches
+      |  -- Spark's long even when values are identical
+      |  CAST(SUM(CAST(l_quantity AS BIGINT)) OVER w AS BIGINT) AS qty_in_range
       |FROM lineitem
       |WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity
       |             RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)

@@ -62,6 +62,17 @@ def main():
             print(f"FAIL {name}: {e}")
             continue
 
+        # DuckDB SUM(BIGINT/INT) yields HUGEINT; the driver's arrow/pandas
+        # hashing path renders hugeint as float64 and mismatches Spark's
+        # long even when values are equal. Our fetchall() path converts both
+        # to Python int and would hide it — so flag hugeint outputs hard.
+        rel = con.sql(sql)
+        hige = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
+        if hige:
+            failures.append((name, f"oracle outputs HUGEINT cols {hige}"))
+            print(f"FAIL {name}: oracle outputs HUGEINT columns {hige} — CAST them to BIGINT")
+            continue
+
         if sorted(eng_cols) != sorted(ora_cols):
             failures.append((name, f"cols {sorted(eng_cols)} != {sorted(ora_cols)}"))
             print(f"FAIL {name}: column mismatch\n  engine {sorted(eng_cols)}\n  oracle {sorted(ora_cols)}")
