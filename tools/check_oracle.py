@@ -52,25 +52,26 @@ def main():
             print(f"FAIL {name}: engine result missing")
             continue
         try:
+            # DuckDB SUM(BIGINT/INT) yields HUGEINT; the driver's arrow/pandas
+            # hashing path renders hugeint as float64 and mismatches Spark's
+            # long even when values are equal. Our fetchall() path converts
+            # both to Python int and would hide it — so flag hugeint outputs
+            # hard, from the plan alone, before paying oracle execution.
+            rel = con.sql(sql)
+            hige = [c for c, t in zip(rel.columns, rel.types)
+                    if "HUGEINT" in str(t).upper()]
+            if hige:
+                failures.append((name, f"oracle outputs HUGEINT cols {hige}"))
+                print(f"FAIL {name}: oracle outputs HUGEINT columns {hige} — CAST them to BIGINT")
+                continue
             eng = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()
             eng_cols = [d[0] for d in con.description]
-            ora = con.execute(sql).fetchall()
-            ora_cols = [d[0] for d in con.description]
+            ora = rel.fetchall()
+            ora_cols = rel.columns
         except Exception as e:
             failures.append((name, f"error: {e}"))
             print(f"FAIL {name}: {e}")
-            continue
-
-        # DuckDB SUM(BIGINT/INT) yields HUGEINT; the driver's arrow/pandas
-        # hashing path renders hugeint as float64 and mismatches Spark's
-        # long even when values are equal. Our fetchall() path converts both
-        # to Python int and would hide it — so flag hugeint outputs hard.
-        rel = con.sql(sql)
-        hige = [c for c, t in zip(rel.columns, rel.types) if "HUGEINT" in str(t).upper()]
-        if hige:
-            failures.append((name, f"oracle outputs HUGEINT cols {hige}"))
-            print(f"FAIL {name}: oracle outputs HUGEINT columns {hige} — CAST them to BIGINT")
             continue
 
         if sorted(eng_cols) != sorted(ora_cols):
