@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep `sbt "runMain graft.Bench"` stdout machine-parseable: the bench
+// contract is ONE JSON line, and sbt's trailing "[success] Total time"
+// banner otherwise lands after it as the final stdout line.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+// ...and pass the forked JVM's stdout through unprefixed (the default
+// LoggedOutput strategy wraps every program line in "[info] ", which
+// breaks line-oriented JSON consumers).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
