@@ -1,0 +1,246 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/**
+ * Corpus-preparation operators for LLM training pipelines (north-star
+ * surface, continuing [[Dedup]]/[[TextAnalysis]]/[[Sampling]]): chunking,
+ * benchmark-contamination detection, vocabulary coverage, source mixing,
+ * PII redaction, and URL/domain extraction.
+ *
+ * Scale shape notes (100 TB): chunking and redaction are pure map-side
+ * column programs (no shuffle); contamination broadcasts the benchmark
+ * n-gram set (benchmarks are MBs, corpora are TBs); vocabulary coverage
+ * shuffles once on the token and the final cumulative window runs over the
+ * vocabulary (≪ corpus size); mixing is a map-side hash predicate under a
+ * single per-source count aggregation.
+ */
+object Corpus {
+
+  // ---------------------------------------------------------- n19 chunking
+  /**
+   * Overlapping fixed-width token-window chunking — the context-window
+   * splitter that turns documents into training sequences. One `split` per
+   * document (computed in the projection BELOW the generator, so the
+   * generator output references the array rather than recomputing it — see
+   * the HOF-re-evaluation note on [[Dedup.wordShingles]]), then one output
+   * row per (doc, window start). Chunks are reported as md5 digests: the
+   * driver compare stays compact and the digest pins the exact chunk text.
+   */
+  def chunkingQuery(spark: SparkSession, dir: String,
+                    window: Int = 32, stride: Int = 16): DataFrame = {
+    val words = split(col("text"), " ")
+    documents(spark, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), words.as("words"))
+      .select(col("doc_id"), col("words"),
+        posexplode(sequence(lit(0), size(col("words")) - 1, lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        least(lit(window), size(col("words")) - col("col")).cast("long").as("n_tokens"),
+        md5(array_join(slice(col("words"), col("col") + 1, lit(window)), " ")).as("chunk_digest"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def chunkingOracle(window: Int = 32, stride: Int = 16): String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS words
+       |  FROM documents WHERE doc_id < 100
+       |), s AS (
+       |  SELECT doc_id, words, unnest(range(0, len(words), $stride)) AS start
+       |  FROM w
+       |)
+       |SELECT doc_id,
+       |  start // $stride AS chunk_id,
+       |  CAST(least($window, len(words) - start) AS BIGINT) AS n_tokens,
+       |  md5(array_to_string(list_slice(words, start + 1, start + $window), ' ')) AS chunk_digest
+       |FROM s
+       |ORDER BY doc_id, chunk_id""".stripMargin
+
+  // ----------------------------------------------- n20 contamination check
+  /**
+   * Benchmark-contamination detection: flag corpus documents sharing any
+   * n-gram with a held-out benchmark set (here: `doc_id % 101 == 0` stands
+   * in for the benchmark; in production it's the eval suites). The
+   * benchmark side is tiny by construction, so its distinct n-gram set is
+   * BROADCAST — the corpus side stays map-side, no corpus shuffle before
+   * the per-document aggregation. Production uses 8–13-grams; the synthetic
+   * corpus draws from a ~31-word vocabulary, so 3-grams are used to give
+   * the gate nonzero overlap to actually verify.
+   */
+  def contaminationQuery(spark: SparkSession, dir: String): DataFrame = {
+    val grams = documents(spark, dir)
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 101 === 0)
+      .select(col("doc_id").as("bench_id"), col("gram"))
+    grams.filter(col("doc_id") % 101 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared_grams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy("doc_id")
+  }
+
+  /** 3-gram sets per document, distinct, tokens lowercased split on
+    * whitespace — mirrors [[Dedup.wordShingles]]. */
+  val contaminationOracle: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i + 2), ' ') AS gram
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(words) - 3 + 2)) AS i)
+      |)
+      |SELECT c.doc_id,
+      |  COUNT(DISTINCT c.gram) AS n_shared_grams,
+      |  COUNT(DISTINCT b.bench_id) AS n_bench_docs
+      |FROM g c
+      |JOIN (SELECT doc_id AS bench_id, gram FROM g WHERE doc_id % 101 = 0) b
+      |  ON c.gram = b.gram
+      |WHERE c.doc_id % 101 <> 0
+      |GROUP BY c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  // ------------------------------------------------ n21 vocabulary coverage
+  /**
+   * Vocabulary build with cumulative coverage: token frequencies plus the
+   * fraction of the corpus covered by the top-k tokens — the tokenizer-
+   * budget planning query. The cumulative fraction divides the exact
+   * integer cumulative count by the exact total (one IEEE division per row;
+   * a float cumsum would be order-dependent).
+   */
+  def vocabCoverageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val counts = documents(spark, dir)
+      .select(explode(split(lower(col("text")), "[^a-z]+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    val cum = Window.orderBy(desc("cnt"), col("word"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+      .withColumn("cum_frac",
+        col("cum_cnt").cast("double") / sum(col("cnt")).over(all).cast("double"))
+      .orderBy(desc("cnt"), col("word"))
+      .limit(50)
+  }
+
+  val vocabCoverageOracle: String =
+    """WITH c AS (
+      |  SELECT word, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word FROM documents)
+      |  WHERE word <> ''
+      |  GROUP BY word
+      |)
+      |SELECT word, cnt,
+      |  CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+      |  CAST(CAST(SUM(cnt) OVER (ORDER BY cnt DESC, word ROWS UNBOUNDED PRECEDING) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(cnt) OVER () AS BIGINT) AS DOUBLE) AS cum_frac
+      |FROM c
+      |ORDER BY cnt DESC, word
+      |LIMIT 50""".stripMargin
+
+  // --------------------------------------------------- n22 mixing weights
+  /**
+   * Deterministic source mixing: each source shard gets a sampling rate
+   * (derived here from the source id; in production from mixture weights),
+   * applied as a content-hash predicate — reproducible across reruns and
+   * partitionings, unlike RNG sampling. Map-side filter + one small
+   * per-source aggregation.
+   */
+  def mixingWeightsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val rate = (substring(col("source"), 4, 10).cast("int") % 5 + 1) * 10
+    val bucket = Sampling.hashBucket(col("doc_id"), "mix:")
+    documents(spark, dir)
+      .groupBy(col("source"), rate.cast("long").as("rate_pct"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(bucket < rate, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  val mixingWeightsOracle: String =
+    """SELECT source,
+      |  CAST((CAST(substring(source, 4) AS INT) % 5 + 1) * 10 AS BIGINT) AS rate_pct,
+      |  COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
+      |                     < (CAST(substring(source, 4) AS INT) % 5 + 1) * 10
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
+  // ----------------------------------------------------- n23 PII redaction
+  /**
+   * PII redaction: regexp-replace emails and phone numbers with typed
+   * placeholder tags, counting matches. The synthetic corpus carries no
+   * PII, so a deterministic contact line is appended per document first —
+   * the operator under test is the redaction pass (pure map-side column
+   * program, regex dialect restricted to the Java∩RE2 common subset).
+   */
+  def piiRedactQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emailRe = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val full = concat(col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" cc admin"), col("doc_id"), lit("@example.org"))).otherwise(lit("")),
+      lit(" or +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+    val redacted = regexp_replace(regexp_replace(full, emailRe, "<EMAIL>"),
+      phoneRe, "<PHONE>")
+    documents(spark, dir)
+      .select(col("doc_id"),
+        regexp_count(full, lit(emailRe)).cast("long").as("n_emails"),
+        regexp_count(full, lit(phoneRe)).cast("long").as("n_phones"),
+        md5(redacted).as("digest"))
+      .orderBy("doc_id")
+  }
+
+  val piiRedactOracle: String =
+    """WITH f AS (
+      |  SELECT doc_id,
+      |    text || ' contact user' || doc_id || '@example.com'
+      |      || CASE WHEN doc_id % 2 = 0 THEN ' cc admin' || doc_id || '@example.org' ELSE '' END
+      |      || ' or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(full_text, '[a-z0-9]+@[a-z]+\.[a-z]+')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(full_text, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_phones,
+      |  md5(regexp_replace(regexp_replace(full_text, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g'),
+      |                     '\+1-555-[0-9]{4}', '<PHONE>', 'g')) AS digest
+      |FROM f
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------ n24 domain extraction
+  /**
+   * URL parsing and per-domain aggregation — the crawl-curation primitive
+   * (domain-level filtering, dedup, and quota enforcement). `parse_url` is
+   * the native Catalyst expression; the synthetic URL embeds source + lang
+   * so the oracle can reconstruct the host by concatenation.
+   */
+  def domainExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val url = concat(lit("https://"), col("source"), lit(".example-"),
+      col("lang"), lit(".com/doc/"), col("doc_id"), lit("?ref="), col("source"))
+    documents(spark, dir)
+      .select(parse_url(url, lit("HOST")).as("host"),
+        parse_url(url, lit("PATH")).as("path"),
+        parse_url(url, lit("QUERY"), lit("ref")).as("ref"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("ref")).as("n_refs"),
+        min(col("path")).as("min_path"))
+      .orderBy("host")
+  }
+
+  val domainExtractOracle: String =
+    """SELECT source || '.example-' || lang || '.com' AS host,
+      |  COUNT(*) AS n_docs,
+      |  COUNT(DISTINCT source) AS n_refs,
+      |  MIN('/doc/' || doc_id) AS min_path
+      |FROM documents
+      |GROUP BY host
+      |ORDER BY host""".stripMargin
+}

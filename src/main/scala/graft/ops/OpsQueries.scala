@@ -32,6 +32,12 @@ object OpsQueries {
     "n16_repetition_stats" -> (TextAnalysis.repetitionStatsQuery _),
     "n17_multimodal_frames" -> (Multimodal.frameSampleQuery _),
     "n18_stratified_sample" -> (Sampling.stratifiedSampleQuery _),
+    "n19_chunking" -> ((s, d) => Corpus.chunkingQuery(s, d)),
+    "n20_contamination" -> (Corpus.contaminationQuery _),
+    "n21_vocab_coverage" -> (Corpus.vocabCoverageQuery _),
+    "n22_mixing_weights" -> (Corpus.mixingWeightsQuery _),
+    "n23_pii_redact" -> (Corpus.piiRedactQuery _),
+    "n24_domain_extract" -> (Corpus.domainExtractQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -51,5 +57,11 @@ object OpsQueries {
     "n16_repetition_stats" -> TextAnalysis.repetitionStatsOracle,
     "n17_multimodal_frames" -> Multimodal.frameSampleOracle,
     "n18_stratified_sample" -> Sampling.stratifiedSampleOracle,
+    "n19_chunking" -> Corpus.chunkingOracle(),
+    "n20_contamination" -> Corpus.contaminationOracle,
+    "n21_vocab_coverage" -> Corpus.vocabCoverageOracle,
+    "n22_mixing_weights" -> Corpus.mixingWeightsOracle,
+    "n23_pii_redact" -> Corpus.piiRedactOracle,
+    "n24_domain_extract" -> Corpus.domainExtractOracle,
   )
 }
