@@ -145,6 +145,33 @@ object FormatQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- d68
+  /** Mergeable DataSketches cardinality (Apache DataSketches HLL + Theta,
+    * native in Spark 4): per-key user cardinality estimates plus an
+    * `__all__` row built by UNIONING the per-key sketches — the property
+    * that makes sketches the 100 TB path (partial sketches merge across
+    * partitions/days/reruns in constant memory; exact distinct re-shuffles
+    * everything). Both sketch types are order-independent and therefore
+    * deterministic, but not DuckDB-expressible — rows-only driver check,
+    * with relative-error bounds vs exact asserted in `FormatQueriesSpec`. */
+  def d68Sketches(spark: SparkSession, dir: String): DataFrame = {
+    val perType = events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        expr("hll_sketch_agg(user_id)").as("hll"),
+        expr("theta_sketch_agg(user_id)").as("theta"))
+    val all = perType.agg(
+      sum(col("n_events")).as("n_events"),
+      expr("hll_union_agg(hll)").as("hll"),
+      expr("theta_union_agg(theta)").as("theta"))
+      .select(lit("__all__").as("event_type"), col("n_events"), col("hll"), col("theta"))
+    perType.unionByName(all)
+      .select(col("event_type"), col("n_events"),
+        expr("hll_sketch_estimate(hll)").as("approx_users_hll"),
+        expr("theta_sketch_estimate(theta)").as("approx_users_theta"))
+      .orderBy("event_type")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -152,6 +179,7 @@ object FormatQueries {
     "d65_text_source" -> (d65TextSource _),
     "d66_binary_source" -> (d66BinarySource _),
     "d67_variant" -> (d67Variant _),
+    "d68_sketches" -> (d68Sketches _),
   )
 
   val oracles: Map[String, String] = Map(
