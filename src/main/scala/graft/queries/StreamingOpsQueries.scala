@@ -10,6 +10,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 import Tables._
+import graft.ops.Upsert
 
 /** Input row for the typed sessionization path. */
 final case class SessionEvent(user_id: Long, event_id: Long, ts: Instant, value: Double)
@@ -409,6 +410,109 @@ object StreamingOpsQueries {
       |GROUP BY 1, 2, 3
       |ORDER BY topic, partition, event_type""".stripMargin
 
+  // ---------------------------------------------------------------- d69/d70
+  /**
+   * Update output mode (reference-documented surface, `docs/overview.md:265`)
+   * through its canonical sink pattern: each micro-batch emits only the
+   * CHANGED keys' current aggregate values, and foreachBatch upserts them
+   * into a keyed table ([[graft.ops.Upsert]] — the JDBC/Delta MERGE shape).
+   * The final table therefore equals the batch aggregate of all input, which
+   * is what the oracle checks. Versioned output dirs keep each merge
+   * immutable (read-prev / write-next, never overwrite-in-place).
+   */
+  def d69UpdateMode(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d69")
+    val ev = events(spark, dir)
+    writeFileSeq(Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2)), input)
+
+    val schema = spark.read.parquet(input.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input.toString)
+    val agg = stream
+      .groupBy(concat_ws("|", col("event_type"), (col("user_id") % 7).cast("string")).as("k"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000.0, 0).cast("long")).as("value_u"))
+    val last = new java.util.concurrent.atomic.AtomicReference[String]("")
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val cur = out.resolve(s"v$id").toString
+          val merged =
+            if (last.get.isEmpty) df
+            else Upsert.upsert(spark.read.parquet(last.get), df, "k")
+          merged.write.mode("overwrite").parquet(cur)
+          last.set(cur)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .queryName("graft:d69")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(last.get)
+      .select(col("k"), col("n"), (col("value_u").cast("double") / 10000.0).as("sum_value"))
+      .orderBy("k")
+  }
+
+  val d69Oracle: String =
+    """SELECT event_type || '|' || CAST(user_id % 7 AS VARCHAR) AS k,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin
+
+  /** Complete output mode: every micro-batch re-emits the ENTIRE aggregate
+    * state, and foreachBatch snapshots it (overwrite — the
+    * dashboard-refresh shape). The last snapshot equals the batch aggregate
+    * of all input. Complete mode only scales when the aggregate itself is
+    * small (key count, not input size — here 5 event types). */
+  def d70CompleteMode(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d70")
+    val ev = events(spark, dir)
+    writeFileSeq(Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2)), input)
+
+    val schema = spark.read.parquet(input.toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input.toString)
+    val agg = stream.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 10000.0, 0).cast("long")).as("value_u"))
+    val last = new java.util.concurrent.atomic.AtomicReference[String]("")
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = agg.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val cur = out.resolve(s"v$id").toString
+          df.write.mode("overwrite").parquet(cur)
+          last.set(cur)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("complete")
+        .queryName("graft:d70")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(last.get)
+      .select(col("event_type"), col("n"),
+        (col("value_u").cast("double") / 10000.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val d70Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, BatchQueries.QueryFn] = Map(
@@ -419,6 +523,8 @@ object StreamingOpsQueries {
     "d45_streaming_sessions" -> (d45StreamingSessions _),
     "d51_stream_stream_join" -> (d51StreamStreamJoin _),
     "d61_foreach_batch" -> (d61ForeachBatch _),
+    "d69_update_mode" -> (d69UpdateMode _),
+    "d70_complete_mode" -> (d70CompleteMode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -429,5 +535,7 @@ object StreamingOpsQueries {
     "d45_streaming_sessions" -> StreamingQueries.d22Oracle,
     "d51_stream_stream_join" -> d51Oracle,
     "d61_foreach_batch" -> d61Oracle,
+    "d69_update_mode" -> d69Oracle,
+    "d70_complete_mode" -> d70Oracle,
   )
 }
