@@ -28,6 +28,38 @@ final case class SessVec(sessions: Seq[SessState])
 final case class UserSession(user_id: Long, session_start: String,
                              n_events: Long, sum_value: Double)
 
+/** Input row for the transformWithState path: value pre-rounded to exact
+  * 1e-4 integer units (state must not accumulate order-dependent doubles). */
+final case class TypedEvent(event_type: String, value_u: Long)
+
+/** Running per-key totals emitted by [[TypeTotalsProcessor]]. */
+final case class TypeTotals(event_type: String, n: Long, value_u: Long)
+
+/**
+ * `StatefulProcessor` for the transformWithState API (Spark 4's successor
+ * to flatMapGroupsWithState): one `ValueState` cell of exact running totals
+ * per key, updated per micro-batch, emitting the key's current totals —
+ * update-mode semantics, composed downstream with an upsert sink.
+ */
+final class TypeTotalsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, TypedEvent, TypeTotals] {
+  import org.apache.spark.sql.streaming.{TimerValues, TTLConfig}
+  @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Long)] = _
+
+  override def init(outputMode: OutputMode,
+                    timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[(Long, Long)]("totals",
+      org.apache.spark.sql.Encoders.product[(Long, Long)], TTLConfig.NONE)
+
+  override def handleInputRows(key: String, rows: Iterator[TypedEvent],
+                               timerValues: TimerValues): Iterator[TypeTotals] = {
+    var (n, u) = if (totals.exists()) totals.get() else (0L, 0L)
+    rows.foreach { r => n += 1; u += r.value_u }
+    totals.update((n, u))
+    Iterator.single(TypeTotals(key, n, u))
+  }
+}
+
 /**
  * Streaming operator surface beyond the windowed-aggregation path
  * (SURVEY §2.2): stream-static joins, streaming deduplication, and custom
@@ -513,6 +545,69 @@ object StreamingOpsQueries {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- d71
+  /**
+   * transformWithState (Spark 4's arbitrary-state API, the successor to
+   * flatMapGroupsWithState): typed `ValueState` running totals per event
+   * type across a 3-file micro-batch replay, update-mode emissions upserted
+   * into a keyed table exactly like d69. Requires the RocksDB state store
+   * (the API's only supported provider — also the right provider at scale:
+   * state lives off-heap/on-disk, bounded by keys not heap).
+   */
+  def d71TransformWithState(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (input, out, ckpt) = tempDirs("d71")
+    val ev = events(spark, dir)
+    writeFileSeq(Seq(
+      ev.filter(col("event_id") % 3 === 0),
+      ev.filter(col("event_id") % 3 === 1),
+      ev.filter(col("event_id") % 3 === 2)), input)
+
+    val schema = spark.read.parquet(input.toString).schema
+    val typed = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(input.toString)
+      .select(col("event_type"),
+        round(col("value") * 10000.0, 0).cast("long").as("value_u"))
+      .as[TypedEvent]
+    val updates = typed.groupByKey(_.event_type)
+      .transformWithState(new TypeTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Update())
+      .toDF()
+
+    val last = new java.util.concurrent.atomic.AtomicReference[String]("")
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try StreamingQueries.withStatePartitions(spark, 8) {
+      val q = updates.writeStream
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          val cur = out.resolve(s"v$id").toString
+          val merged =
+            if (last.get.isEmpty) df
+            else Upsert.upsert(spark.read.parquet(last.get), df, "event_type")
+          merged.write.mode("overwrite").parquet(cur)
+          last.set(cur)
+        }
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("update")
+        .queryName("graft:d71")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally prevProvider match {
+      case Some(v) => spark.conf.set(providerKey, v)
+      case None => spark.conf.unset(providerKey)
+    }
+    spark.read.parquet(last.get)
+      .select(col("event_type"), col("n"),
+        (col("value_u").cast("double") / 10000.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  // same final-state contract as d70's complete-mode aggregate
+  val d71Oracle: String = d70Oracle
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, BatchQueries.QueryFn] = Map(
@@ -525,6 +620,7 @@ object StreamingOpsQueries {
     "d61_foreach_batch" -> (d61ForeachBatch _),
     "d69_update_mode" -> (d69UpdateMode _),
     "d70_complete_mode" -> (d70CompleteMode _),
+    "d71_transform_with_state" -> (d71TransformWithState _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -537,5 +633,6 @@ object StreamingOpsQueries {
     "d61_foreach_batch" -> d61Oracle,
     "d69_update_mode" -> d69Oracle,
     "d70_complete_mode" -> d70Oracle,
+    "d71_transform_with_state" -> d71Oracle,
   )
 }
