@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import Tables._
+
+/**
+ * Runtime/catalog surface closure (SURVEY §2.2): observed metrics, on-disk
+ * partition layout with pruning, the DataFrameWriterV2 + session-catalog
+ * path, and user-defined scalar/aggregate functions — each oracle-checked.
+ */
+object RuntimeQueries {
+
+  import BatchQueries.QueryFn
+
+  // ---------------------------------------------------------------- d72
+  /** Observed metrics (`Dataset.observe` + `Observation`): accumulator-based
+    * dataset metrics collected during a pass, with NO second scan — the
+    * in-flight data-quality counters of a production pipeline. The observed
+    * values are returned as the result row and checked against the oracle's
+    * full aggregate of the same input. */
+  def d72Observe(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val obs = new org.apache.spark.sql.Observation("d72")
+    events(spark, dir)
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(round(col("value") * 10000.0, 0).cast("long")).as("value_u"),
+        min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long],
+      m("value_u").asInstanceOf[Long] / 10000.0,
+      m("min_id").asInstanceOf[Long],
+      m("max_id").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_value", "min_id", "max_id")
+  }
+
+  val d72Oracle: String =
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value,
+      |  MIN(event_id) AS min_id,
+      |  MAX(event_id) AS max_id
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- d73
+  /** Hive-style partitioned data layout: events written `partitionBy`
+    * (event_type directories), read back with a partition predicate that
+    * must prune at FILE LISTING time — the physical-layout half of
+    * partition pruning (`PlanShapeSpec` asserts the pruned scan). At 100 TB
+    * the partition column IS the dominant access path; an unpartitioned
+    * layout re-lists and re-reads everything. */
+  def d73PartitionedLayout(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Tables.scratchDir("d73").resolve("by_type")
+    events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(staging.toString)
+    partitionedRead(spark, staging.toString)
+  }
+
+  /** The read half, callable on an existing layout (used by the plan spec). */
+  private[graft] def partitionedRead(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 10000.0, 0).cast("long")).cast("double") / 10000.0).as("sum_value"))
+      .orderBy("event_type")
+
+  val d73Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events
+      |WHERE event_type IN ('click', 'purchase')
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- d74
+  /** DataFrameWriterV2 + session catalog: `writeTo(...).using("parquet")`
+    * CTAS with an explicit location property, then query through
+    * `spark.table` — the catalog-managed-table path the reference's managed
+    * Delta tables (R4) resolve through. Fresh location per invocation keeps
+    * reruns idempotent (the session catalog's parquet tables are v1, which
+    * rejects `writeTo().append()` and RTAS — CTAS `.create()` after a drop
+    * IS the supported v2 write). */
+  def d74WriteTo(spark: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratchDir("d74").resolve("tbl")
+    spark.sql("DROP TABLE IF EXISTS graft_d74")
+    orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .writeTo("graft_d74").using("parquet")
+      .tableProperty("location", loc.toString)
+      .create()
+    spark.table("graft_d74")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  val d74Oracle: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  // ---------------------------------------------------------------- d76
+  /** Typed sum-of-squares for the UDAF registration path. */
+  private val sumSq: Aggregator[Long, Long, Long] = new Aggregator[Long, Long, Long] {
+    def zero: Long = 0L
+    def reduce(b: Long, a: Long): Long = b + a * a
+    def merge(a: Long, b: Long): Long = a + b
+    def finish(r: Long): Long = r
+    def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+    def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
+  /** User-defined scalar + aggregate functions, registered and invoked
+    * through SQL: a vowel-count UDF and a sum-of-squares UDAF
+    * (`functions.udaf`). UDFs are the LAST resort in this engine (opaque to
+    * Catalyst: no pushdown through them, no codegen) — this query exists to
+    * close the §2.2 UDF/UDAF surface row, not as a pattern to copy; every
+    * other query uses native expressions. */
+  def d76Udf(spark: SparkSession, dir: String): DataFrame = {
+    spark.udf.register("graft_vowels",
+      udf((s: String) => if (s == null) 0L else s.toLowerCase.count("aeiou".contains(_)).toLong))
+    spark.udf.register("graft_sumsq", udaf(sumSq))
+    part(spark, dir).createOrReplaceTempView("part_d76")
+    spark.sql(
+      """SELECT p_brand,
+        |  CAST(SUM(graft_vowels(p_name)) AS BIGINT) AS n_vowels,
+        |  graft_sumsq(p_partkey) AS sumsq_key
+        |FROM part_d76
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin)
+  }
+
+  val d76Oracle: String =
+    """SELECT p_brand,
+      |  CAST(SUM(len(regexp_extract_all(lower(p_name), '[aeiou]'))) AS BIGINT) AS n_vowels,
+      |  CAST(SUM(p_partkey * p_partkey) AS BIGINT) AS sumsq_key
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, QueryFn] = Map(
+    "d72_observe" -> (d72Observe _),
+    "d73_partitioned_layout" -> (d73PartitionedLayout _),
+    "d74_writeto_catalog" -> (d74WriteTo _),
+    "d76_udf_udaf" -> (d76Udf _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "d72_observe" -> d72Oracle,
+    "d73_partitioned_layout" -> d73Oracle,
+    "d74_writeto_catalog" -> d74Oracle,
+    "d76_udf_udaf" -> d76Oracle,
+  )
+}

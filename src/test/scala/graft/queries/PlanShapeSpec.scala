@@ -41,6 +41,23 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("PushedFilters") && p.contains("GreaterThan(o_totalprice"), p)
   }
 
+  test("d73: the event_type predicate prunes partitions at the scan") {
+    import org.apache.spark.sql.functions.col
+    val staging = Tables.scratchDir("d73spec").resolve("by_type")
+    Tables.events(spark, T.sf0001)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(staging.toString)
+    val p = RuntimeQueries.partitionedRead(spark, staging.toString)
+      .queryExecution.executedPlan.toString
+    val scan = p.linesIterator.find(_.contains("PartitionFilters")).get
+    val partFilters = scan.split("PartitionFilters: \\[")(1).split("]")(0)
+    assert(partFilters.contains("event_type"), scan)
+    // the predicate must NOT land in the row-level pushed filters: pruning
+    // happens at listing time, before any file is opened
+    val pushed = scan.split("PushedFilters: \\[")(1).split("]")(0)
+    assert(!pushed.contains("event_type"), scan)
+  }
+
   test("whole-stage codegen covers the d01 aggregation pipeline") {
     // AQE only materializes codegen stages in the final plan — execute first
     val df = graft.SparkEntry.queries("d01_pricing_summary")(spark, T.sf0001)
