@@ -107,7 +107,7 @@ object RuntimeQueries {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
-  // ---------------------------------------------------------------- d76
+  // ---------------------------------------------------------------- d75
   /** Typed sum-of-squares for the UDAF registration path. */
   private val sumSq: Aggregator[Long, Long, Long] = new Aggregator[Long, Long, Long] {
     def zero: Long = 0L
@@ -124,21 +124,21 @@ object RuntimeQueries {
     * Catalyst: no pushdown through them, no codegen) — this query exists to
     * close the §2.2 UDF/UDAF surface row, not as a pattern to copy; every
     * other query uses native expressions. */
-  def d76Udf(spark: SparkSession, dir: String): DataFrame = {
+  def d75Udf(spark: SparkSession, dir: String): DataFrame = {
     spark.udf.register("graft_vowels",
       udf((s: String) => if (s == null) 0L else s.toLowerCase.count("aeiou".contains(_)).toLong))
     spark.udf.register("graft_sumsq", udaf(sumSq))
-    part(spark, dir).createOrReplaceTempView("part_d76")
+    part(spark, dir).createOrReplaceTempView("part_d75")
     spark.sql(
       """SELECT p_brand,
         |  CAST(SUM(graft_vowels(p_name)) AS BIGINT) AS n_vowels,
         |  graft_sumsq(p_partkey) AS sumsq_key
-        |FROM part_d76
+        |FROM part_d75
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin)
   }
 
-  val d76Oracle: String =
+  val d75Oracle: String =
     """SELECT p_brand,
       |  CAST(SUM(len(regexp_extract_all(lower(p_name), '[aeiou]'))) AS BIGINT) AS n_vowels,
       |  CAST(SUM(p_partkey * p_partkey) AS BIGINT) AS sumsq_key
@@ -152,13 +152,13 @@ object RuntimeQueries {
     "d72_observe" -> (d72Observe _),
     "d73_partitioned_layout" -> (d73PartitionedLayout _),
     "d74_writeto_catalog" -> (d74WriteTo _),
-    "d76_udf_udaf" -> (d76Udf _),
+    "d75_udf_udaf" -> (d75Udf _),
   )
 
   val oracles: Map[String, String] = Map(
     "d72_observe" -> d72Oracle,
     "d73_partitioned_layout" -> d73Oracle,
     "d74_writeto_catalog" -> d74Oracle,
-    "d76_udf_udaf" -> d76Oracle,
+    "d75_udf_udaf" -> d75Oracle,
   )
 }
