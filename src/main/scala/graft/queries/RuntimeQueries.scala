@@ -80,7 +80,9 @@ object RuntimeQueries {
 
   // ---------------------------------------------------------------- d74
   /** DataFrameWriterV2 + session catalog: `writeTo(...).using("parquet")`
-    * CTAS with an explicit location property, then query through
+    * CTAS with an explicit path option (an EXTERNAL table — the reserved
+    * "location" table property is silently ignored by the v1 fallback and
+    * would land the table under spark-warehouse), then query through
     * `spark.table` — the catalog-managed-table path the reference's managed
     * Delta tables (R4) resolve through. Fresh location per invocation keeps
     * reruns idempotent (the session catalog's parquet tables are v1, which
@@ -92,7 +94,7 @@ object RuntimeQueries {
     orders(spark, dir)
       .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       .writeTo("graft_d74").using("parquet")
-      .tableProperty("location", loc.toString)
+      .option("path", loc.toString)
       .create()
     spark.table("graft_d74")
       .groupBy("o_orderstatus")

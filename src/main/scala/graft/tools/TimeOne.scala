@@ -9,6 +9,8 @@ object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args.head
     val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
