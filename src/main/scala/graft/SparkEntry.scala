@@ -2,7 +2,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
 import graft.ops.OpsQueries
-import graft.queries.{BatchQueries, ExtendedQueries, FormatQueries, RuntimeQueries, StreamingOpsQueries, StreamingQueries, SurfaceQueries}
+import graft.queries.{BatchQueries, ExtendedQueries, FormatQueries, ModernSqlQueries, RuntimeQueries, StreamingOpsQueries, StreamingQueries, SurfaceQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,13 +14,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     BatchQueries.queries ++ ExtendedQueries.queries ++ SurfaceQueries.queries ++
-      FormatQueries.queries ++ RuntimeQueries.queries ++
+      FormatQueries.queries ++ RuntimeQueries.queries ++ ModernSqlQueries.queries ++
       StreamingQueries.queries ++ StreamingOpsQueries.queries ++ OpsQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     BatchQueries.oracles ++ ExtendedQueries.oracles ++ SurfaceQueries.oracles ++
-      FormatQueries.oracles ++ RuntimeQueries.oracles ++
+      FormatQueries.oracles ++ RuntimeQueries.oracles ++ ModernSqlQueries.oracles ++
       StreamingQueries.oracles ++ StreamingOpsQueries.oracles ++ OpsQueries.oracles
 }
