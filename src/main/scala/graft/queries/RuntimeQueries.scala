@@ -148,6 +148,42 @@ object RuntimeQueries {
       |GROUP BY p_brand
       |ORDER BY p_brand""".stripMargin
 
+  // ---------------------------------------------------------------- d86
+  /** Clustered-table declaration (`writeTo(...).clusterBy(...)`, the
+    * liquid-clustering-style layout hint): CTAS records the clustering
+    * columns in the catalog (`clusteringColumns` table property — asserted
+    * in `RuntimeQueriesSpec`), and the data is written pre-sorted on the
+    * clustering key so scans over a key range touch a contiguous file
+    * subset. With the Delta/Iceberg connectors the same declaration drives
+    * incremental re-clustering; the parquet v1 fallback keeps the metadata +
+    * sorted layout. */
+  def d86ClusterBy(spark: SparkSession, dir: String): DataFrame = {
+    val loc = Tables.scratchDir("d86").resolve("tbl")
+    spark.sql("DROP TABLE IF EXISTS graft_d86")
+    lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+        col("l_returnflag"))
+      .sortWithinPartitions("l_returnflag", "l_orderkey")
+      .writeTo("graft_d86").using("parquet")
+      .option("path", loc.toString)
+      .clusterBy("l_returnflag")
+      .create()
+    spark.table("graft_d86")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("l_quantity") * 100, 0).cast("long")).as("qty_c"))
+      .orderBy("l_returnflag")
+  }
+
+  val d86Oracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_quantity * 100, 0) AS BIGINT)) AS BIGINT) AS qty_c
+      |FROM lineitem
+      |WHERE l_returnflag = 'R'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -155,6 +191,7 @@ object RuntimeQueries {
     "d73_partitioned_layout" -> (d73PartitionedLayout _),
     "d74_writeto_catalog" -> (d74WriteTo _),
     "d75_udf_udaf" -> (d75Udf _),
+    "d86_clusterby" -> (d86ClusterBy _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,5 +199,6 @@ object RuntimeQueries {
     "d73_partitioned_layout" -> d73Oracle,
     "d74_writeto_catalog" -> d74Oracle,
     "d75_udf_udaf" -> d75Oracle,
+    "d86_clusterby" -> d86Oracle,
   )
 }

@@ -608,6 +608,95 @@ object StreamingOpsQueries {
   // same final-state contract as d70's complete-mode aggregate
   val d71Oracle: String = d70Oracle
 
+  // ---------------------------------------------------------------- d87
+  /** Row-level `foreach` sink (`ForeachWriter`, the per-row cousin of d61's
+    * foreachBatch): each executor partition opens its own output file keyed
+    * (partitionId, epochId) — the idempotent naming contract the sink API is
+    * built around — writes one line per row, and the files are read back and
+    * aggregated. This is the integration point for row-oriented external
+    * systems (key-value stores, message queues) that have no DataFrame
+    * writer. */
+  def d87ForeachWriter(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d87")
+    Files.createDirectories(out)
+    writeFileSeq(Seq(events(spark, dir)
+      .select(col("event_id"),
+        round(col("value") * 10000, 0).cast("long").as("value_u"))), input)
+    val outDir = out.toString
+    val writer = new org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+      @transient private var w: java.io.Writer = _
+      override def open(partitionId: Long, epochId: Long): Boolean = {
+        // (partitionId, epochId) names the file: a replayed epoch overwrites
+        // its own output instead of duplicating it (at-least-once → exactly-
+        // once under deterministic partitioning)
+        w = Files.newBufferedWriter(
+          Path.of(outDir, s"p$partitionId-e$epochId.csv"))
+        true
+      }
+      override def process(r: org.apache.spark.sql.Row): Unit =
+        w.write(s"${r.getLong(0)},${r.getLong(1)}\n")
+      override def close(errorOrNull: Throwable): Unit = if (w != null) w.close()
+    }
+    val schema = spark.read.parquet(input.toString).schema
+    val q = spark.readStream.schema(schema).parquet(input.toString)
+      .writeStream.foreach(writer)
+      .option("checkpointLocation", ckpt.toString)
+      .queryName("graft:d87")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.schema("event_id LONG, value_u LONG").csv(outDir)
+      .agg(count(lit(1)).as("n"), min(col("event_id")).as("min_id"),
+        max(col("event_id")).as("max_id"),
+        (sum(col("value_u")).cast("double") / 10000.0).as("sum_value"))
+  }
+
+  val d87Oracle: String =
+    """SELECT COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id,
+      |  CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events""".stripMargin
+
+  // ---------------------------------------------------------------- d88
+  /** Streaming into a catalog-managed table (`writeStream.toTable`): the
+    * streaming counterpart of d74's batch CTAS — micro-batches append to a
+    * session-catalog parquet table created on first start, queried back
+    * through `spark.table`. */
+  def d88StreamToTable(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d88")
+    spark.sql("DROP TABLE IF EXISTS graft_d88")
+    // pre-created EXTERNAL table (explicit scratch location): toTable on a
+    // fresh name would create a MANAGED table under spark.sql.warehouse.dir,
+    // which lands in the caller's cwd when the session doesn't override it
+    // (the d74 lesson); appending to an existing table uses its location
+    spark.sql(
+      s"""CREATE TABLE graft_d88 (event_id BIGINT, event_type STRING, value_u BIGINT)
+         |USING parquet LOCATION '${out.toString}'""".stripMargin)
+    writeFileSeq(Seq(events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        round(col("value") * 10000, 0).cast("long").as("value_u"))), input)
+    val schema = spark.read.parquet(input.toString).schema
+    val q = spark.readStream.schema(schema).parquet(input.toString)
+      .writeStream
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append")
+      .queryName("graft:d88")
+      .trigger(Trigger.AvailableNow())
+      .toTable("graft_d88")
+    q.awaitTermination()
+    spark.table("graft_d88")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(col("value_u")).cast("double") / 10000.0).as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val d88Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 10000, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, BatchQueries.QueryFn] = Map(
@@ -621,6 +710,8 @@ object StreamingOpsQueries {
     "d69_update_mode" -> (d69UpdateMode _),
     "d70_complete_mode" -> (d70CompleteMode _),
     "d71_transform_with_state" -> (d71TransformWithState _),
+    "d87_foreach_writer" -> (d87ForeachWriter _),
+    "d88_stream_totable" -> (d88StreamToTable _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -634,5 +725,7 @@ object StreamingOpsQueries {
     "d69_update_mode" -> d69Oracle,
     "d70_complete_mode" -> d70Oracle,
     "d71_transform_with_state" -> d71Oracle,
+    "d87_foreach_writer" -> d87Oracle,
+    "d88_stream_totable" -> d88Oracle,
   )
 }

@@ -58,6 +58,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pushed.contains("event_type"), scan)
   }
 
+  test("SQL join-strategy and distribution hints reach the physical plan") {
+    Tables.orders(spark, T.sf0001).createOrReplaceTempView("v_hints_o")
+    Tables.customer(spark, T.sf0001).createOrReplaceTempView("v_hints_c")
+    // BROADCAST forces a broadcast join even where sizes wouldn't pick one
+    val bhj = spark.sql(
+      """SELECT /*+ BROADCAST(c) */ c.c_mktsegment, COUNT(*) AS n
+        |FROM v_hints_o o JOIN v_hints_c c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(bhj.contains("BroadcastHashJoin"), bhj)
+    // MERGE forces sort-merge on the same join
+    val smj = spark.sql(
+      """SELECT /*+ MERGE(c) */ c.c_mktsegment, COUNT(*) AS n
+        |FROM v_hints_o o JOIN v_hints_c c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1""".stripMargin)
+      .queryExecution.executedPlan.toString
+    assert(smj.contains("SortMergeJoin"), smj)
+    // REPARTITION hint lands a user-requested shuffle with the asked width
+    val rep = spark.sql(
+      "SELECT /*+ REPARTITION(7, o_custkey) */ o_orderkey FROM v_hints_o")
+      .queryExecution.executedPlan.toString
+    assert(rep.contains("REPARTITION_BY_NUM") && rep.contains("hashpartitioning(o_custkey"), rep)
+    // REBALANCE plans an AQE-managed output rebalance
+    val reb = spark.sql(
+      "SELECT /*+ REBALANCE(o_orderpriority) */ o_orderkey, o_orderpriority FROM v_hints_o")
+      .queryExecution.executedPlan.toString
+    assert(reb.contains("REBALANCE"), reb)
+  }
+
   test("whole-stage codegen covers the d01 aggregation pipeline") {
     // AQE only materializes codegen stages in the final plan — execute first
     val df = graft.SparkEntry.queries("d01_pricing_summary")(spark, T.sf0001)
