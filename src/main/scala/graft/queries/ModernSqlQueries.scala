@@ -298,6 +298,61 @@ object ModernSqlQueries {
       |GROUP BY r_name
       |ORDER BY r_name, members, n_nations""".stripMargin
 
+  // ---------------------------------------------------------------- d89
+  /** ANSI-safe `try_*` functions: division by zero, bigint overflow,
+    * out-of-bounds array access, and unparseable timestamps each yield NULL
+    * instead of failing the job — the row-level error containment a 100 TB
+    * batch needs (one malformed row must not kill a 6-hour job). */
+  def d89TryFuncs(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .select(col("o_orderkey"),
+        try_divide(col("o_totalprice"), (col("o_custkey") % 10).cast("double"))
+          .as("safe_ratio"),
+        try_multiply(col("o_orderkey") % 100, lit(200000000000000000L))
+          .as("safe_product"),
+        try_element_at(split(col("o_orderpriority"), "-"), lit(3))
+          .as("safe_elem"),
+        try_to_timestamp(col("o_orderstatus")).cast("string").as("bad_ts"),
+        try_to_timestamp(concat(lit("2024-01-0"), (col("o_orderkey") % 9 + 1)))
+          .cast("string").as("good_ts"))
+      .orderBy("o_orderkey")
+
+  val d89Oracle: String =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_custkey % 10 = 0 THEN NULL
+      |       ELSE o_totalprice / CAST(o_custkey % 10 AS DOUBLE) END AS safe_ratio,
+      |  CASE WHEN o_orderkey % 100 > 46 THEN NULL
+      |       ELSE (o_orderkey % 100) * 200000000000000000 END AS safe_product,
+      |  string_split(o_orderpriority, '-')[3] AS safe_elem,
+      |  strftime(TRY_CAST(o_orderstatus AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bad_ts,
+      |  strftime(TRY_CAST('2024-01-0' || CAST(o_orderkey % 9 + 1 AS VARCHAR) AS TIMESTAMP),
+      |           '%Y-%m-%d %H:%M:%S') AS good_ts
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- d90
+  /** Exact distinct counting via bitmap aggregates (bitmap_bucket_number /
+    * bitmap_bit_position / bitmap_construct_agg / bitmap_count): keys fold
+    * into fixed-width per-bucket bitmaps that merge associatively, so the
+    * shuffle carries one 4 KB bitmap per (group, bucket) instead of every
+    * raw key — the mergeable-exact-distinct structure that replaces
+    * `COUNT(DISTINCT)`'s key re-shuffle at warehouse scale. */
+  def d90BitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        bitmap_bucket_number(col("o_custkey")).as("bucket"))
+      .agg(bitmap_construct_agg(bitmap_bit_position(col("o_custkey"))).as("bm"))
+      .groupBy("o_orderpriority")
+      .agg(sum(bitmap_count(col("bm"))).cast("long").as("n_distinct_cust"))
+      .orderBy("o_orderpriority")
+
+  val d90Oracle: String =
+    """SELECT o_orderpriority,
+      |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -311,6 +366,8 @@ object ModernSqlQueries {
     "d83_ignore_nulls" -> (d83IgnoreNulls _),
     "d84_datetime" -> (d84Datetime _),
     "d85_listagg" -> (d85Listagg _),
+    "d89_try_funcs" -> (d89TryFuncs _),
+    "d90_bitmap_distinct" -> (d90BitmapDistinct _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -324,5 +381,7 @@ object ModernSqlQueries {
     "d83_ignore_nulls" -> d83Oracle,
     "d84_datetime" -> d84Oracle,
     "d85_listagg" -> d85Oracle,
+    "d89_try_funcs" -> d89Oracle,
+    "d90_bitmap_distinct" -> d90Oracle,
   )
 }

@@ -140,6 +140,33 @@ object StreamingOpsQueries {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- d91
+  /** Streaming dedup with BOUNDED state (`dropDuplicatesWithinWatermark`):
+    * unlike d33's plain `dropDuplicates` (whose key state grows forever),
+    * the watermark evicts keys once they age out — the only dedup shape that
+    * survives an unbounded 100 TB stream. The replayed second file arrives
+    * one micro-batch later: its rows are dropped either as in-state
+    * duplicates or as late data, so the output is exactly the distinct event
+    * set either way. */
+  def d91StreamDedupWm(spark: SparkSession, dir: String): DataFrame = {
+    val (input, out, ckpt) = tempDirs("d91")
+    val ev = events(spark, dir)
+    writeFileSeq(Seq(ev, ev), input)
+    runStream(spark, input, out, ckpt, "d91", stream =>
+      stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("value"), tsString(col("ts")).as("ts")))
+      .orderBy("event_id")
+  }
+
+  // same distinct-set contract as d33
+  val d91Oracle: String =
+    """SELECT event_id, user_id, event_type, value,
+      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   // ---------------------------------------------------------------- d34
   private val microsFmt =
     DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(ZoneOffset.UTC)
@@ -712,6 +739,7 @@ object StreamingOpsQueries {
     "d71_transform_with_state" -> (d71TransformWithState _),
     "d87_foreach_writer" -> (d87ForeachWriter _),
     "d88_stream_totable" -> (d88StreamToTable _),
+    "d91_stream_dedup_wm" -> (d91StreamDedupWm _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -727,5 +755,6 @@ object StreamingOpsQueries {
     "d71_transform_with_state" -> d71Oracle,
     "d87_foreach_writer" -> d87Oracle,
     "d88_stream_totable" -> d88Oracle,
+    "d91_stream_dedup_wm" -> d91Oracle,
   )
 }
