@@ -308,8 +308,18 @@ object ModernSqlQueries {
       .select(col("o_orderkey"),
         try_divide(col("o_totalprice"), (col("o_custkey") % 10).cast("double"))
           .as("safe_ratio"),
-        try_multiply(col("o_orderkey") % 100, lit(200000000000000000L))
+        // overflow only at o_orderkey % 100 == 99 (~1% of rows): the JVM
+        // overflow path raises-and-catches per failing row, so a
+        // half-overflowing column costs ~100× the happy path (measured
+        // 1.4 s vs 0.1 s on 150k rows) while a rare-overflow probe pins the
+        // same NULL contract at none of the cost
+        try_multiply(col("o_orderkey") % 100, lit(93200000000000000L))
           .as("safe_product"),
+        // index 2 is in-bounds (priorities are 'N-WORD'), 3 is out-of-bounds:
+        // the in-bounds probe pins the 1-based indexing convention, the
+        // out-of-bounds one pins the NULL (vs error) contract
+        try_element_at(split(col("o_orderpriority"), "-"), lit(2))
+          .as("safe_elem2"),
         try_element_at(split(col("o_orderpriority"), "-"), lit(3))
           .as("safe_elem"),
         try_to_timestamp(col("o_orderstatus")).cast("string").as("bad_ts"),
@@ -321,8 +331,9 @@ object ModernSqlQueries {
     """SELECT o_orderkey,
       |  CASE WHEN o_custkey % 10 = 0 THEN NULL
       |       ELSE o_totalprice / CAST(o_custkey % 10 AS DOUBLE) END AS safe_ratio,
-      |  CASE WHEN o_orderkey % 100 > 46 THEN NULL
-      |       ELSE (o_orderkey % 100) * 200000000000000000 END AS safe_product,
+      |  CASE WHEN o_orderkey % 100 > 98 THEN NULL
+      |       ELSE (o_orderkey % 100) * 93200000000000000 END AS safe_product,
+      |  string_split(o_orderpriority, '-')[2] AS safe_elem2,
       |  string_split(o_orderpriority, '-')[3] AS safe_elem,
       |  strftime(TRY_CAST(o_orderstatus AS TIMESTAMP), '%Y-%m-%d %H:%M:%S') AS bad_ts,
       |  strftime(TRY_CAST('2024-01-0' || CAST(o_orderkey % 9 + 1 AS VARCHAR) AS TIMESTAMP),

@@ -161,11 +161,7 @@ object StreamingOpsQueries {
   }
 
   // same distinct-set contract as d33
-  val d91Oracle: String =
-    """SELECT event_id, user_id, event_type, value,
-      |  strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts
-      |FROM events
-      |ORDER BY event_id""".stripMargin
+  val d91Oracle: String = d33Oracle
 
   // ---------------------------------------------------------------- d34
   private val microsFmt =
@@ -690,6 +686,9 @@ object StreamingOpsQueries {
     * through `spark.table`. */
   def d88StreamToTable(spark: SparkSession, dir: String): DataFrame = {
     val (input, out, ckpt) = tempDirs("d88")
+    // pre-create the location: Spark probes it for _spark_metadata at table
+    // resolution, and a missing directory logs a spurious stacktrace
+    Files.createDirectories(out)
     spark.sql("DROP TABLE IF EXISTS graft_d88")
     // pre-created EXTERNAL table (explicit scratch location): toTable on a
     // fresh name would create a MANAGED table under spark.sql.warehouse.dir,
