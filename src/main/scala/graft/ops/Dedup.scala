@@ -264,6 +264,45 @@ object Dedup {
   def simHashDedupQuery(spark: SparkSession, dir: String): DataFrame =
     simHashNearDupPairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
 
+  // ------------------------------------------------------- edit distance
+
+  /**
+   * Edit-distance near-dup pairs: candidates blocked on (lang, source) with
+   * a ±5-character length filter — edit distance ≥ |len(a) − len(b)|, so the
+   * length filter is a lossless lower-bound prune for the threshold — then
+   * verified with exact Levenshtein on the 80-char document heads (both
+   * engines implement the standard unit-cost edit distance, so the integer
+   * matches cell-exactly). The blocking keys are the shuffle keys; the n²
+   * blowup is contained to each (lang, source) block.
+   */
+  def editDistancePairs(docs: DataFrame, maxDist: Int = 20): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      col("n_chars"), substring(col("text"), 1, 80).as("head"))
+    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
+      col("n_chars").as("nc_a"), col("head").as("head_a"))
+    val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
+      col("n_chars").as("nc_b"), col("head").as("head_b"))
+    a.join(b, Seq("lang", "source"))
+      .filter(col("doc_a") < col("doc_b") &&
+        abs(col("nc_a") - col("nc_b")) <= 5)
+      .withColumn("edit_dist",
+        levenshtein(col("head_a"), col("head_b")).cast("long"))
+      .filter(col("edit_dist") <= maxDist)
+      .select("doc_a", "doc_b", "edit_dist")
+  }
+
+  def editDistanceQuery(spark: SparkSession, dir: String): DataFrame =
+    editDistancePairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  val editDistanceOracle: String =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
+      |FROM documents a JOIN documents b
+      |  ON a.lang = b.lang AND a.source = b.source
+      | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
+      |WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // -------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs: exact cosine ≥ threshold over all pairs.

@@ -38,6 +38,7 @@ object OpsQueries {
     "n22_mixing_weights" -> (Corpus.mixingWeightsQuery _),
     "n23_pii_redact" -> (Corpus.piiRedactQuery _),
     "n24_domain_extract" -> (Corpus.domainExtractQuery _),
+    "n25_edit_distance" -> (Dedup.editDistanceQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -63,5 +64,6 @@ object OpsQueries {
     "n22_mixing_weights" -> Corpus.mixingWeightsOracle,
     "n23_pii_redact" -> Corpus.piiRedactOracle,
     "n24_domain_extract" -> Corpus.domainExtractOracle,
+    "n25_edit_distance" -> Dedup.editDistanceOracle,
   )
 }

@@ -184,6 +184,46 @@ object RuntimeQueries {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- d92
+  /** Dynamic partition overwrite (`partitionOverwriteMode=dynamic`): a full
+    * partitioned layout, then an overwrite that carries only ONE partition's
+    * (filtered) rows — dynamic mode replaces just the partitions present in
+    * the write and leaves every other directory untouched, where static mode
+    * (the default) would wipe the whole table. The partition-scoped rewrite
+    * is how 100 TB tables absorb backfills: rewriting one day/type never
+    * touches (or re-lists) the rest. */
+  def d92DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
+    val staging = Tables.scratchDir("d92").resolve("by_type")
+    val ev = events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("value"), col("event_type"))
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(staging.toString)
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      // backfill: the click partition rewritten with only its high-value rows
+      ev.filter(col("event_type") === "click" && col("value") > 50.0)
+        .write.mode("overwrite").partitionBy("event_type").parquet(staging.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None => spark.conf.unset(modeKey)
+    }
+    spark.read.parquet(staging.toString)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 10000.0, 0).cast("long")).cast("double") / 10000.0)
+          .as("sum_value"))
+      .orderBy("event_type")
+  }
+
+  val d92Oracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(value * 10000.0, 0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_value
+      |FROM events
+      |WHERE event_type <> 'click' OR value > 50.0
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -192,6 +232,7 @@ object RuntimeQueries {
     "d74_writeto_catalog" -> (d74WriteTo _),
     "d75_udf_udaf" -> (d75Udf _),
     "d86_clusterby" -> (d86ClusterBy _),
+    "d92_dynamic_overwrite" -> (d92DynamicOverwrite _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -200,5 +241,6 @@ object RuntimeQueries {
     "d74_writeto_catalog" -> d74Oracle,
     "d75_udf_udaf" -> d75Oracle,
     "d86_clusterby" -> d86Oracle,
+    "d92_dynamic_overwrite" -> d92Oracle,
   )
 }
