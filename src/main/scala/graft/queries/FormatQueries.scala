@@ -172,6 +172,36 @@ object FormatQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- d93
+  /** `variant_explode` table function: an open-schema variant object fanned
+    * out into (pos, key, value) rows — the discovery path for heterogeneous
+    * payloads (d67 extracts KNOWN paths; this enumerates whatever is there).
+    * Values come back typed through try_variant_get per key; doubles are
+    * extracted as doubles (never rendered to JSON text, whose float
+    * formatting is engine-specific). */
+  def d93VariantExplode(spark: SparkSession, dir: String): DataFrame = {
+    events(spark, dir)
+      .select(col("event_id"), to_json(struct(
+        col("event_type").as("et"),
+        col("value").as("v"))).as("js"))
+      .createOrReplaceTempView("v_events_d93")
+    spark.sql(
+      """SELECT event_id, CAST(pos AS BIGINT) AS pos, key,
+        |  CASE WHEN key = 'et' THEN try_variant_get(value, '$', 'string') END AS sval,
+        |  CASE WHEN key = 'v' THEN try_variant_get(value, '$', 'double') END AS dval
+        |FROM v_events_d93,
+        |LATERAL variant_explode(parse_json(js))
+        |ORDER BY event_id, pos""".stripMargin)
+  }
+
+  val d93Oracle: String =
+    """SELECT event_id, 0 AS pos, 'et' AS key, event_type AS sval,
+      |  CAST(NULL AS DOUBLE) AS dval
+      |FROM events
+      |UNION ALL
+      |SELECT event_id, 1, 'v', NULL, value FROM events
+      |ORDER BY event_id, pos""".stripMargin
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -180,6 +210,7 @@ object FormatQueries {
     "d66_binary_source" -> (d66BinarySource _),
     "d67_variant" -> (d67Variant _),
     "d68_sketches" -> (d68Sketches _),
+    "d93_variant_explode" -> (d93VariantExplode _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -187,5 +218,6 @@ object FormatQueries {
     "d65_text_source" -> d65Oracle,
     "d66_binary_source" -> d66Oracle,
     "d67_variant" -> d67Oracle,
+    "d93_variant_explode" -> d93Oracle,
   )
 }

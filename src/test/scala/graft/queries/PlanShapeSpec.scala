@@ -58,6 +58,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!pushed.contains("event_type"), scan)
   }
 
+  test("d90: bitmap construction is partial-aggregated before the shuffle") {
+    val p = plan("d90_bitmap_distinct")
+    // map-side partial bitmaps must form BEFORE the exchange: the shuffle
+    // then carries one fixed-width bitmap per (group, bucket), not raw keys
+    assert(p.contains("partial_bitmap_construct_agg"), p)
+  }
+
   test("SQL join-strategy and distribution hints reach the physical plan") {
     Tables.orders(spark, T.sf0001).createOrReplaceTempView("v_hints_o")
     Tables.customer(spark, T.sf0001).createOrReplaceTempView("v_hints_c")
