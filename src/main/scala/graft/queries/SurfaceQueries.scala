@@ -70,7 +70,11 @@ object SurfaceQueries {
         max_by(col("o_orderkey"), ordKey).as("priciest_order"),
         min(col("o_totalprice")).as("min_price"),
         max(col("o_totalprice")).as("max_price"),
-        sqrt(varExact).as("stddev_price"))
+        // mirrored 2-decimal round: at sf0.1 the Σx² decimal exceeds 2^63
+        // and DuckDB's int128→double cast can land 1 ulp off Spark's
+        // (correctly-rounded) BigDecimal path; the round absorbs it (a
+        // 1-ulp input wiggle can't cross a 0.005 boundary here)
+        round(sqrt(varExact), 2).as("stddev_price"))
       .orderBy("o_orderpriority")
   }
 
@@ -86,10 +90,10 @@ object SurfaceQueries {
       |  max_by(o_orderkey, ord_key) AS priciest_order,
       |  MIN(o_totalprice) AS min_price,
       |  MAX(o_totalprice) AS max_price,
-      |  sqrt(((CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
+      |  round(sqrt(((CAST(SUM(CAST(c * c AS DECIMAL(38,0))) AS DOUBLE)
       |         - CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE)
       |           * CAST(SUM(CAST(c AS DECIMAL(18,0))) AS DOUBLE) / COUNT(*))
-      |        / (COUNT(*) - 1)) / 10000.0) AS stddev_price
+      |        / (COUNT(*) - 1)) / 10000.0), 2) AS stddev_price
       |FROM o
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
