@@ -267,13 +267,17 @@ object Dedup {
   // ------------------------------------------------------- edit distance
 
   /**
-   * Edit-distance near-dup pairs: candidates blocked on (lang, source) with
-   * a ±5-character length filter — edit distance ≥ |len(a) − len(b)|, so the
-   * length filter is a lossless lower-bound prune for the threshold — then
-   * verified with exact Levenshtein on the 80-char document heads (both
-   * engines implement the standard unit-cost edit distance, so the integer
-   * matches cell-exactly). The blocking keys are the shuffle keys; the n²
-   * blowup is contained to each (lang, source) block.
+   * Edit-distance near-dup pairs: candidates blocked on (lang, source) plus
+   * a ±5-character full-document length window — standard recall-oriented
+   * blocking (same-language, same-source, similar-length docs are where
+   * near-dups live), NOT a lossless prune: a pair differing by 6 characters
+   * of trailing content is never compared. Candidates are then verified
+   * with exact Levenshtein on the 80-char document heads (both engines
+   * implement the standard unit-cost edit distance, so the integer matches
+   * cell-exactly). The blocking keys are the shuffle keys; the n² blowup is
+   * contained to each block, which is what makes the operator affordable at
+   * corpus scale — widen the window (or add a shingle pre-join) to trade
+   * cost for recall.
    */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 20): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"), col("source"),
@@ -294,14 +298,16 @@ object Dedup {
   def editDistanceQuery(spark: SparkSession, dir: String): DataFrame =
     editDistancePairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
 
-  val editDistanceOracle: String =
-    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-      |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
-      |FROM documents a JOIN documents b
-      |  ON a.lang = b.lang AND a.source = b.source
-      | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
-      |WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= 20
-      |ORDER BY doc_a, doc_b""".stripMargin
+  /** Oracle parameterized on the same threshold as [[editDistancePairs]] —
+    * a non-default `maxDist` must flow to BOTH sides. */
+  def editDistanceOracle(maxDist: Int = 20): String =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) AS BIGINT) AS edit_dist
+       |FROM documents a JOIN documents b
+       |  ON a.lang = b.lang AND a.source = b.source
+       | AND a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 5
+       |WHERE levenshtein(substr(a.text, 1, 80), substr(b.text, 1, 80)) <= $maxDist
+       |ORDER BY doc_a, doc_b""".stripMargin
 
   // -------------------------------------------- embedding cosine near-dup
 

@@ -64,6 +64,6 @@ object OpsQueries {
     "n22_mixing_weights" -> Corpus.mixingWeightsOracle,
     "n23_pii_redact" -> Corpus.piiRedactOracle,
     "n24_domain_extract" -> Corpus.domainExtractOracle,
-    "n25_edit_distance" -> Dedup.editDistanceOracle,
+    "n25_edit_distance" -> Dedup.editDistanceOracle(),
   )
 }

@@ -183,7 +183,10 @@ object FormatQueries {
     events(spark, dir)
       .select(col("event_id"), to_json(struct(
         col("event_type").as("et"),
-        col("value").as("v"))).as("js"))
+        col("value").as("v")),
+        // keep null fields: the default silently DROPS a null key, which
+        // would emit one variant_explode row where the oracle emits two
+        Map("ignoreNullFields" -> "false")).as("js"))
       .createOrReplaceTempView("v_events_d93")
     spark.sql(
       """SELECT event_id, CAST(pos AS BIGINT) AS pos, key,
@@ -195,11 +198,11 @@ object FormatQueries {
   }
 
   val d93Oracle: String =
-    """SELECT event_id, 0 AS pos, 'et' AS key, event_type AS sval,
+    """SELECT event_id, CAST(0 AS BIGINT) AS pos, 'et' AS key, event_type AS sval,
       |  CAST(NULL AS DOUBLE) AS dval
       |FROM events
       |UNION ALL
-      |SELECT event_id, 1, 'v', NULL, value FROM events
+      |SELECT event_id, CAST(1 AS BIGINT), 'v', NULL, value FROM events
       |ORDER BY event_id, pos""".stripMargin
 
   // ---------------------------------------------------------------- registry

@@ -191,7 +191,11 @@ object RuntimeQueries {
     * the write and leaves every other directory untouched, where static mode
     * (the default) would wipe the whole table. The partition-scoped rewrite
     * is how 100 TB tables absorb backfills: rewriting one day/type never
-    * touches (or re-lists) the rest. */
+    * touches (or re-lists) the rest. Edge to respect when reusing the
+    * pattern: an EMPTY backfill frame carries zero partitions, so dynamic
+    * mode overwrites nothing and the stale partition survives — a caller
+    * that means "replace with nothing" must delete the partition
+    * explicitly (here the filtered click set is non-empty at every SF). */
   def d92DynamicOverwrite(spark: SparkSession, dir: String): DataFrame = {
     val staging = Tables.scratchDir("d92").resolve("by_type")
     val ev = events(spark, dir)

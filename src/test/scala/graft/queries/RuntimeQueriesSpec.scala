@@ -19,8 +19,7 @@ class RuntimeQueriesSpec extends AnyFunSuite {
     def files(pt: String): Map[String, Long] = {
       val dir = staging.resolve(s"event_type=$pt")
       val s = java.nio.file.Files.list(dir)
-      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-        .asScala.filter(_.toString.endsWith(".parquet"))
+      try s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
         .map(p => p.getFileName.toString ->
           java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
       finally s.close()
