@@ -267,26 +267,36 @@ object Dedup {
   // ------------------------------------------------------- edit distance
 
   /**
-   * Edit-distance near-dup pairs: candidates blocked on (lang, source) plus
-   * a ±5-character full-document length window — standard recall-oriented
-   * blocking (same-language, same-source, similar-length docs are where
-   * near-dups live), NOT a lossless prune: a pair differing by 6 characters
-   * of trailing content is never compared. Candidates are then verified
-   * with exact Levenshtein on the 80-char document heads (both engines
-   * implement the standard unit-cost edit distance, so the integer matches
-   * cell-exactly). The blocking keys are the shuffle keys; the n² blowup is
-   * contained to each block, which is what makes the operator affordable at
-   * corpus scale — widen the window (or add a shingle pre-join) to trade
-   * cost for recall.
+   * Edit-distance near-dup pairs: candidates blocked on (lang, source,
+   * length-bucket) plus a ±5-character full-document length window —
+   * standard recall-oriented blocking (same-language, same-source,
+   * similar-length docs are where near-dups live), NOT a lossless prune: a
+   * pair differing by 6 characters of trailing content is never compared.
+   * Candidates are then verified with exact Levenshtein on the 80-char
+   * document heads (both engines implement the standard unit-cost edit
+   * distance, so the integer matches cell-exactly).
+   *
+   * The length window is part of the JOIN KEY, not a post-join filter: one
+   * side keys on bucket = floor(n_chars/6), the other side emits
+   * {bucket−1, bucket, bucket+1}, so any |Δn_chars| ≤ 5 pair shares a key
+   * (bucket width 6 > window 5 ⇒ same or adjacent bucket) and each
+   * surviving ordered pair meets exactly once (the a-side emits a single
+   * key). A single (lang, source) block is n² internally at corpus scale;
+   * with the bucket in the shuffle key, block size is bounded by the local
+   * length-band population. The residual |Δ| ≤ 5 filter keeps the exact
+   * window semantics at bucket edges.
    */
   def editDistancePairs(docs: DataFrame, maxDist: Int = 20): DataFrame = {
     val d = docs.select(col("doc_id"), col("lang"), col("source"),
-      col("n_chars"), substring(col("text"), 1, 80).as("head"))
-    val a = d.select(col("lang"), col("source"), col("doc_id").as("doc_a"),
-      col("n_chars").as("nc_a"), col("head").as("head_a"))
+      col("n_chars"), floor(col("n_chars") / 6).as("bkt"),
+      substring(col("text"), 1, 80).as("head"))
+    val a = d.select(col("lang"), col("source"), col("bkt"),
+      col("doc_id").as("doc_a"), col("n_chars").as("nc_a"),
+      col("head").as("head_a"))
     val b = d.select(col("lang"), col("source"), col("doc_id").as("doc_b"),
-      col("n_chars").as("nc_b"), col("head").as("head_b"))
-    a.join(b, Seq("lang", "source"))
+        col("n_chars").as("nc_b"), col("head").as("head_b"),
+        explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("bkt"))
+    a.join(b, Seq("lang", "source", "bkt"))
       .filter(col("doc_a") < col("doc_b") &&
         abs(col("nc_a") - col("nc_b")) <= 5)
       .withColumn("edit_dist",
@@ -311,34 +321,68 @@ object Dedup {
 
   // -------------------------------------------- embedding cosine near-dup
 
-  /** Embedding near-dup pairs: exact cosine ≥ threshold over all pairs.
-    * The double fold matches the DuckDB oracle bit-for-bit (see D19).
-    * For the 100 TB path use [[Similarity]]'s LSH bucketing to prune pairs;
-    * this exact form is the verifier. */
-  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.45): DataFrame = {
-    // normalize once per vector behind a persist barrier, so the n² pair
-    // stage does a single dot-product per pair (cosine of unit vectors =
-    // dot product). The cast array and norm are bound to lambda variables —
-    // the naive `transform(dv, x => x / norm)` re-evaluates the norm fold
-    // (and the cast transform under it) per element, an O(dim²) per row
-    // interpretive blowup (see wordShingles). The pair-stage kernel is the
-    // codegen'd [[graft.functions.DotProduct]], bit-identical to the
-    // aggregate(zip_with(...)) fold it replaces.
-    val par = emb.sparkSession.sparkContext.defaultParallelism
-    val unitOf = element_at(transform(array(transform(col("embedding"),
-        x => x.cast("double"))), dv =>
+  /** Unit-normalized double vectors (vec_id, u), so the pair stage is a
+    * single dot product (cosine of unit vectors = dot product). The array
+    * and norm are bound to lambda variables — the naive
+    * `transform(dv, x => x / norm)` re-evaluates the norm fold (and any
+    * cast transform under it) per element, an O(dim²) per row interpretive
+    * blowup (see [[wordShingles]]). Input element type may be float or
+    * double; the cast is exact. */
+  private def unitVector(vecCol: Column): Column =
+    element_at(transform(array(transform(vecCol, x => x.cast("double"))), dv =>
       element_at(transform(array(sqrt(aggregate(dv, lit(0.0),
           (acc, x) => acc + x * x))), nrm =>
         transform(dv, x => x / nrm)), 1)), 1)
+
+  /**
+   * Embedding near-dup pairs: exact cosine ≥ threshold over all pairs,
+   * computed as a block-grid equi-join instead of a Cartesian product.
+   *
+   * Why not LSH candidates here: the 0.45 threshold sits inside the bulk of
+   * the random-pair cosine distribution of this table (measured at sf0.1:
+   * min qualifying cosine 0.45011 vs max non-qualifying 0.44974 — no gap),
+   * so any banding scheme that keeps recall=1 at the threshold admits ~95%
+   * of all pairs as candidates: the "prune" would be a cross join with
+   * extra shuffles. An exact threshold join over dense vectors with the
+   * threshold in the distribution bulk is inherently Ω(n²) comparisons; the
+   * scale question is therefore how the n² compare-space is *partitioned*,
+   * not whether it can be skipped. (When the threshold DOES separate — real
+   * near-dups at cosine ≥ 0.9 — use [[embeddingLshNearDupPairs]], the
+   * banded-candidates + exact-verify shape.)
+   *
+   * Block grid: each vector lands in block b = hash(vec_id) mod B; the pair
+   * space is the upper-triangular B×B grid of block pairs. The left side
+   * replicates each vector into grid cells (b, j≥b), the right side into
+   * (i≤b, b); an equi-join on the two-int cell key meets every unordered
+   * pair exactly once (strictly-upper cells one way; diagonal cells both
+   * ways, de-duped by the id filter). Per-task work is one cell = (n/B)²
+   * dot products over ~2·n/B cached unit vectors — bounded memory,
+   * uniformly distributed, plain shuffle-hash/sort-merge machinery, no
+   * CartesianProduct/BroadcastNestedLoop. Communication is O(n·B) vector
+   * copies; pick B ≈ sqrt(pairs-per-task-budget) at scale (B=8 here).
+   * The pair kernel is the codegen'd [[graft.functions.DotProduct]],
+   * bit-identical to the aggregate(zip_with(...)) fold it replaces.
+   */
+  def embeddingNearDupPairs(emb: DataFrame, threshold: Double = 0.45,
+                            blocks: Int = 8): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
     val unit = emb.repartition(par)
-      .select(col("vec_id"), unitOf.as("u"))
+      .select(col("vec_id"), unitVector(col("embedding")).as("u"),
+        pmod(xxhash64(col("vec_id")), lit(blocks)).cast("int").as("blk"))
       .persist()
-    val a = unit.select(col("vec_id").as("vec_a"), col("u").as("ua"))
-    val b = unit.select(col("vec_id").as("vec_b"), col("u").as("ub"))
-    a.crossJoin(b).filter(col("vec_a") < col("vec_b"))
-      .withColumn("cosine", graft.functions.DotProduct(col("ua"), col("ub")))
+    val left = unit
+      .select(col("vec_id").as("vec_x"), col("u").as("ux"), col("blk").as("bx"))
+      .withColumn("cj", explode(sequence(col("bx"), lit(blocks - 1))))
+    val right = unit
+      .select(col("vec_id").as("vec_y"), col("u").as("uy"), col("blk").as("by"))
+      .withColumn("ci", explode(sequence(lit(0), col("by"))))
+    left.join(right, col("bx") === col("ci") && col("cj") === col("by"))
+      .filter(col("bx") < col("by") ||
+        (col("bx") === col("by") && col("vec_x") < col("vec_y")))
+      .withColumn("cosine", graft.functions.DotProduct(col("ux"), col("uy")))
       .filter(col("cosine") >= threshold)
-      .select("vec_a", "vec_b", "cosine")
+      .select(least(col("vec_x"), col("vec_y")).as("vec_a"),
+        greatest(col("vec_x"), col("vec_y")).as("vec_b"), col("cosine"))
   }
 
   def embeddingNearDupQuery(spark: SparkSession, dir: String): DataFrame =
@@ -361,5 +405,119 @@ object Dedup {
       |SELECT vec_a, vec_b, cosine
       |FROM p
       |WHERE cosine >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ---------------------------------- embedding LSH-banded near-dup (n26)
+
+  /** Sign-random-projection banding geometry: 48 bands × 12 bits = 576
+    * fixed-seed Gaussian hyperplanes over the 64-dim embeddings. At the
+    * planted-pair cosine (≥ 0.992 measured, per-hyperplane agreement
+    * p = 1 − θ/π ≈ 0.960) the per-pair miss probability is
+    * (1 − p¹²)⁴⁸ ≈ 2e-20 — recall-complete in any practical sense — while
+    * an uncorrelated pair (cosine ≈ 0) collides in a band with probability
+    * 2⁻¹² , i.e. only ~1.2% of the n² pair space ever reaches the verify
+    * stage. */
+  private val LshPlaneBits = 12
+  private val LshPlaneBands = 48
+  private val EmbeddingDim = 64
+  private lazy val signPlanes: Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(20260812L)
+    Seq.fill(LshPlaneBands * LshPlaneBits)(Seq.fill(EmbeddingDim)(rnd.nextGaussian()))
+  }
+
+  /** Deterministically planted near-duplicates: a copy of every vector at
+    * vec_id + 1e6 with element i (1-based) shifted by (1/128)·((vec_id·31 +
+    * i) mod 7 − 3). Pure integer arithmetic scaled by an exact binary
+    * fraction, so Spark and DuckDB construct bit-identical doubles; the
+    * measured copy-to-original cosine is ≥ 0.992 and the max cross-pair
+    * background cosine ≤ 0.62 (sf0.1) — the separation real near-dup
+    * corpora have and the uniform-random embeddings table lacks. */
+  private val PlantOffset = 1000000L
+  private def plantedCopies(emb: DataFrame): DataFrame =
+    // two selects: with the shift and the re-key in ONE projection, lateral
+    // column alias resolution binds the col("vec_id") inside the lambda to
+    // the just-aliased vec_id + offset, silently shifting the k pattern
+    emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") + lit(0.0078125) *
+            (pmod(col("vec_id") * 31 + i + 1, lit(7)) - 3)).as("v"))
+      .select((col("vec_id") + lit(PlantOffset)).as("vec_id"), col("v"))
+
+  /**
+   * The banded-candidates + exact-verify near-dup shape (the n02/n03
+   * pattern applied to embeddings), demonstrated at a threshold where
+   * banding is genuinely recall-complete: documents ∪ planted near-dup
+   * copies ([[plantedCopies]]) → unit vectors → 48×12-bit sign-projection
+   * band hashes → explode bands → self-join on (band, bandHash) → distinct
+   * candidate pairs → exact codegen DotProduct verify at cosine ≥ 0.9.
+   *
+   * Scale shape: candidates are linear in documents × bands (each band key
+   * is one 64-bit hash — constant-width shuffle keys), the verify touches
+   * only colliding pairs (~1.2% of n² for uncorrelated data, see
+   * [[signPlanes]] for the 2e-20 miss bound), and nothing driver-side. The
+   * exact all-pairs form ([[embeddingNearDupPairs]]) stays the oracle-
+   * checkable verifier for thresholds inside the background distribution.
+   */
+  def embeddingLshNearDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"))
+    val all = base.unionByName(plantedCopies(emb)).repartition(par)
+    val unit = all.select(col("vec_id"), unitVector(col("v")).as("u")).persist()
+    // per-row: 576 sign bits (codegen DotProduct per hyperplane), packed
+    // into 48 12-bit band values. The bit array is bound to a lambda
+    // variable so the 576-dot-product transform runs ONCE per row — the
+    // naive slice(bits, ...) per band re-evaluates it 48× (see
+    // wordShingles on interpreted-HOF re-evaluation).
+    val planesLit = typedlit(signPlanes)
+    val bitsArr = transform(planesLit, p =>
+      when(graft.functions.DotProduct(col("u"), p) > 0, lit(1L)).otherwise(lit(0L)))
+    val bandVals = element_at(transform(array(bitsArr), ba =>
+      transform(sequence(lit(0), lit(LshPlaneBands - 1)), b =>
+        aggregate(slice(ba, b * LshPlaneBits + 1, lit(LshPlaneBits)), lit(0L),
+          (acc, bit) => acc * 2 + bit))), 1)
+    val banded = unit.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bh")))
+    val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    candidates
+      .join(unit.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
+      .join(unit.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
+      .withColumn("cosine", graft.functions.DotProduct(col("ua"), col("ub")))
+      .filter(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+
+  def embeddingLshDedupQuery(spark: SparkSession, dir: String): DataFrame =
+    embeddingLshNearDupPairs(embeddings(spark, dir)).orderBy("vec_a", "vec_b")
+
+  /** Exact all-pairs oracle over the same union-with-planted-copies
+    * construction (the CAST(0.0078125 AS DOUBLE) keeps DuckDB's decimal
+    * literal out of the arithmetic — both engines then do the identical
+    * double multiply/add; operands of % are non-negative so DuckDB's
+    * sign-of-dividend % equals Spark's pmod). */
+  val embeddingLshOracle: String =
+    """WITH base AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), pl AS (
+      |  SELECT vec_id + 1000000 AS vec_id, pv AS v, i FROM
+      |    (SELECT vec_id, v + CAST(0.0078125 AS DOUBLE) * ((vec_id*31 + i) % 7 - 3) AS pv, i FROM base)
+      |), ex AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM pl
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT vec_a, vec_b, cosine
+      |FROM p
+      |WHERE cosine >= 0.9
       |ORDER BY vec_a, vec_b""".stripMargin
 }

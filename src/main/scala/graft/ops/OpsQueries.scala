@@ -39,6 +39,7 @@ object OpsQueries {
     "n23_pii_redact" -> (Corpus.piiRedactQuery _),
     "n24_domain_extract" -> (Corpus.domainExtractQuery _),
     "n25_edit_distance" -> (Dedup.editDistanceQuery _),
+    "n26_embedding_lsh" -> (Dedup.embeddingLshDedupQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -65,5 +66,6 @@ object OpsQueries {
     "n23_pii_redact" -> Corpus.piiRedactOracle,
     "n24_domain_extract" -> Corpus.domainExtractOracle,
     "n25_edit_distance" -> Dedup.editDistanceOracle(),
+    "n26_embedding_lsh" -> Dedup.embeddingLshOracle,
   )
 }

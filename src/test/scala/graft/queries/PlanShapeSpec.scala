@@ -49,13 +49,72 @@ class PlanShapeSpec extends AnyFunSuite {
       .write.mode("overwrite").partitionBy("event_type").parquet(staging.toString)
     val p = RuntimeQueries.partitionedRead(spark, staging.toString)
       .queryExecution.executedPlan.toString
-    val scan = p.linesIterator.find(_.contains("PartitionFilters")).get
-    val partFilters = scan.split("PartitionFilters: \\[")(1).split("]")(0)
-    assert(partFilters.contains("event_type"), scan)
+    // match the two filter lists independently over the whole plan string:
+    // scan-description layout (one line vs wrapped) is a rendering detail,
+    // and a missing list should read as an assertion failure, not a
+    // NoSuchElementException from brittle split-indexing
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(partFilters.isDefined, s"no PartitionFilters list in plan:\n$p")
+    assert(partFilters.get.group(1).contains("event_type"), p)
     // the predicate must NOT land in the row-level pushed filters: pruning
     // happens at listing time, before any file is opened
-    val pushed = scan.split("PushedFilters: \\[")(1).split("]")(0)
-    assert(!pushed.contains("event_type"), scan)
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(pushed.isDefined, s"no PushedFilters list in plan:\n$p")
+    assert(!pushed.get.group(1).contains("event_type"), p)
+  }
+
+  // ---- dedup family: the candidate stages must stay bucketed at scale ----
+
+  /** The scale contract for every near-dup operator: candidate generation
+    * is an equi-join on constant-width keys (band hashes, block ids,
+    * length buckets) — never an unpruned pair space. A CartesianProduct or
+    * BroadcastNestedLoopJoin node anywhere in the plan means a non-equi
+    * pair stage sneaked back in. */
+  private def assertNoPairBlowup(name: String): String = {
+    val p = plan(name)
+    assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"$name plans a BroadcastNestedLoopJoin:\n$p")
+    p
+  }
+
+  test("n02 minhash: no cartesian; candidates shuffle on (band, bandhash)") {
+    val p = assertNoPairBlowup("n02_dedup_minhash_lsh")
+    assert("hashpartitioning\\(band#\\d+, bh#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"), // tiny sf may broadcast a side
+      s"n02 candidate join neither shuffles on (band, bh) nor broadcasts:\n$p")
+  }
+
+  test("n03 jaccard: no cartesian; inverted index joins on the shingle hash") {
+    val p = assertNoPairBlowup("n03_ngram_jaccard")
+    assert("hashpartitioning\\(sh#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n03 prefix join neither shuffles on sh nor broadcasts:\n$p")
+  }
+
+  test("n04 simhash: no cartesian (pigeonhole block join)") {
+    assertNoPairBlowup("n04_dedup_simhash")
+  }
+
+  test("n05 embedding exact: block-grid equi-join, no cartesian") {
+    val p = assertNoPairBlowup("n05_dedup_embedding")
+    // the grid join must be a real equi-join on the two-int cell key
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), s"n05 grid join missing:\n$p")
+  }
+
+  test("n25 edit distance: length bucket is part of the shuffle key") {
+    val p = assertNoPairBlowup("n25_edit_distance")
+    assert("hashpartitioning\\(lang#\\d+, source#\\d+, bkt#\\d+".r
+        .findFirstIn(p).isDefined || p.contains("BroadcastHashJoin"),
+      s"n25 does not shuffle on (lang, source, bkt):\n$p")
+  }
+
+  test("n26 embedding LSH: banded candidates, no cartesian") {
+    val p = assertNoPairBlowup("n26_embedding_lsh")
+    assert("hashpartitioning\\(band#\\d+, bh#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n26 candidate join neither shuffles on (band, bh) nor broadcasts:\n$p")
   }
 
   test("d90: bitmap construction is partial-aggregated before the shuffle") {
