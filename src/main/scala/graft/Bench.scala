@@ -59,7 +59,27 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // streaming-throughput probe: the D20 pipeline replayed over the same
+    // 10-file staged input at three admission settings — the micro-batch
+    // amortization curve (rows/s vs files-per-trigger). Reported as a
+    // separate object, NOT in `queries`: its unit is rows/s, and the
+    // per-query totals must stay a sum of seconds.
+    val tput =
+      try {
+        val input = queries.StreamingQueries.stageThroughputInput(spark, sfDir)
+        val points = Seq(1, 4, 10).map { mfpt =>
+          val (rows, secs) = queries.StreamingQueries.throughputProbe(spark, sfDir, input, mfpt)
+          val (rows2, secs2) = queries.StreamingQueries.throughputProbe(spark, sfDir, input, mfpt)
+          val best = math.min(secs, secs2)
+          s""""mfpt$mfpt":{"rows":${math.max(rows, rows2)},"sec":$best,"rows_per_sec":${(rows / best).toLong}}"""
+        }
+        points.mkString("{", ",", "}")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
+        "{}"
+      }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

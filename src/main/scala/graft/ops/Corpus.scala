@@ -161,12 +161,15 @@ object Corpus {
       .orderBy("source")
   }
 
+  /** The substring bound (4, 10) mirrors the Spark side textually: an
+    * unbounded oracle substring would silently diverge on a source id
+    * longer than 10 digits (Spark truncates, DuckDB would not). */
   val mixingWeightsOracle: String =
     """SELECT source,
-      |  CAST((CAST(substring(source, 4) AS INT) % 5 + 1) * 10 AS BIGINT) AS rate_pct,
+      |  CAST((CAST(substring(source, 4, 10) AS INT) % 5 + 1) * 10 AS BIGINT) AS rate_pct,
       |  COUNT(*) AS n_total,
       |  CAST(SUM(CASE WHEN CAST(('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) % 100
-      |                     < (CAST(substring(source, 4) AS INT) % 5 + 1) * 10
+      |                     < (CAST(substring(source, 4, 10) AS INT) % 5 + 1) * 10
       |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
       |FROM documents
       |GROUP BY source

@@ -464,18 +464,13 @@ object Dedup {
       transform(col("embedding"), x => x.cast("double")).as("v"))
     val all = base.unionByName(plantedCopies(emb)).repartition(par)
     val unit = all.select(col("vec_id"), unitVector(col("v")).as("u")).persist()
-    // per-row: 576 sign bits (codegen DotProduct per hyperplane), packed
-    // into 48 12-bit band values. The bit array is bound to a lambda
-    // variable so the 576-dot-product transform runs ONCE per row — the
-    // naive slice(bits, ...) per band re-evaluates it 48× (see
-    // wordShingles on interpreted-HOF re-evaluation).
-    val planesLit = typedlit(signPlanes)
-    val bitsArr = transform(planesLit, p =>
-      when(graft.functions.DotProduct(col("u"), p) > 0, lit(1L)).otherwise(lit(0L)))
-    val bandVals = element_at(transform(array(bitsArr), ba =>
-      transform(sequence(lit(0), lit(LshPlaneBands - 1)), b =>
-        aggregate(slice(ba, b * LshPlaneBits + 1, lit(LshPlaneBits)), lit(0L),
-          (acc, bit) => acc * 2 + bit))), 1)
+    // per-row: 576 sign bits packed into 48 12-bit band values by the
+    // codegen'd [[graft.functions.SignBandHashes]] kernel — the interpreted
+    // HOF formulation (transform over a planes literal + per-band
+    // slice/aggregate packing) paid lambda machinery on bands×bits×dim
+    // ≈ 37k steps per row and dominated this query's bench time
+    val bandVals = graft.functions.SignBandHashes(col("u"),
+      signPlanes.flatten.toArray, EmbeddingDim, LshPlaneBits, LshPlaneBands)
     val banded = unit.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bh")))
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") < col("y.vec_id"))

@@ -473,7 +473,11 @@ object StreamingOpsQueries {
    * into a keyed table ([[graft.ops.Upsert]] — the JDBC/Delta MERGE shape).
    * The final table therefore equals the batch aggregate of all input, which
    * is what the oracle checks. Versioned output dirs keep each merge
-   * immutable (read-prev / write-next, never overwrite-in-place).
+   * immutable AND retry-idempotent: the merge source is derived from the
+   * batch id (read v{id−1}, write v{id}), so a retried micro-batch re-reads
+   * the immutable previous version instead of the possibly partially
+   * written dir it is about to overwrite — a mutable last-written ref would
+   * self-read-overwrite on retry.
    */
   def d69UpdateMode(spark: SparkSession, dir: String): DataFrame = {
     val (input, out, ckpt) = tempDirs("d69")
@@ -496,8 +500,9 @@ object StreamingOpsQueries {
         .foreachBatch { (df: DataFrame, id: Long) =>
           val cur = out.resolve(s"v$id").toString
           val merged =
-            if (last.get.isEmpty) df
-            else Upsert.upsert(spark.read.parquet(last.get), df, "k")
+            if (id == 0L) df
+            else Upsert.upsert(
+              spark.read.parquet(out.resolve(s"v${id - 1}").toString), df, "k")
           merged.write.mode("overwrite").parquet(cur)
           last.set(cur)
         }
@@ -605,10 +610,13 @@ object StreamingOpsQueries {
     try StreamingQueries.withStatePartitions(spark, 8) {
       val q = updates.writeStream
         .foreachBatch { (df: DataFrame, id: Long) =>
+          // v{id-1} is immutable by the time batch id runs, so a retried
+          // batch re-merges from it idempotently (see d69 scaladoc)
           val cur = out.resolve(s"v$id").toString
           val merged =
-            if (last.get.isEmpty) df
-            else Upsert.upsert(spark.read.parquet(last.get), df, "event_type")
+            if (id == 0L) df
+            else Upsert.upsert(
+              spark.read.parquet(out.resolve(s"v${id - 1}").toString), df, "event_type")
           merged.write.mode("overwrite").parquet(cur)
           last.set(cur)
         }

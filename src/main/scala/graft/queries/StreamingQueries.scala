@@ -149,6 +149,67 @@ object StreamingQueries {
     sentinel.coalesce(1).write.mode("append").parquet(input.toString)
   }
 
+  // -------------------------------------------- throughput probe (bench)
+
+  /**
+   * Streaming-throughput probe (bench-only, not an oracle query): stage the
+   * events table as 10 time-ordered files, replay the D20 windowed pipeline
+   * at a given `maxFilesPerTrigger`, and return (inputRows, seconds) for
+   * the streaming query alone (staging excluded — production input already
+   * exists).
+   *
+   * The point is the micro-batch amortization curve: local-mode micro-batch
+   * cost is a fixed ~0.5 s/batch commit floor (offset/commit/state fsync),
+   * not data volume, so rows/s should scale near-linearly with
+   * files-per-trigger until batches become data-bound. That curve is the
+   * measured basis for the 100 TB posture: admission control
+   * (maxFilesPerTrigger/maxBytesPerTrigger) trades end-to-end latency
+   * against per-batch overhead amortization, and the same pipeline gains
+   * throughput by batching bigger, not by re-planning.
+   */
+  def throughputProbe(spark: SparkSession, dir: String,
+                      input: Path, mfpt: Int): (Long, Double) = {
+    val base = Tables.scratchDir(s"tput-run$mfpt")
+    val out = base.resolve("out")
+    val ckpt = base.resolve("ckpt")
+    // minus the sentinel row appended by stageInput
+    val rows = spark.read.parquet(input.toString).count() - 1
+    val evSchema = spark.read.parquet(input.toString).schema
+    val stream = spark.readStream.schema(evSchema)
+      .option("maxFilesPerTrigger", mfpt.toString).parquet(input.toString)
+    val agg = stream
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("sum_value"))
+      .select(tsSecondString(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+    val t0 = System.nanoTime()
+    withStatePartitions(spark, 8) {
+      val q = agg.writeStream.format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", ckpt.toString)
+        .outputMode("append")
+        .queryName(s"graft:tput$mfpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    val secs = (System.nanoTime() - t0) / 1e9
+    require(spark.read.parquet(out.toString)
+      .filter(col("window_start") < SentinelCutoff).count() > 0,
+      "throughput probe produced no windows")
+    (rows, secs)
+  }
+
+  /** Stage the probe input once (10 time-ordered chunk files + sentinel);
+    * shared by every maxFilesPerTrigger point so each point streams the
+    * identical file set. */
+  def stageThroughputInput(spark: SparkSession, dir: String): Path = {
+    val input = Tables.scratchDir("tput-input").resolve("input")
+    stageInput(spark, dir, input, chunks = 10, shuffled = false)
+    input
+  }
+
   // ---------------------------------------------------------------- D22
   /** Session windows: per-user sessions with a 30-minute gap. A new session
     * starts when the gap to the previous event is >= the timeout (Spark's
