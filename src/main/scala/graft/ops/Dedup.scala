@@ -407,6 +407,104 @@ object Dedup {
       |WHERE cosine >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  // ------------------------------------------- near-dup clustering (n27)
+
+  /**
+   * Connected components over the near-dup pair graph — the step an actual
+   * dedup pipeline runs AFTER pair generation: transitive near-dups form one
+   * cluster (A≈B, B≈C ⇒ {A,B,C} even when A,C were never compared), each
+   * cluster keeps one canonical document (its minimum doc_id).
+   *
+   * Algorithm: iterative min-label propagation. Every matched doc starts
+   * labeled with its own id; each round takes the min label over itself and
+   * its neighbors; fixpoint = components. Rounds needed = max cluster
+   * diameter, so cost is O(diameter) equi-join shuffles over the edge list —
+   * the standard large-graph CC shape (label propagation / small-star) that
+   * holds at corpus scale, where near-dup clusters are overwhelmingly tiny
+   * and diameters single-digit. The driver sees ONE scalar per round (the
+   * has-anything-changed existence check that controls the loop — the
+   * iterative-algorithm exception to the no-driver-materialization rule);
+   * labels/edges stay distributed throughout. A non-converged exit raises
+   * rather than returning partial labels.
+   */
+  def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
+                      maxIters: Int = 20): DataFrame = {
+    val pairs = minHashNearDupPairs(docs, threshold).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id")).persist()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+        .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
+      val next = labels.as("o")
+        .join(nbrMin.as("n"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"))
+        .persist()
+      val anyChanged = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = anyChanged == 0L
+      iter += 1
+    }
+    require(converged,
+      s"label propagation did not converge in $maxIters rounds — a cluster " +
+        "diameter exceeds the cap; raise maxIters rather than returning " +
+        "partial labels")
+    edges.unpersist()
+    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      (col("doc_id") === col("lbl")).as("is_canonical"))
+  }
+
+  def nearDupClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    nearDupClusters(documents(spark, dir)).orderBy("doc_id")
+
+  /** Transitive closure of the exact Jaccard pair join (same CTE chain as
+    * [[jaccardPairsOracle]]) via a recursive CTE, then min reachable id per
+    * doc — tractable in DuckDB because near-dup clusters are tiny. */
+  val nearDupClustersOracle: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w WHERE len(ws) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM ex x JOIN ex y USING (sh)
+      |  WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(shingles) AS sz FROM sh
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common
+      |  JOIN sz a ON a.doc_id = doc_a
+      |  JOIN sz b ON b.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS doc_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.doc_id
+      |)
+      |SELECT doc_id, MIN(r) AS cluster_id, doc_id = MIN(r) AS is_canonical
+      |FROM reach
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ---------------------------------- embedding LSH-banded near-dup (n26)
 
   /** Sign-random-projection banding geometry: 48 bands × 12 bits = 576

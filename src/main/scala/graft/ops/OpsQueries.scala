@@ -40,6 +40,8 @@ object OpsQueries {
     "n24_domain_extract" -> (Corpus.domainExtractQuery _),
     "n25_edit_distance" -> (Dedup.editDistanceQuery _),
     "n26_embedding_lsh" -> (Dedup.embeddingLshDedupQuery _),
+    "n27_dedup_clusters" -> (Dedup.nearDupClustersQuery _),
+    "n28_dup_span_stats" -> (TextAnalysis.dupSpanStatsQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,5 +69,7 @@ object OpsQueries {
     "n24_domain_extract" -> Corpus.domainExtractOracle,
     "n25_edit_distance" -> Dedup.editDistanceOracle(),
     "n26_embedding_lsh" -> Dedup.embeddingLshOracle,
+    "n27_dedup_clusters" -> Dedup.nearDupClustersOracle,
+    "n28_dup_span_stats" -> TextAnalysis.dupSpanStatsOracle,
   )
 }

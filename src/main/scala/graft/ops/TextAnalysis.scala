@@ -162,6 +162,66 @@ object TextAnalysis {
       |FROM s
       |ORDER BY doc_id""".stripMargin
 
+  // -------------------------------------- cross-doc duplicated spans (n28)
+
+  /**
+   * Cross-document duplicated-span fraction: per document, the share of its
+   * word 5-gram windows that also occur in at least one OTHER document —
+   * the span-level contamination signal behind substring-dedup pipelines
+   * (within-doc repetition is n16's job; this one needs the corpus-wide
+   * inverted index). Windows keep their multiplicity: a doc that repeats a
+   * cross-duplicated span counts it every time.
+   *
+   * Scale shape: windows are hashed to md5 immediately (constant-width
+   * shuffle key, mirrorable in the oracle), and "appears in another doc" is
+   * `min(doc_id) != max(doc_id)` per hash — one ordinary aggregate, NOT a
+   * count-distinct expansion. Two shuffles total (per-hash flag, per-doc
+   * stats); the window expression binds the split array to a lambda
+   * variable so the regex split runs once per row (see
+   * [[graft.ops.Dedup.wordShingles]]).
+   */
+  def dupSpanStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val gramsOf: Column => Column = ws => {
+      val grams = transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+      when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+    }
+    val grams = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), gramsOf), 1)
+    val hashed = documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val flags = hashed.groupBy("h")
+      .agg((min(col("doc_id")) =!= max(col("doc_id"))).as("is_cross"))
+    hashed.join(flags, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("is_cross").cast("long")).as("n_dup_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup_windows"),
+        (col("n_dup_windows").cast("double") / col("n_windows")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dupSpanStatsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest([md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |                ws[i+3] || ' ' || ws[i+4])
+      |            for i in range(1, len(ws) - 3)]) AS h
+      |  FROM w WHERE len(ws) >= 5
+      |), f AS (
+      |  SELECT h, MIN(doc_id) <> MAX(doc_id) AS is_cross FROM g GROUP BY h
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN is_cross THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+      |  CAST(SUM(CASE WHEN is_cross THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS dup_frac
+      |FROM g JOIN f USING (h)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ token counting
 
   /** Token counts: whitespace tokens, regex word-ish tokens (a BPE-style

@@ -33,6 +33,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out.filter(col("n_copies") =!= 2).count() == 0)
   }
 
+  test("near-dup clusters: endpoints of every pair share a cluster, canonical is the min") {
+    val docs = Tables.documents(spark, T.sf0001)
+    val pairs = Dedup.minHashNearDupPairs(docs)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.nearDupClusters(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    // both endpoints of every near-dup pair carry the same cluster id
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster id = min member id; canonical flag marks exactly that member
+    labels.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+      assert(members.count(_._2._2) == 1 && members(cid)._2,
+        s"cluster $cid canonical flag wrong")
+    }
+  }
+
+  test("cross-doc duplicated spans: bounded fractions, near-dup docs flagged") {
+    val stats = TextAnalysis.dupSpanStatsQuery(spark, T.sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats.nonEmpty)
+    stats.values.foreach { case (nw, nd, frac) =>
+      assert(nd >= 0 && nd <= nw)
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(math.abs(frac - nd.toDouble / nw) < 1e-15)
+    }
+    // docs with a 0.99-jaccard near-duplicate share almost all their windows
+    val planted = Dedup.ngramJaccardPairs(Tables.documents(spark, T.sf0001))
+      .select("doc_a", "doc_b").collect().flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    assert(planted.nonEmpty)
+    planted.foreach { d =>
+      assert(stats(d)._3 > 0.5, s"planted near-dup doc $d has dup_frac ${stats(d)._3}")
+    }
+  }
+
   test("ANN paths recover most of the exact top-5") {
     val exact = BatchQueries.d19CosineTopK(spark, T.sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -110,6 +110,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n25 does not shuffle on (lang, source, bkt):\n$p")
   }
 
+  test("n28 dup spans: no cartesian; the window index shuffles on the md5 hash") {
+    val p = assertNoPairBlowup("n28_dup_span_stats")
+    assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n28 flag join neither shuffles on h nor broadcasts:\n$p")
+  }
+
   test("n26 embedding LSH: banded candidates, no cartesian") {
     val p = assertNoPairBlowup("n26_embedding_lsh")
     assert("hashpartitioning\\(band#\\d+, bh#\\d+".r.findFirstIn(p).isDefined
