@@ -79,7 +79,10 @@ object Bench {
         System.err.println(s"[bench] throughput probe failed: ${e.getMessage}")
         "{}"
       }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"sf":"$sfDir"}""")
+    // total repeated at the END of the line: the driver stores only the
+    // tail of long stdout lines, and with 126 per-query entries the leading
+    // "value" field falls outside the kept window
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -113,7 +113,7 @@ object Dedup {
     val sh = docs.repartition(par)
       .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sh_hashes", array_sort(transform(col("shingles"), s => xxhash64(s))))
       .persist()
     val banded = sh
       .select(col("doc_id"),
@@ -129,16 +129,22 @@ object Dedup {
 
   /** Join candidate (doc_a, doc_b) pairs back to the persisted shingle table
     * and keep those with exact Jaccard ≥ threshold. Set intersection runs on
-    * the once-hashed longs (`sh_hashes`), not the shingle strings: long
-    * equality is a word compare where string equality walks bytes, and the
-    * per-element xxhash64 collision odds (~k²·2⁻⁶⁴ per document pair) are
-    * far below the testdata's planted-pair separation. */
+    * the once-hashed-and-sorted longs (`sh_hashes`), not the shingle
+    * strings: long equality is a word compare where string equality walks
+    * bytes, and the per-element xxhash64 collision odds (~k²·2⁻⁶⁴ per
+    * document pair) are far below the testdata's planted-pair separation.
+    * The count is the codegen'd two-pointer
+    * [[graft.functions.SortedIntersectCount]] — the interpreted
+    * `size(array_intersect(...))` builds a hash set and materializes the
+    * intersection per candidate pair, and was the verify stage's dominant
+    * cost on the n03 candidate stream. */
   private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
                             threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("n_common",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (size(col("sh_a")) + size(col("sh_b")) - col("n_common")))
@@ -172,7 +178,7 @@ object Dedup {
     val sh = docs.repartition(par)
       .select(col("doc_id"), wordShingles(col("text")).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .withColumn("sh_hashes", transform(col("shingles"), s => xxhash64(s)))
+      .withColumn("sh_hashes", array_sort(transform(col("shingles"), s => xxhash64(s))))
       .persist()
     val ex = sh.select(col("doc_id"), size(col("sh_hashes")).as("sz"),
       explode(col("sh_hashes")).as("sh"))
@@ -429,7 +435,11 @@ object Dedup {
    */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       maxIters: Int = 20): DataFrame = {
-    val pairs = minHashNearDupPairs(docs, threshold).select("doc_a", "doc_b")
+    // persist BEFORE the symmetric union: the two edge directions are two
+    // consumers of the pair pipeline, and without the barrier each one
+    // re-runs the candidate join + verify
+    val pairs = minHashNearDupPairs(docs, threshold)
+      .select("doc_a", "doc_b").persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -441,18 +451,23 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
         .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
-      val next = labels.as("o")
+      // the changed flag rides along in the propagation join — a separate
+      // next-vs-labels compare join would double the per-round shuffles
+      val step = labels.as("o")
         .join(nbrMin.as("n"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"))
+          least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"),
+          (col("n.nbr_lbl").isNotNull && col("n.nbr_lbl") < col("o.lbl")).as("chg"))
         .persist()
-      val anyChanged = next.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      val anyChanged = step.filter(col("chg")).limit(1).count()
       labels.unpersist()
-      labels = next
+      // keep the persisted frame itself (chg rides along unused) so the
+      // next round's unpersist targets the cached plan, not a projection
+      labels = step
       converged = anyChanged == 0L
       iter += 1
     }
+    pairs.unpersist()
     require(converged,
       s"label propagation did not converge in $maxIters rounds — a cluster " +
         "diameter exceeds the cap; raise maxIters rather than returning " +

@@ -42,6 +42,7 @@ object OpsQueries {
     "n26_embedding_lsh" -> (Dedup.embeddingLshDedupQuery _),
     "n27_dedup_clusters" -> (Dedup.nearDupClustersQuery _),
     "n28_dup_span_stats" -> (TextAnalysis.dupSpanStatsQuery _),
+    "n29_quality_quantile" -> (TextAnalysis.qualityQuantileQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -71,5 +72,6 @@ object OpsQueries {
     "n26_embedding_lsh" -> Dedup.embeddingLshOracle,
     "n27_dedup_clusters" -> Dedup.nearDupClustersOracle,
     "n28_dup_span_stats" -> TextAnalysis.dupSpanStatsOracle,
+    "n29_quality_quantile" -> TextAnalysis.qualityQuantileOracle,
   )
 }

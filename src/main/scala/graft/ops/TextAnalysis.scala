@@ -121,6 +121,67 @@ object TextAnalysis {
        |FROM c
        |ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------- quality quantile filtering (n29)
+
+  /**
+   * Per-language quality-quantile filtering: rank every document inside its
+   * language by the n09 quality score and keep the top 75% (percent_rank ≥
+   * 0.25) — the corpus-refinement stage that drops each language's worst
+   * quartile without a global threshold distorted by cross-language score
+   * distributions.
+   *
+   * percent_rank is rational arithmetic ((rank−1)/(n−1)) over a unique
+   * (score, doc_id) ordering, so both engines produce identical doubles —
+   * unlike interpolated percentile cutoffs, whose lerp formulas differ in
+   * ulps between engines. Scale note: the per-language window implies a
+   * per-language sort; at corpus scale replace the exact rank with
+   * approx_percentile cutoffs computed in one pass and broadcast back — the
+   * kept set then differs only within the approximation band around the
+   * cutoff. The exact window form is the oracle-checkable reference.
+   */
+  def qualityQuantileQuery(spark: SparkSession, dir: String): DataFrame = {
+    val text = col("text")
+    val ws = split(lower(text), "\\s+")
+    val nChars = length(text).cast("long")
+    val nWords = size(ws).cast("long")
+    val stopCnt = size(filter(ws, w => w.isInCollection(qualityStopwords))).cast("long")
+    val alphaCnt = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val score = least(nChars.cast("double") / lit(500.0), lit(1.0)) * 0.25 +
+      (stopCnt.cast("double") / nWords) * 0.25 +
+      (alphaCnt.cast("double") / nChars) * 0.25 +
+      least((alphaCnt.cast("double") / nWords) / lit(8.0), lit(1.0)) * 0.25
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("quality_score"), col("doc_id"))
+    documents(spark, dir)
+      .select(col("doc_id"), col("lang"), score.as("quality_score"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("kept", col("pr") >= 0.25)
+      .orderBy("doc_id")
+  }
+
+  val qualityQuantileOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          w -> w IN (${qualityStopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_cnt
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, lang,
+       |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.25
+       |      + (CAST(n_stopwords AS DOUBLE) / n_words) * 0.25
+       |      + (CAST(alpha_cnt AS DOUBLE) / n_chars) * 0.25
+       |      + least((CAST(alpha_cnt AS DOUBLE) / n_words) / 8.0, 1.0) * 0.25 AS quality_score
+       |  FROM c
+       |)
+       |SELECT doc_id, lang, quality_score,
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) AS pr,
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY quality_score, doc_id) >= 0.25 AS kept
+       |FROM s
+       |ORDER BY doc_id""".stripMargin
+
   // -------------------------------------------------- repetition signals
 
   /**

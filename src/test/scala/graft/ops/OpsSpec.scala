@@ -70,6 +70,22 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("quality quantile filter keeps ~75% of each language") {
+    val rows = TextAnalysis.qualityQuantileQuery(spark, T.sf0001)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(col("kept").cast("long")).as("n_kept"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      // percent_rank >= 0.25 keeps ceil(0.75·(n-1)) + 1-ish rows; allow the
+      // one-rank discretization wiggle on small per-language populations
+      val frac = kept.toDouble / n
+      assert(frac > 0.70 && frac < 0.80, s"lang ${r.getString(0)}: kept $kept/$n")
+    }
+  }
+
   test("ANN paths recover most of the exact top-5") {
     val exact = BatchQueries.d19CosineTopK(spark, T.sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet
