@@ -432,6 +432,12 @@ object Dedup {
    * iterative-algorithm exception to the no-driver-materialization rule);
    * labels/edges stay distributed throughout. A non-converged exit raises
    * rather than returning partial labels.
+   *
+   * Local bench cost is the iterative fixed floor, not data: pair
+   * generation (~1 s at sf0.1) plus diameter+1 rounds of three tiny
+   * shuffles each — the same per-round scheduling floor the streaming
+   * replays pay per micro-batch. At corpus scale those rounds amortize over
+   * billions of edges; rounds, not rows, are the local cost driver.
    */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       maxIters: Int = 20): DataFrame = {
