@@ -246,4 +246,146 @@ object Corpus {
       |FROM documents
       |GROUP BY host
       |ORDER BY host""".stripMargin
+
+  // ------------------------------------------------ n30 boilerplate n-grams
+  /**
+   * Source-scoped boilerplate detection (the CCNet/RefinedWeb "remove
+   * lines repeated across a domain" pass, at n-gram granularity since the
+   * synthetic corpus has no line structure): a bigram is boilerplate within
+   * its source when its document frequency reaches 20% of that source's
+   * documents, and each document reports the fraction of its windows that
+   * are boilerplate. Differs from [[TextAnalysis.dupSpanStatsQuery]] (n28)
+   * on both axes that matter to a cleaning pipeline: the index is
+   * source-scoped (a phrase every site repeats is boilerplate; a phrase two
+   * random docs share is near-dup signal), and the threshold is a document
+   * frequency, not mere co-occurrence.
+   *
+   * Scale shape: windows hash to md5 immediately (constant-width shuffle
+   * key, never gram text); DF is a distinct-then-count on (source, h) —
+   * two shuffles on the same key, no count-distinct expansion; the
+   * per-source doc count is a broadcast dim. The 20% threshold is the exact
+   * integer predicate `df*5 >= nd` — no float ratio to diverge on.
+   */
+  def boilerplateStatsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val gramsOf: Column => Column = w =>
+      when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+    // bind the split array to a lambda variable so the regex split runs
+    // once per row (the HOF re-evaluation trap — see Dedup.wordShingles)
+    val grams = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), gramsOf), 1)
+    val windows = documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(grams).as("g"))
+      .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
+    val df = windows.select("source", "h", "doc_id").distinct()
+      .groupBy("source", "h").agg(count(lit(1)).as("df"))
+    val nd = documents(spark, dir).groupBy("source").agg(count(lit(1)).as("nd"))
+    val flagged = df.join(broadcast(nd), "source")
+      .select(col("source"), col("h"), (col("df") * 5 >= col("nd")).as("is_bp"))
+    windows.join(flagged, Seq("source", "h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(col("is_bp").cast("long")).as("n_bp_windows"))
+      .select(col("doc_id"), col("n_windows"), col("n_bp_windows"),
+        (col("n_bp_windows").cast("double") / col("n_windows")).as("bp_frac"))
+      .orderBy("doc_id")
+  }
+
+  val boilerplateStatsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, source, string_split_regex(lower(text), '\s+') AS ws
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id, source, md5(ws[i] || ' ' || ws[i+1]) AS h
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+      |  WHERE len(ws) >= 2
+      |), df AS (
+      |  SELECT source, h, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT source, COUNT(*) AS nd FROM documents GROUP BY 1
+      |), f AS (
+      |  SELECT source, h, (df * 5 >= nd) AS is_bp FROM df JOIN nd USING (source)
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS BIGINT) AS n_bp_windows,
+      |  CAST(SUM(CASE WHEN is_bp THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS bp_frac
+      |FROM g JOIN f USING (source, h)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // -------------------------------------------- n31 temperature mixing
+  /**
+   * Temperature-scaled source mixing (T=2): the sampling distribution over
+   * sources is proportional to `n_docs^(1/T) = sqrt(n_docs)` — the standard
+   * flattening that keeps small sources from being drowned by large ones in
+   * a pre-training mixture. Per-doc acceptance is a deterministic md5
+   * bucket test, so the sample is reproducible across reruns and
+   * partitionings.
+   *
+   * Cross-engine exactness is engineered: the per-source weight is
+   * `floor(sqrt(n)·2^16)` — sqrt is correctly-rounded IEEE in both engines
+   * and ×2^16 only shifts the exponent — so weights, their integer sum, and
+   * the acceptance predicate `bucket·W·n_s < K·w_u·2^16` are all exact
+   * BIGINT arithmetic with no float-summation order sensitivity. Overflow
+   * headroom: the left side needs `2^16·W·n_s < 2^63`, i.e. `W·n_s <
+   * 1.4e14` — safe past 1e9 docs across 1e4 sources.
+   *
+   * Scale shape: one per-source count (tiny aggregate), weights totalled on
+   * that one-row-per-source frame, broadcast back; the acceptance test is a
+   * map-side predicate under a per-source count — the n22 shape with a
+   * principled rate.
+   */
+  def temperatureMixingQuery(spark: SparkSession, dir: String,
+                             budget: Int = 100): DataFrame = {
+    val docs = documents(spark, dir)
+    val perSource = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+      .select(col("source"), col("n_total"),
+        floor(sqrt(col("n_total").cast("double")) * 65536.0).as("w_u"))
+    // global weight total over the per-source frame (rows = #sources, not
+    // #docs — the empty-partition window is deliberate and tiny)
+    val withTotal = perSource.select(col("source"), col("n_total"), col("w_u"),
+      sum(col("w_u")).over(Window.partitionBy()).as("w_total"))
+    val bucket = conv(substring(
+      md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 65536
+    docs.select(col("doc_id"), col("source"), bucket.as("b"))
+      .join(broadcast(withTotal), "source")
+      .groupBy(col("source"), col("n_total"), col("w_u"), col("w_total"))
+      .agg(sum(when(
+        col("b") * col("w_total") * col("n_total") <
+          lit(budget.toLong) * col("w_u") * lit(65536L), 1L).otherwise(0L))
+        .as("n_kept"))
+      .select(col("source"), col("n_total"), col("w_u"), col("w_total"),
+        col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total")).as("kept_frac"))
+      .orderBy("source")
+  }
+
+  val temperatureMixingOracle: String =
+    """WITH n AS (
+      |  SELECT source, COUNT(*) AS n_total FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT source, n_total,
+      |    CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 65536.0) AS BIGINT) AS w_u
+      |  FROM n
+      |), t AS (
+      |  SELECT source, n_total, w_u,
+      |    CAST(SUM(w_u) OVER () AS BIGINT) AS w_total
+      |  FROM w
+      |), b AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(('0x' || substring(md5('temp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS UBIGINT) % 65536 AS BIGINT) AS b
+      |  FROM documents
+      |)
+      |SELECT t.source, t.n_total, t.w_u, t.w_total,
+      |  CAST(SUM(CASE WHEN b.b * t.w_total * t.n_total < 100 * t.w_u * 65536
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN b.b * t.w_total * t.n_total < 100 * t.w_u * 65536
+      |           THEN 1 ELSE 0 END) AS DOUBLE) / t.n_total AS kept_frac
+      |FROM b JOIN t USING (source)
+      |GROUP BY t.source, t.n_total, t.w_u, t.w_total
+      |ORDER BY t.source""".stripMargin
 }

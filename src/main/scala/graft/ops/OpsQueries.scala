@@ -43,6 +43,8 @@ object OpsQueries {
     "n27_dedup_clusters" -> (Dedup.nearDupClustersQuery _),
     "n28_dup_span_stats" -> (TextAnalysis.dupSpanStatsQuery _),
     "n29_quality_quantile" -> (TextAnalysis.qualityQuantileQuery _),
+    "n30_boilerplate" -> (Corpus.boilerplateStatsQuery _),
+    "n31_temperature_mix" -> ((s, d) => Corpus.temperatureMixingQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,5 +75,7 @@ object OpsQueries {
     "n27_dedup_clusters" -> Dedup.nearDupClustersOracle,
     "n28_dup_span_stats" -> TextAnalysis.dupSpanStatsOracle,
     "n29_quality_quantile" -> TextAnalysis.qualityQuantileOracle,
+    "n30_boilerplate" -> Corpus.boilerplateStatsOracle,
+    "n31_temperature_mix" -> Corpus.temperatureMixingOracle,
   )
 }

@@ -86,6 +86,37 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("boilerplate stats: bounded fractions, flag is source-scoped DF not co-occurrence") {
+    val rows = Corpus.boilerplateStatsQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nw, nbp, frac) =>
+      assert(nbp >= 0 && nbp <= nw)
+      assert(math.abs(frac - nbp.toDouble / nw) < 1e-15)
+    }
+    // a gram must clear 20% of its source's docs, not merely appear twice:
+    // the boilerplate window count is strictly below the n28-style
+    // "shared with any other doc" count summed over the same corpus
+    val anyShared = TextAnalysis.dupSpanStatsQuery(spark, T.sf0001)
+      .agg(sum("n_dup_windows")).collect()(0).getLong(0)
+    assert(rows.map(_._3).sum <= anyShared || anyShared == 0)
+  }
+
+  test("temperature mixing: exact integer weights, kept counts near the sqrt-flattened targets") {
+    val rows = Corpus.temperatureMixingQuery(spark, T.sf0001, budget = 20)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val wTotal = rows.head._4
+    rows.foreach { case (src, n, w, wt, kept) =>
+      assert(wt == wTotal, s"w_total differs for $src")
+      assert(w == math.floor(math.sqrt(n.toDouble) * 65536.0).toLong)
+      assert(kept >= 0 && kept <= n)
+    }
+    // the md5 buckets are uniform: total kept lands near the budget
+    val kept = rows.map(_._5).sum
+    assert(kept > 5 && kept < 40, s"total kept $kept vs budget 20")
+  }
+
   test("ANN paths recover most of the exact top-5") {
     val exact = BatchQueries.d19CosineTopK(spark, T.sf0001)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -124,6 +124,21 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n26 candidate join neither shuffles on (band, bh) nor broadcasts:\n$p")
   }
 
+  test("n30 boilerplate: DF index joins on (source, h), no cartesian") {
+    val p = assertNoPairBlowup("n30_boilerplate")
+    assert("hashpartitioning\\(source#\\d+, h#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n30 flag join neither shuffles on (source, h) nor broadcasts:\n$p")
+  }
+
+  test("n31 temperature mix: per-source weights broadcast, no cartesian") {
+    val p = assertNoPairBlowup("n31_temperature_mix")
+    // the per-source weight frame must come back as a broadcast dim — a
+    // shuffle of the full doc table against a 20-row frame would be wrong
+    assert(p.contains("BroadcastHashJoin"),
+      s"n31 weight join is not a broadcast:\n$p")
+  }
+
   test("d90: bitmap construction is partial-aggregated before the shuffle") {
     val p = plan("d90_bitmap_distinct")
     // map-side partial bitmaps must form BEFORE the exchange: the shuffle
