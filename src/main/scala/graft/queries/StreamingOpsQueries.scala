@@ -388,6 +388,93 @@ object StreamingOpsQueries {
       | AND p.ts <= c.ts + INTERVAL 30 MINUTE
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  // ---------------------------------------------------------------- d94
+  /**
+   * Stream-stream LEFT OUTER interval join — the semantics d51's inner
+   * join cannot express: a click with no purchase within its 30-minute
+   * window must still be emitted, null-padded, and that emission is
+   * watermark-driven state eviction (the row leaves the join state when
+   * the global watermark passes `click_ts + 30min`, proving no matching
+   * purchase can still arrive). Clicks above the final-watermark horizon
+   * stay in state and are never emitted — the oracle mirrors exactly that
+   * cutoff: `W = min(max click_ts, max purchase_ts) − 1h` (Spark's global
+   * watermark is the min across inputs), null rows only where
+   * `click_ts + 30min < W`. The matched rows are complete (inner-join
+   * portion emits as both sides arrive), so the whole result is
+   * deterministic despite the eviction asymmetry.
+   */
+  def d94StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.scratchDir("d94")
+    val ev = events(spark, dir)
+    val clickDir = base.resolve("clicks")
+    val purchaseDir = base.resolve("purchases")
+    ev.filter(col("event_type") === "click").coalesce(1)
+      .write.parquet(clickDir.toString)
+    ev.filter(col("event_type") === "purchase").coalesce(1)
+      .write.parquet(purchaseDir.toString)
+
+    def readStreamOf(p: Path, prefix: String) = {
+      val schema = spark.read.parquet(p.toString).schema
+      spark.readStream.schema(schema).parquet(p.toString)
+        .select(col("event_id").as(s"${prefix}_id"), col("user_id").as(s"${prefix}_user"),
+          col("ts").as(s"${prefix}_ts"), col("value").as(s"${prefix}_value"))
+        .withWatermark(s"${prefix}_ts", "1 hour")
+    }
+    val clicks = readStreamOf(clickDir, "click")
+    val purchases = readStreamOf(purchaseDir, "purchase")
+    val joined = clicks.join(purchases,
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("click_id"), col("purchase_id"), col("click_user").as("user_id"),
+        tsString(col("click_ts")).as("click_ts"),
+        tsString(col("purchase_ts")).as("purchase_ts"))
+
+    val out = base.resolve("out")
+    StreamingQueries.withStatePartitions(spark, 8) {
+      val q = joined.writeStream
+        .format("parquet")
+        .option("path", out.toString)
+        .option("checkpointLocation", base.resolve("ckpt").toString)
+        .outputMode("append")
+        .queryName("graft:d94")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    spark.read.parquet(out.toString)
+      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+  }
+
+  val d94Oracle: String =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |              - INTERVAL 1 HOUR AS w)
+      |SELECT * FROM (
+      |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |    c.user_id,
+      |    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |    strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts
+      |   AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |  UNION ALL
+      |  SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id,
+      |    c.user_id,
+      |    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |    CAST(NULL AS VARCHAR) AS purchase_ts
+      |  FROM c, wm
+      |  WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM p
+      |                    WHERE p.user_id = c.user_id
+      |                      AND p.ts >= c.ts
+      |                      AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |)
+      |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin
+
   // ---------------------------------------------------------------- d61
   /**
    * foreachBatch sink with exactly-once commit markers
@@ -747,6 +834,7 @@ object StreamingOpsQueries {
     "d87_foreach_writer" -> (d87ForeachWriter _),
     "d88_stream_totable" -> (d88StreamToTable _),
     "d91_stream_dedup_wm" -> (d91StreamDedupWm _),
+    "d94_stream_outer_join" -> (d94StreamOuterJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -763,5 +851,6 @@ object StreamingOpsQueries {
     "d87_foreach_writer" -> d87Oracle,
     "d88_stream_totable" -> d88Oracle,
     "d91_stream_dedup_wm" -> d91Oracle,
+    "d94_stream_outer_join" -> d94Oracle,
   )
 }
