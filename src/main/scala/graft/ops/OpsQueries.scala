@@ -45,6 +45,8 @@ object OpsQueries {
     "n29_quality_quantile" -> (TextAnalysis.qualityQuantileQuery _),
     "n30_boilerplate" -> (Corpus.boilerplateStatsQuery _),
     "n31_temperature_mix" -> ((s, d) => Corpus.temperatureMixingQuery(s, d)),
+    "n32_host_canonical" -> (Pipeline.hostCanonicalQuery _),
+    "n33_pipeline_e2e" -> (Pipeline.pipelineQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,5 +79,7 @@ object OpsQueries {
     "n29_quality_quantile" -> TextAnalysis.qualityQuantileOracle,
     "n30_boilerplate" -> Corpus.boilerplateStatsOracle,
     "n31_temperature_mix" -> Corpus.temperatureMixingOracle,
+    "n32_host_canonical" -> Pipeline.hostCanonicalOracle,
+    "n33_pipeline_e2e" -> Pipeline.pipelineOracle,
   )
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.queries.Tables._
+
+/**
+ * Composed corpus-pipeline operators: the stages the rest of `graft.ops`
+ * provides individually, chained the way a production training-data run
+ * chains them. The value demonstrated here is composition — each stage is
+ * a declarative frame handed to the next, so Catalyst fuses the chain into
+ * one plan (filters reach the scan, the dedup shuffle is the only wide
+ * exchange) rather than materializing stage boundaries the way an
+ * imperative pipeline would.
+ */
+object Pipeline {
+
+  // --------------------------------------------- n32 host canonicalization
+  /**
+   * Keep-best-per-host canonicalization: the URL-level dedup pass that
+   * follows crawl ingestion — among a host's documents, keep the one with
+   * the highest lexical diversity (type-token ratio), tie-broken by lowest
+   * doc_id. One window argmax per host; the host key comes from the same
+   * synthetic URL construction as n24.
+   *
+   * Scale shape: a single shuffle on host for the window rank —
+   * per-host groups are crawl-shard sized, never corpus sized. The score
+   * is a BIGINT ratio evaluated identically in both engines (one correctly
+   * rounded division; no float accumulation).
+   */
+  def hostCanonicalQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(lower(col("text")), "\\s+")
+    val scored = documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example-"), col("lang"), lit(".com")).as("host"),
+        size(ws).cast("long").as("n_words"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+      .select(col("doc_id"), col("host"), col("n_words"), col("n_distinct"),
+        (col("n_distinct").cast("double") / col("n_words")).as("ttr"))
+    val w = Window.partitionBy("host")
+      .orderBy(col("ttr").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("host"), col("doc_id"), col("n_words"), col("n_distinct"), col("ttr"))
+      .orderBy("host")
+  }
+
+  val hostCanonicalOracle: String =
+    """WITH s AS (
+      |  SELECT doc_id,
+      |    source || '.example-' || lang || '.com' AS host,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_words,
+      |    CAST(len(list_distinct(string_split_regex(lower(text), '\s+'))) AS BIGINT) AS n_distinct
+      |  FROM documents
+      |), r AS (
+      |  SELECT host, doc_id, n_words, n_distinct,
+      |    CAST(n_distinct AS DOUBLE) / n_words AS ttr,
+      |    row_number() OVER (PARTITION BY host
+      |                       ORDER BY CAST(n_distinct AS DOUBLE) / n_words DESC, doc_id ASC) AS rk
+      |  FROM s
+      |)
+      |SELECT host, doc_id, n_words, n_distinct, ttr
+      |FROM r WHERE rk = 1
+      |ORDER BY host""".stripMargin
+
+  // ------------------------------------------------ n33 end-to-end pipeline
+  /**
+   * The composed pipeline: exact dedup (keep the lowest doc_id per md5
+   * fingerprint) → quality gate (≥ 20 words, mean word length < 12) →
+   * deterministic md5-bucket train/val/test split → per-(source, split)
+   * document and token counts. Four stages, one Catalyst plan: the dedup
+   * window shuffle on the constant-width fingerprint is the only exchange
+   * over full documents; the quality gate and split predicate are map-side;
+   * the final aggregate carries only counters.
+   *
+   * At 100 TB each stage keeps its individual operator's shape (n01's
+   * fingerprint shuffle, n09's map-side scoring, n14's hash split) — the
+   * chain adds no new wide dependency beyond its stages.
+   */
+  def pipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val ws = split(lower(col("text")), "\\s+")
+    val base = documents(spark, dir)
+      .select(col("doc_id"), col("source"), md5(col("text")).as("fp"),
+        size(ws).cast("long").as("n_words"), col("n_chars"))
+    // stage 1: exact dedup, keep lowest doc_id per fingerprint
+    val dedupW = Window.partitionBy("fp").orderBy("doc_id")
+    val deduped = base.withColumn("rk", row_number().over(dedupW))
+      .filter(col("rk") === 1).drop("rk", "fp")
+    // stage 2: quality gate — integer predicate (chars < 12·words), exact
+    val quality = deduped.filter(col("n_words") >= 20 &&
+      col("n_chars") < col("n_words") * 12)
+    // stage 3: deterministic split (the n14 primitive)
+    val b = Sampling.hashBucket(col("doc_id"))
+    val split3 = quality.withColumn("split",
+      when(b < 80, "train").when(b < 90, "validation").otherwise("test"))
+    // stage 4: shard manifest
+    split3.groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+      .orderBy("source", "split")
+  }
+
+  val pipelineOracle: String =
+    """WITH base AS (
+      |  SELECT doc_id, source, md5(text) AS fp,
+      |    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_words,
+      |    n_chars
+      |  FROM documents
+      |), dd AS (
+      |  SELECT * FROM (
+      |    SELECT doc_id, source, n_words, n_chars,
+      |      row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+      |    FROM base) WHERE rk = 1
+      |), q AS (
+      |  SELECT * FROM dd WHERE n_words >= 20 AND n_chars < n_words * 12
+      |), s AS (
+      |  SELECT *, CAST(('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |                 AS UBIGINT) % 100 AS b
+      |  FROM q
+      |)
+      |SELECT source,
+      |  CASE WHEN b < 80 THEN 'train'
+      |       WHEN b < 90 THEN 'validation'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(n_words) AS BIGINT) AS n_tokens
+      |FROM s
+      |GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin
+}

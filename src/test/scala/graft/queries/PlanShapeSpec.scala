@@ -139,6 +139,15 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n31 weight join is not a broadcast:\n$p")
   }
 
+  test("n33 pipeline: stages fuse into one plan, no cartesian") {
+    val p = assertNoPairBlowup("n33_pipeline_e2e")
+    // the dedup window must shuffle on the constant-width fingerprint; the
+    // quality gate and split predicates are map-side (no extra exchange
+    // between the dedup window and the final aggregate beyond the agg's own)
+    assert("hashpartitioning\\(fp#\\d+".r.findFirstIn(p).isDefined,
+      s"n33 dedup window does not shuffle on fp:\n$p")
+  }
+
   test("d90: bitmap construction is partial-aggregated before the shuffle") {
     val p = plan("d90_bitmap_distinct")
     // map-side partial bitmaps must form BEFORE the exchange: the shuffle
