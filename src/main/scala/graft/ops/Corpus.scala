@@ -261,10 +261,13 @@ object Corpus {
    * frequency, not mere co-occurrence.
    *
    * Scale shape: windows hash to md5 immediately (constant-width shuffle
-   * key, never gram text); DF is a distinct-then-count on (source, h) —
-   * two shuffles on the same key, no count-distinct expansion; the
-   * per-source doc count is a broadcast dim. The 20% threshold is the exact
-   * integer predicate `df*5 >= nd` — no float ratio to diverge on.
+   * key, never gram text); the document frequency deduplicates each doc's
+   * grams MAP-SIDE (`array_distinct` before the explode), so the DF index
+   * is one shuffle on (source, h) carrying at most one row per (doc, gram)
+   * — not a distinct-then-recount (which costs a second full exchange of
+   * the window set, measured in the sf0.001 plan before this shape). The
+   * per-source doc count is a broadcast dim. The 20% threshold is the
+   * exact integer predicate `df*5 >= nd` — no float ratio to diverge on.
    */
   def boilerplateStatsQuery(spark: SparkSession, dir: String): DataFrame = {
     val gramsOf: Column => Column = w =>
@@ -279,7 +282,9 @@ object Corpus {
     val windows = documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(grams).as("g"))
       .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
-    val df = windows.select("source", "h", "doc_id").distinct()
+    val df = documents(spark, dir)
+      .select(col("source"), explode(array_distinct(grams)).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
       .groupBy("source", "h").agg(count(lit(1)).as("df"))
     val nd = documents(spark, dir).groupBy("source").agg(count(lit(1)).as("nd"))
     val flagged = df.join(broadcast(nd), "source")
