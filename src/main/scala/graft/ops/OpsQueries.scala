@@ -47,6 +47,7 @@ object OpsQueries {
     "n31_temperature_mix" -> ((s, d) => Corpus.temperatureMixingQuery(s, d)),
     "n32_host_canonical" -> (Pipeline.hostCanonicalQuery _),
     "n33_pipeline_e2e" -> (Pipeline.pipelineQuery _),
+    "n34_novelty" -> (TextAnalysis.noveltyQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -81,5 +82,6 @@ object OpsQueries {
     "n31_temperature_mix" -> Corpus.temperatureMixingOracle,
     "n32_host_canonical" -> Pipeline.hostCanonicalOracle,
     "n33_pipeline_e2e" -> Pipeline.pipelineOracle,
+    "n34_novelty" -> TextAnalysis.noveltyOracle,
   )
 }

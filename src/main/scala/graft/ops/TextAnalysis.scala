@@ -283,6 +283,64 @@ object TextAnalysis {
       |GROUP BY g.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------- n34 first-occurrence novelty
+
+  /**
+   * First-occurrence novelty: per document, the fraction of its word
+   * 5-gram windows whose EARLIEST occurrence (min doc_id — ingestion-order
+   * proxy) is this document. This is the keep-first attribution policy of
+   * exact-substring dedup (Lee et al.'s "deduplicating training data")
+   * at window granularity: a corpus-curation signal for "how much does
+   * this doc add that wasn't already there". Windows keep multiplicity; a
+   * window is novel in its first doc even if repeated there (within-doc
+   * repetition is n16's signal, not this one's).
+   *
+   * Scale shape: same md5-hashed inverted index as n28 — the attribution
+   * aggregate is `min(doc_id)` per hash (ordinary partial-aggregated min
+   * on a constant-width key), then one join back and a per-doc count.
+   */
+  def noveltyQuery(spark: SparkSession, dir: String): DataFrame = {
+    val n = 5
+    val gramsOf: Column => Column = ws => {
+      val grams = transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + k + 1)): _*))
+      when(size(ws) >= n, grams).otherwise(array().cast("array<string>"))
+    }
+    val grams = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), gramsOf), 1)
+    val hashed = documents(spark, dir)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .select(col("doc_id"), md5(col("g")).as("h"))
+    val firstDoc = hashed.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    hashed.join(firstDoc, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum((col("doc_id") === col("first_doc")).cast("long")).as("n_novel"))
+      .select(col("doc_id"), col("n_windows"), col("n_novel"),
+        (col("n_novel").cast("double") / col("n_windows")).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
+  val noveltyOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    unnest([md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+      |                ws[i+3] || ' ' || ws[i+4])
+      |            for i in range(1, len(ws) - 3)]) AS h
+      |  FROM w WHERE len(ws) >= 5
+      |), f AS (
+      |  SELECT h, MIN(doc_id) AS first_doc FROM g GROUP BY h
+      |)
+      |SELECT g.doc_id, COUNT(*) AS n_windows,
+      |  CAST(SUM(CASE WHEN g.doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN g.doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS novelty_frac
+      |FROM g JOIN f USING (h)
+      |GROUP BY g.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // ------------------------------------------------------ token counting
 
   /** Token counts: whitespace tokens, regex word-ish tokens (a BPE-style

@@ -139,6 +139,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n31 weight join is not a broadcast:\n$p")
   }
 
+  test("n34 novelty: attribution index shuffles on the md5 hash, no cartesian") {
+    val p = assertNoPairBlowup("n34_novelty")
+    assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n34 attribution join neither shuffles on h nor broadcasts:\n$p")
+  }
+
   test("n33 pipeline: stages fuse into one plan, no cartesian") {
     val p = assertNoPairBlowup("n33_pipeline_e2e")
     // the dedup window must shuffle on the constant-width fingerprint; the
