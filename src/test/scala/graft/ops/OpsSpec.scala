@@ -86,6 +86,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("novelty: first occurrence owns its windows; planted later near-dups score low") {
+    val stats = TextAnalysis.noveltyQuery(spark, T.sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(stats.nonEmpty)
+    stats.values.foreach { case (nw, nn, frac) =>
+      assert(nn >= 0 && nn <= nw)
+      assert(frac >= 0.0 && frac <= 1.0)
+    }
+    // for each planted 0.99-jaccard pair, the LATER doc's windows mostly
+    // first-occur in the earlier one, so its novelty collapses while the
+    // earlier doc keeps (at least) everything not shared with still-earlier docs
+    val planted = Dedup.ngramJaccardPairs(Tables.documents(spark, T.sf0001))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(planted.nonEmpty)
+    planted.foreach { case (a, b) =>
+      val later = math.max(a, b)
+      assert(stats(later)._3 < 0.5, s"later near-dup doc $later has novelty ${stats(later)._3}")
+    }
+  }
+
   test("boilerplate stats: bounded fractions, flag is source-scoped DF not co-occurrence") {
     val rows = Corpus.boilerplateStatsQuery(spark, T.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
