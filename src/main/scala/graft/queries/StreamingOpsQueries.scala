@@ -403,8 +403,11 @@ object StreamingOpsQueries {
    * portion emits as both sides arrive), so the whole result is
    * deterministic despite the eviction asymmetry.
    */
-  def d94StreamOuterJoin(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.scratchDir("d94")
+  /** Stage the click/purchase event streams and run one interval join of
+    * the given type through a parquet sink; shared by d94/d95/d96. */
+  private def intervalJoinReplay(spark: SparkSession, dir: String,
+                                 label: String, joinType: String): DataFrame = {
+    val base = Tables.scratchDir(label)
     val ev = events(spark, dir)
     val clickDir = base.resolve("clicks")
     val purchaseDir = base.resolve("purchases")
@@ -422,14 +425,21 @@ object StreamingOpsQueries {
     }
     val clicks = readStreamOf(clickDir, "click")
     val purchases = readStreamOf(purchaseDir, "purchase")
-    val joined = clicks.join(purchases,
-      col("click_user") === col("purchase_user") &&
-        col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
-      "leftOuter")
-      .select(col("click_id"), col("purchase_id"), col("click_user").as("user_id"),
-        tsString(col("click_ts")).as("click_ts"),
-        tsString(col("purchase_ts")).as("purchase_ts"))
+    val cond = col("click_user") === col("purchase_user") &&
+      col("purchase_ts") >= col("click_ts") &&
+      col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES")
+    val joined = joinType match {
+      case "leftSemi" =>
+        clicks.join(purchases, cond, "leftSemi")
+          .select(col("click_id"), col("click_user").as("user_id"),
+            tsString(col("click_ts")).as("click_ts"))
+      case t =>
+        clicks.join(purchases, cond, t)
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("click_user"), col("purchase_user")).as("user_id"),
+            tsString(col("click_ts")).as("click_ts"),
+            tsString(col("purchase_ts")).as("purchase_ts"))
+    }
 
     val out = base.resolve("out")
     StreamingQueries.withStatePartitions(spark, 8) {
@@ -438,14 +448,19 @@ object StreamingOpsQueries {
         .option("path", out.toString)
         .option("checkpointLocation", base.resolve("ckpt").toString)
         .outputMode("append")
-        .queryName("graft:d94")
+        .queryName(s"graft:$label")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
     }
-    spark.read.parquet(out.toString)
-      .orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    val res = spark.read.parquet(out.toString)
+    if (joinType == "leftSemi") res.orderBy("click_id")
+    else res.orderBy(col("click_id").asc_nulls_last,
+      col("purchase_id").asc_nulls_first)
   }
+
+  def d94StreamOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinReplay(spark, dir, "d94", "leftOuter")
 
   val d94Oracle: String =
     """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
@@ -474,6 +489,76 @@ object StreamingOpsQueries {
       |                      AND p.ts <= c.ts + INTERVAL 30 MINUTE)
       |)
       |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- d95
+  /**
+   * Stream-stream FULL OUTER interval join — both eviction bounds at once.
+   * The click side null-pads below `W − 30min` as in d94; the purchase
+   * side's bound is tighter: a purchase can only match clicks with
+   * `click_ts ∈ [purchase_ts − 30min, purchase_ts]`, all ≤ purchase_ts,
+   * so the row is provably matchless (and null-padded) as soon as
+   * `purchase_ts < W` — no interval arithmetic on that side. Rows above
+   * either horizon stay in state unemitted; the oracle mirrors both
+   * cutoffs exactly.
+   */
+  def d95StreamFullOuterJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinReplay(spark, dir, "d95", "fullOuter")
+
+  val d95Oracle: String =
+    """WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+      |p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |wm AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+      |              - INTERVAL 1 HOUR AS w)
+      |SELECT * FROM (
+      |  SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |    c.user_id,
+      |    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+      |    strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+      |  FROM c JOIN p
+      |    ON c.user_id = p.user_id
+      |   AND p.ts >= c.ts
+      |   AND p.ts <= c.ts + INTERVAL 30 MINUTE
+      |  UNION ALL
+      |  SELECT c.event_id, CAST(NULL AS BIGINT), c.user_id,
+      |    strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f'), CAST(NULL AS VARCHAR)
+      |  FROM c, wm
+      |  WHERE c.ts + INTERVAL 30 MINUTE < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM p
+      |                    WHERE p.user_id = c.user_id
+      |                      AND p.ts >= c.ts
+      |                      AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |  UNION ALL
+      |  SELECT CAST(NULL AS BIGINT), p.event_id, p.user_id,
+      |    CAST(NULL AS VARCHAR), strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f')
+      |  FROM p, wm
+      |  WHERE p.ts < wm.w
+      |    AND NOT EXISTS (SELECT 1 FROM c
+      |                    WHERE c.user_id = p.user_id
+      |                      AND p.ts >= c.ts
+      |                      AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |)
+      |ORDER BY click_id NULLS LAST, purchase_id NULLS FIRST""".stripMargin
+
+  // ---------------------------------------------------------------- d96
+  /**
+   * Stream-stream LEFT SEMI interval join: match-existence semantics — a
+   * click is emitted once (no purchase columns, no duplicates) as soon as
+   * any in-window purchase arrives. The matched set is complete at
+   * AvailableNow termination (semi emits on match, not on eviction), so
+   * the oracle is a plain EXISTS with no watermark cutoff.
+   */
+  def d96StreamSemiJoin(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinReplay(spark, dir, "d96", "leftSemi")
+
+  val d96Oracle: String =
+    """SELECT c.event_id AS click_id, c.user_id,
+      |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |WHERE EXISTS (SELECT 1 FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |              WHERE p.user_id = c.user_id
+      |                AND p.ts >= c.ts
+      |                AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+      |ORDER BY click_id""".stripMargin
 
   // ---------------------------------------------------------------- d61
   /**
@@ -835,6 +920,8 @@ object StreamingOpsQueries {
     "d88_stream_totable" -> (d88StreamToTable _),
     "d91_stream_dedup_wm" -> (d91StreamDedupWm _),
     "d94_stream_outer_join" -> (d94StreamOuterJoin _),
+    "d95_stream_full_outer" -> (d95StreamFullOuterJoin _),
+    "d96_stream_semi_join" -> (d96StreamSemiJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -852,5 +939,7 @@ object StreamingOpsQueries {
     "d88_stream_totable" -> d88Oracle,
     "d91_stream_dedup_wm" -> d91Oracle,
     "d94_stream_outer_join" -> d94Oracle,
+    "d95_stream_full_outer" -> d95Oracle,
+    "d96_stream_semi_join" -> d96Oracle,
   )
 }
