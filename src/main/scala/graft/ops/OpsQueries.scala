@@ -48,6 +48,7 @@ object OpsQueries {
     "n32_host_canonical" -> (Pipeline.hostCanonicalQuery _),
     "n33_pipeline_e2e" -> (Pipeline.pipelineQuery _),
     "n34_novelty" -> (TextAnalysis.noveltyQuery _),
+    "n35_label_centroid" -> (Similarity.labelCentroidQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -83,5 +84,6 @@ object OpsQueries {
     "n32_host_canonical" -> Pipeline.hostCanonicalOracle,
     "n33_pipeline_e2e" -> Pipeline.pipelineOracle,
     "n34_novelty" -> TextAnalysis.noveltyOracle,
+    "n35_label_centroid" -> Similarity.labelCentroidOracle,
   )
 }

@@ -100,4 +100,52 @@ object Similarity {
 
   def ivfQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(embeddings(spark, dir))
+
+  // ----------------------------------------- n35 exact per-label centroids
+
+  /**
+   * Per-label embedding centroids (the coarse-centroid statistics an IVF
+   * index trains from, and the per-class mean a dataset card reports) —
+   * computed EXACTLY across engines despite being float math: each float
+   * component quantizes to `floor(x·2^20)` (float→double is exact, ×2^20
+   * is an exponent shift, floor is exact), the per-(label, dim) sum runs
+   * in BIGINTs (order-independent, no float-summation drift), and the mean
+   * is one correctly-rounded division at the end. |x| ≤ 1 and n ≤ corpus
+   * keep both operands far below 2^53, so the final double division is
+   * exact-input correct in both engines.
+   *
+   * Scale shape: posexplode then one partial-aggregated integer sum on
+   * (label, dim) — the map-side combine carries 64 longs per label per
+   * task, never vectors; no window, no join.
+   */
+  def labelCentroidQuery(spark: SparkSession, dir: String): DataFrame = {
+    val quantized = embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        floor(col("x").cast("double") * 1048576.0).cast("long").as("q"))
+    quantized.groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sum_q"))
+      .select(col("label"), col("dim"), col("n_vecs"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_vecs") * lit(1048576L)).cast("double")).as("mean"))
+      .orderBy("label", "dim")
+  }
+
+  val labelCentroidOracle: String =
+    """WITH q AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    CAST(i - 1 AS BIGINT) AS dim,
+      |    CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT) AS q
+      |  FROM (SELECT label, embedding[i] AS x, i
+      |        FROM embeddings,
+      |             LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS i) r)
+      |)
+      |SELECT label, dim, COUNT(*) AS n_vecs,
+      |  CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(CAST(SUM(q) AS BIGINT) AS DOUBLE) /
+      |    CAST(COUNT(*) * 1048576 AS DOUBLE) AS mean
+      |FROM q
+      |GROUP BY label, dim
+      |ORDER BY label, dim""".stripMargin
 }
