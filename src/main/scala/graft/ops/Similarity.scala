@@ -110,9 +110,11 @@ object Similarity {
    * component quantizes to `floor(x·2^20)` (float→double is exact, ×2^20
    * is an exponent shift, floor is exact), the per-(label, dim) sum runs
    * in BIGINTs (order-independent, no float-summation drift), and the mean
-   * is one correctly-rounded division at the end. |x| ≤ 1 and n ≤ corpus
-   * keep both operands far below 2^53, so the final double division is
-   * exact-input correct in both engines.
+   * is one correctly-rounded division at the end. With |x| ≤ 1 the
+   * operands stay below 2^53 (exact double conversion, so the division is
+   * correctly rounded from exact inputs) while n·2^20 < 2^53 — about
+   * 8.6e9 vectors per label; past that the engines still agree to 1 ulp of
+   * the conversion, and the BIGINT sum itself stays exact to n ≈ 8.8e12.
    *
    * Scale shape: posexplode then one partial-aggregated integer sum on
    * (label, dim) — the map-side combine carries 64 longs per label per
