@@ -486,6 +486,77 @@ object Dedup {
   def nearDupClustersQuery(spark: SparkSession, dir: String): DataFrame =
     nearDupClusters(documents(spark, dir)).orderBy("doc_id")
 
+  /**
+   * The consumable end of the dedup family: the corpus with every
+   * non-canonical near-dup cluster member dropped (n27 keeps one canonical
+   * per cluster; unclustered docs pass through untouched), summarized per
+   * source. This is the frame a training run actually reads — pairs (n02)
+   * and clusters (n27) are its intermediate states.
+   *
+   * Scale shape: the drop set is (cluster members − canonicals), usually a
+   * small fraction of the corpus, applied as a LEFT ANTI join on doc_id —
+   * a hash join on the primary key, no full-corpus shuffle beyond it; the
+   * summary is one partial-aggregated count/sum per source.
+   */
+  def dedupedCorpusQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val losers = nearDupClusters(docs)
+      .filter(!col("is_canonical")).select("doc_id")
+    val kept = docs.join(losers, Seq("doc_id"), "left_anti")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    val totals = docs.groupBy("source").agg(count(lit(1)).as("n_total"))
+    kept.join(totals, "source")
+      .select(col("source"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"), col("chars_kept"))
+      .orderBy("source")
+  }
+
+  /** n27's recursive closure plus the anti-join and per-source rollup. */
+  val dedupedCorpusOracle: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w WHERE len(ws) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM ex x JOIN ex y USING (sh)
+      |  WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(shingles) AS sz FROM sh
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common
+      |  JOIN sz a ON a.doc_id = doc_a
+      |  JOIN sz b ON b.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS doc_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.doc_id
+      |), losers AS (
+      |  SELECT doc_id FROM reach GROUP BY doc_id HAVING doc_id <> MIN(r)
+      |)
+      |SELECT d.source,
+      |  COUNT(*) AS n_total,
+      |  CAST(COUNT(*) FILTER (l.doc_id IS NULL) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (l.doc_id IS NOT NULL) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN l.doc_id IS NULL THEN d.n_chars ELSE 0 END) AS BIGINT)
+      |    AS chars_kept
+      |FROM documents d LEFT JOIN losers l USING (doc_id)
+      |GROUP BY d.source
+      |ORDER BY d.source""".stripMargin
+
   /** Transitive closure of the exact Jaccard pair join (same CTE chain as
     * [[jaccardPairsOracle]]) via a recursive CTE, then min reachable id per
     * doc — tractable in DuckDB because near-dup clusters are tiny. */

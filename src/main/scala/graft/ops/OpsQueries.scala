@@ -49,6 +49,7 @@ object OpsQueries {
     "n33_pipeline_e2e" -> (Pipeline.pipelineQuery _),
     "n34_novelty" -> (TextAnalysis.noveltyQuery _),
     "n35_label_centroid" -> (Similarity.labelCentroidQuery _),
+    "n36_dedup_corpus" -> (Dedup.dedupedCorpusQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -85,5 +86,6 @@ object OpsQueries {
     "n33_pipeline_e2e" -> Pipeline.pipelineOracle,
     "n34_novelty" -> TextAnalysis.noveltyOracle,
     "n35_label_centroid" -> Similarity.labelCentroidOracle,
+    "n36_dedup_corpus" -> Dedup.dedupedCorpusOracle,
   )
 }
