@@ -25,7 +25,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
  * the parity spec, not at runtime (a per-eval sortedness check would cost
  * the pass it saves). Null if either input is null or contains a null
  * element (DotProduct's convention; a null element cannot participate in a
- * sorted-distinct set anyway).
+ * sorted-distinct set anyway). Null-element detection is merge-scoped: a
+ * null is reported only if the two-pointer merge reaches it before one
+ * side is exhausted (e.g. `a=[1], b=[2,null]` returns 0, not null) —
+ * unlike [[SignBandHashes]], the tail beyond the shorter run is never
+ * scanned, because under the sorted-distinct producer contract null
+ * elements cannot occur and a full-tail scan would be pure overhead.
  */
 case class SortedIntersectCount(left: Expression, right: Expression)
   extends BinaryExpression {

@@ -421,23 +421,32 @@ object Dedup {
    * cluster (A≈B, B≈C ⇒ {A,B,C} even when A,C were never compared), each
    * cluster keeps one canonical document (its minimum doc_id).
    *
-   * Algorithm: iterative min-label propagation. Every matched doc starts
-   * labeled with its own id; each round takes the min label over itself and
-   * its neighbors; fixpoint = components. Rounds needed = max cluster
-   * diameter, so cost is O(diameter) equi-join shuffles over the edge list —
-   * the standard large-graph CC shape (label propagation / small-star) that
-   * holds at corpus scale, where near-dup clusters are overwhelmingly tiny
-   * and diameters single-digit. The driver sees ONE scalar per round (the
-   * has-anything-changed existence check that controls the loop — the
-   * iterative-algorithm exception to the no-driver-materialization rule);
-   * labels/edges stay distributed throughout. A non-converged exit raises
-   * rather than returning partial labels.
+   * Algorithm: iterative min-label propagation with pointer doubling.
+   * Every matched doc starts labeled with its own id; each round takes the
+   * min label over itself and its neighbors (one edge-join hop), then
+   * follows its new label's OWN label (a label-to-label self-join — the
+   * doubling step that shortcuts chains), so label depth compounds
+   * multiplicatively and rounds drop from O(diameter) to O(log diameter) —
+   * the Hash-to-Min-style convergence bound for min-label CC. Labels only
+   * ever decrease toward the component minimum, so the doubling join is a
+   * pure shortcut, never a correctness risk; fixpoint = components either
+   * way. The driver sees ONE scalar per round (the has-anything-changed
+   * existence check that controls the loop — the iterative-algorithm
+   * exception to the no-driver-materialization rule); labels/edges stay
+   * distributed throughout. A non-converged exit raises rather than
+   * returning partial labels, and persisted intermediates are released in
+   * a finally on both paths. The returned frame is eagerly
+   * `localCheckpoint`ed: it truncates the k-round join-tree lineage AND its
+   * blocks are ContextCleaner-managed (freed when the Dataset is GC'd),
+   * unlike CacheManager entries which outlive the call — the round-5 leak.
    *
    * Local bench cost is the iterative fixed floor, not data: pair
-   * generation (~1 s at sf0.1) plus diameter+1 rounds of three tiny
-   * shuffles each — the same per-round scheduling floor the streaming
-   * replays pay per micro-batch. At corpus scale those rounds amortize over
-   * billions of edges; rounds, not rows, are the local cost driver.
+   * generation (~1 s at sf0.1) plus O(log diameter)+1 rounds of four tiny
+   * shuffles each (the doubling self-join buys a round count drop for one
+   * extra small shuffle per round) — the same per-round scheduling floor
+   * the streaming replays pay per micro-batch. At corpus scale those
+   * rounds amortize over billions of edges; rounds, not rows, are the
+   * local cost driver.
    */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
                       maxIters: Int = 20): DataFrame = {
@@ -451,36 +460,57 @@ object Dedup {
       .persist()
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id")).persist()
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
-        .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
-      // the changed flag rides along in the propagation join — a separate
-      // next-vs-labels compare join would double the per-round shuffles
-      val step = labels.as("o")
-        .join(nbrMin.as("n"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"),
-          (col("n.nbr_lbl").isNotNull && col("n.nbr_lbl") < col("o.lbl")).as("chg"))
-        .persist()
-      val anyChanged = step.filter(col("chg")).limit(1).count()
+    try {
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+          .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
+        // hop: min over self + neighbors, keeping the pre-round label so
+        // the changed flag can compare against the FINAL (post-doubling)
+        // label — a separate compare join would add a per-round shuffle
+        val hop = labels.as("o")
+          .join(nbrMin.as("n"), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("o.lbl").as("old_lbl"),
+            least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"))
+          .persist() // two consumers below: the left side and the pointer map
+        // doubling: follow my new label's own new label. Labels are always
+        // node ids and only decrease, so plbl ≤ lbl when matched; the left
+        // join + coalesce keeps component minima (self-labeled roots) fixed.
+        // (two-step rename, not a same-select alias — see the lateral-alias
+        // rebinding pitfall on wordShingles)
+        val ptr = hop.select(col("doc_id"), col("lbl"))
+          .withColumnRenamed("doc_id", "p_doc")
+          .withColumnRenamed("lbl", "p_lbl")
+        val step = hop.join(ptr, hop("lbl") === ptr("p_doc"), "left")
+          .select(col("doc_id"), col("old_lbl"),
+            least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("new_lbl"))
+          .select(col("doc_id"), col("new_lbl").as("lbl"),
+            (col("new_lbl") < col("old_lbl")).as("chg"))
+          .persist()
+        val anyChanged = step.filter(col("chg")).limit(1).count()
+        hop.unpersist()
+        labels.unpersist()
+        // keep the persisted frame itself (chg rides along unused) so the
+        // next round's unpersist targets the cached plan, not a projection
+        labels = step
+        converged = anyChanged == 0L
+        iter += 1
+      }
+      require(converged,
+        s"label propagation did not converge in $maxIters rounds — a cluster " +
+          "diameter exceeds the cap; raise maxIters rather than returning " +
+          "partial labels")
+      labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+        (col("doc_id") === col("lbl")).as("is_canonical"))
+        .localCheckpoint() // eager: materialized before the finally releases
+                           // the caches it was computed from
+    } finally {
+      pairs.unpersist()
+      edges.unpersist()
       labels.unpersist()
-      // keep the persisted frame itself (chg rides along unused) so the
-      // next round's unpersist targets the cached plan, not a projection
-      labels = step
-      converged = anyChanged == 0L
-      iter += 1
     }
-    pairs.unpersist()
-    require(converged,
-      s"label propagation did not converge in $maxIters rounds — a cluster " +
-        "diameter exceeds the cap; raise maxIters rather than returning " +
-        "partial labels")
-    edges.unpersist()
-    labels.select(col("doc_id"), col("lbl").as("cluster_id"),
-      (col("doc_id") === col("lbl")).as("is_canonical"))
   }
 
   def nearDupClustersQuery(spark: SparkSession, dir: String): DataFrame =

@@ -12,6 +12,11 @@ import graft.SparkTestSession
   * is total — (score, id) with unique id — so the expected set is
   * well-defined). */
 object TopKPerKeyProps extends Properties("TopKPerKey") {
+  // repo seed policy (round 6): pin the ScalaCheck seed so green is
+  // reproducible, never generator luck (see TemperatureMixProps scaladoc)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(0x746f706bL))
+
   lazy val spark = SparkTestSession.spark
 
   private val rowsGen: Gen[List[(Long, Long)]] = for {

@@ -12,6 +12,10 @@ import org.scalacheck.Prop.forAll
   * invariant that makes late-but-in-watermark bridging correct.
   */
 object SessionMergeProps extends Properties("SessionMerge") {
+  // repo seed policy (round 6): pin the ScalaCheck seed so green is
+  // reproducible, never generator luck (see TemperatureMixProps scaladoc)
+  override def overrideParameters(p: org.scalacheck.Test.Parameters): org.scalacheck.Test.Parameters =
+    p.withInitialSeed(org.scalacheck.rng.Seed(0x73657373L))
 
   private val gap = 100L
 
