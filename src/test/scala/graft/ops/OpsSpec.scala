@@ -52,6 +52,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("near-dup clusters: result is checkpoint-backed with truncated lineage") {
+    val out = Dedup.nearDupClusters(Tables.documents(spark, T.sf0001))
+    // the per-round eager localCheckpoint must leave a constant-size plan:
+    // a LogicalRDD scan + projection, with NO join tree — raw lineage would
+    // nest two copies of the previous round per round (the doubling join
+    // has two consumers) and re-analysis cost would grow exponentially
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD"),
+      s"expected a checkpoint-backed plan, got:\n$plan")
+    assert(!plan.contains("Join"),
+      s"expected the iterative join tree to be truncated, got:\n$plan")
+    // the checkpoint blocks outlive the internal unpersists in the finally
+    assert(out.count() > 0)
+  }
+
   test("cross-doc duplicated spans: bounded fractions, near-dup docs flagged") {
     val stats = TextAnalysis.dupSpanStatsQuery(spark, T.sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
