@@ -435,8 +435,10 @@ object Dedup {
    * exception to the no-driver-materialization rule); labels/edges stay
    * distributed throughout. A non-converged exit raises rather than
    * returning partial labels, and persisted intermediates are released in
-   * a finally on both paths. The returned frame is eagerly
-   * `localCheckpoint`ed: it truncates the k-round join-tree lineage AND its
+   * a finally on both paths. Each round's labels are eagerly
+   * `localCheckpoint`ed: that truncates the growing join-tree lineage (the
+   * doubling join has two consumers, so raw lineage would nest 2^k plan
+   * copies by round k and Catalyst re-analysis would blow up) and the
    * blocks are ContextCleaner-managed (freed when the Dataset is GC'd),
    * unlike CacheManager entries which outlive the call — the round-5 leak.
    *
@@ -449,12 +451,27 @@ object Dedup {
    * local cost driver.
    */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
-                      maxIters: Int = 20): DataFrame = {
+                      maxIters: Int = 20): DataFrame =
+    minLabelComponents(
+      minHashNearDupPairs(docs, threshold).select("doc_a", "doc_b"),
+      "doc_a", "doc_b", "doc_id", maxIters)
+
+  /**
+   * Connected components over an arbitrary undirected pair list — the
+   * algorithm of [[nearDupClusters]] (see its scaladoc for the full
+   * convergence/lineage story) factored out so every pair family (minhash
+   * text pairs, exact embedding pairs, …) shares one clustering engine.
+   * Input: a frame with columns `aCol`, `bCol` (one row per matched pair);
+   * output: (`outId`, cluster_id, is_canonical), one row per distinct
+   * endpoint.
+   */
+  def minLabelComponents(pairList: DataFrame, aCol: String, bCol: String,
+                         outId: String, maxIters: Int = 20): DataFrame = {
     // persist BEFORE the symmetric union: the two edge directions are two
-    // consumers of the pair pipeline, and without the barrier each one
-    // re-runs the candidate join + verify
-    val pairs = minHashNearDupPairs(docs, threshold)
-      .select("doc_a", "doc_b").persist()
+    // consumers of the (possibly expensive) pair pipeline, and without the
+    // barrier each one re-runs it
+    val pairs = pairList
+      .select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).persist()
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
@@ -514,7 +531,7 @@ object Dedup {
       // cheap projection over the final round's checkpoint blocks — the
       // result stays valid after the finally because checkpoint blocks are
       // lineage-free and live as long as the returned Dataset references them
-      labels.select(col("doc_id"), col("lbl").as("cluster_id"),
+      labels.select(col("doc_id").as(outId), col("lbl").as("cluster_id"),
         (col("doc_id") === col("lbl")).as("is_canonical"))
     } finally {
       pairs.unpersist()
@@ -745,4 +762,145 @@ object Dedup {
       |FROM p
       |WHERE cosine >= 0.9
       |ORDER BY vec_a, vec_b""".stripMargin
+
+  // ------------------------------------- embedding near-dup clusters (n37)
+
+  /**
+   * Connected components over the exact embedding near-dup pair graph
+   * (n05): the same transitive-closure step n27 runs for text, on the
+   * embedding modality — A≈B, B≈C puts {A,B,C} in one cluster even when
+   * A,C were never compared, and each cluster's canonical is its minimum
+   * vec_id. One shared clustering engine ([[minLabelComponents]]) serves
+   * both modalities, so the scale story (O(log diameter) doubling rounds,
+   * per-round checkpoint, one driver scalar per round) is inherited, and
+   * the only modality-specific cost is pair generation — the n05
+   * block-grid join, never n² materialized.
+   */
+  def embeddingClustersQuery(spark: SparkSession, dir: String): DataFrame =
+    minLabelComponents(
+      embeddingNearDupPairs(embeddings(spark, dir)).select("vec_a", "vec_b"),
+      "vec_a", "vec_b", "vec_id").orderBy("vec_id")
+
+  /** The n05 exact-cosine pair CTE chain plus the recursive closure of
+    * [[nearDupClustersOracle]]. */
+  val embeddingClustersOracle: String =
+    """WITH RECURSIVE ex AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT vec_a, vec_b FROM p WHERE cosine >= 0.45
+      |), edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS vec_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS vec_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.vec_id
+      |)
+      |SELECT vec_id, MIN(r) AS cluster_id, vec_id = MIN(r) AS is_canonical
+      |FROM reach
+      |GROUP BY vec_id
+      |ORDER BY vec_id""".stripMargin
+
+  // -------------------------------------------- dedup manifest (n38)
+
+  /**
+   * Per-document dedup manifest — the decision record a production pipeline
+   * writes next to the corpus: every document gets a verdict
+   * (`exact_dup` | `near_dup` | `keep`) and a `keep_doc` pointer to the
+   * document that survives in its place (itself, for keepers). Exact
+   * fingerprint duplicates take precedence (their pointer is the md5
+   * group's min doc_id); remaining non-canonical near-dup cluster members
+   * point at their cluster canonical. n36 is the per-source rollup of the
+   * corpus this manifest keeps; this is the row-level artifact auditing
+   * and incremental re-runs need.
+   *
+   * Scale shape: one shuffle on the 16-byte md5 fingerprint (the n01 key),
+   * the n27 cluster labels joined back on the primary key, and a map-side
+   * CASE — no new wide exchange beyond the two dedup families it composes.
+   */
+  def dedupManifestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val fp = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+    val keepers = fp.groupBy("fp").agg(min(col("doc_id")).as("fp_keep"))
+    val clusters = nearDupClusters(docs)
+      .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
+    fp.join(keepers, "fp")
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") =!= col("fp_keep"), lit("exact_dup"))
+          .when(col("cluster_id").isNotNull && !col("is_canonical"),
+            lit("near_dup"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("doc_id") =!= col("fp_keep"), col("fp_keep"))
+          .when(col("cluster_id").isNotNull && !col("is_canonical"),
+            col("cluster_id"))
+          .otherwise(col("doc_id")).as("keep_doc"))
+      .orderBy("doc_id")
+  }
+
+  /** md5-group keepers + the n27 recursive closure, composed with the same
+    * precedence CASE (is_canonical ⟺ doc_id = cluster_id). */
+  val dedupManifestOracle: String =
+    """WITH RECURSIVE w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w WHERE len(ws) >= 3
+      |), exg AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM exg x JOIN exg y USING (sh)
+      |  WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(shingles) AS sz FROM sh
+      |), pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM common
+      |  JOIN sz a ON a.doc_id = doc_a
+      |  JOIN sz b ON b.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) >= 0.8
+      |), edges AS (
+      |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT doc_b AS src, doc_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS doc_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS doc_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.doc_id
+      |), lab AS (
+      |  SELECT doc_id, MIN(r) AS cluster_id FROM reach GROUP BY doc_id
+      |), f AS (
+      |  SELECT doc_id, source, md5(text) AS fp FROM documents
+      |), k AS (
+      |  SELECT fp, MIN(doc_id) AS fp_keep FROM f GROUP BY fp
+      |)
+      |SELECT f.doc_id, f.source,
+      |  CASE WHEN f.doc_id <> k.fp_keep THEN 'exact_dup'
+      |       WHEN l.cluster_id IS NOT NULL AND f.doc_id <> l.cluster_id
+      |         THEN 'near_dup'
+      |       ELSE 'keep' END AS verdict,
+      |  CASE WHEN f.doc_id <> k.fp_keep THEN k.fp_keep
+      |       WHEN l.cluster_id IS NOT NULL AND f.doc_id <> l.cluster_id
+      |         THEN l.cluster_id
+      |       ELSE f.doc_id END AS keep_doc
+      |FROM f
+      |JOIN k USING (fp)
+      |LEFT JOIN lab l USING (doc_id)
+      |ORDER BY f.doc_id""".stripMargin
 }

@@ -50,6 +50,8 @@ object OpsQueries {
     "n34_novelty" -> (TextAnalysis.noveltyQuery _),
     "n35_label_centroid" -> (Similarity.labelCentroidQuery _),
     "n36_dedup_corpus" -> (Dedup.dedupedCorpusQuery _),
+    "n37_embedding_clusters" -> (Dedup.embeddingClustersQuery _),
+    "n38_dedup_manifest" -> (Dedup.dedupManifestQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -87,5 +89,7 @@ object OpsQueries {
     "n34_novelty" -> TextAnalysis.noveltyOracle,
     "n35_label_centroid" -> Similarity.labelCentroidOracle,
     "n36_dedup_corpus" -> Dedup.dedupedCorpusOracle,
+    "n37_embedding_clusters" -> Dedup.embeddingClustersOracle,
+    "n38_dedup_manifest" -> Dedup.dedupManifestOracle,
   )
 }

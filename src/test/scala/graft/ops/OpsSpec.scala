@@ -52,6 +52,51 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding clusters: endpoints of every n05 pair share a cluster, canonical is the min") {
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val pairs = Dedup.embeddingNearDupPairs(emb)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.embeddingClustersQuery(spark, T.sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(pairs.nonEmpty && labels.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(labels(a)._1 == labels(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    labels.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(cid == members.keys.min, s"cluster $cid is not its min member")
+      assert(members.count(_._2._2) == 1 && members(cid)._2,
+        s"cluster $cid canonical flag wrong")
+    }
+  }
+
+  test("dedup manifest: partitions the corpus, pointers are consistent") {
+    val docs = Tables.documents(spark, T.sf0001)
+    val rows = Dedup.dedupManifestQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3)))
+    // one verdict per document, no invention
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    val byDoc = rows.map(r => r._1 -> r).toMap
+    val texts = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, verdict, keep) =>
+      verdict match {
+        case "keep" => assert(keep == id, s"keeper $id points elsewhere")
+        case "exact_dup" =>
+          // the pointer is an older doc with the identical fingerprint
+          assert(keep < id && texts(keep) == texts(id), s"exact_dup $id -> $keep")
+        case "near_dup" =>
+          // the pointer is the cluster canonical: older, present, and itself
+          // never an exact_dup pointer-chase target of this doc
+          assert(keep < id && byDoc.contains(keep), s"near_dup $id -> $keep")
+        case other => fail(s"unknown verdict $other")
+      }
+    }
+    // every md5 group keeps exactly one non-exact_dup representative
+    val dupCount = rows.count(_._2 == "exact_dup")
+    assert(dupCount == texts.size - texts.values.toSet.size)
+  }
+
   test("near-dup clusters: result is checkpoint-backed with truncated lineage") {
     val out = Dedup.nearDupClusters(Tables.documents(spark, T.sf0001))
     // the per-round eager localCheckpoint must leave a constant-size plan:
