@@ -52,6 +52,7 @@ object OpsQueries {
     "n36_dedup_corpus" -> (Dedup.dedupedCorpusQuery _),
     "n37_embedding_clusters" -> (Dedup.embeddingClustersQuery _),
     "n38_dedup_manifest" -> (Dedup.dedupManifestQuery _),
+    "n39_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -91,5 +92,6 @@ object OpsQueries {
     "n36_dedup_corpus" -> Dedup.dedupedCorpusOracle,
     "n37_embedding_clusters" -> Dedup.embeddingClustersOracle,
     "n38_dedup_manifest" -> Dedup.dedupManifestOracle,
+    "n39_knn_graph" -> Similarity.knnGraphOracle,
   )
 }

@@ -150,4 +150,72 @@ object Similarity {
       |FROM q
       |GROUP BY label, dim
       |ORDER BY label, dim""".stripMargin
+
+  // ------------------------------------------------------ n39 kNN graph
+
+  /**
+   * Exact k-nearest-neighbor graph over the embeddings table — the
+   * curation primitive semantic-dedup and diversity-filtering pipelines
+   * (SemDeDup-style) build on: every vector gets its k highest-cosine
+   * neighbors, exactly, with (cosine DESC, nbr ASC) as the total order.
+   *
+   * Scale shape: pair generation reuses the n05 block-grid equi-join (the
+   * n² compare space partitioned into bounded B×B cells — an EXACT kNN
+   * graph is inherently Ω(n²) compares; n06 LSH / n07 IVF are the
+   * subquadratic paths when recall < 1 is acceptable). The per-vector
+   * top-k runs on the custom [[graft.plans.TopKPerKey]] whole-operator:
+   * a bounded heap per partition means only k rows per vec_id per
+   * partition reach the shuffle — never the full pair stream — and there
+   * is no global sort anywhere. The pair table is persisted because the
+   * symmetric union reads it twice (it is the materialized candidate set
+   * a kNN-graph pipeline stores anyway); the trailing rank column is a
+   * window over the already-reduced n·k rows, not the pair stream.
+   */
+  def knnGraphQuery(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val pairs = Dedup
+      .embeddingNearDupPairs(embeddings(spark, dir), threshold = -1.0)
+      .persist()
+    val sym = pairs
+      .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cosine"))
+      .unionByName(pairs
+        .select(col("vec_b").as("vec_id"), col("vec_a").as("nbr"), col("cosine")))
+    val top = graft.plans.TopKPerKey(sym, Seq(col("vec_id")),
+      Seq(col("cosine").desc, col("nbr")), k)
+    top
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr")))
+        .cast("long"))
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** All-pairs cosine (the n05 CTE chain, no threshold), symmetrized, then
+    * the same (cosine DESC, nbr ASC) row_number cut. */
+  val knnGraphOracle: String =
+    """WITH ex AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), sym AS (
+      |  SELECT vec_a AS vec_id, vec_b AS nbr, cosine FROM p
+      |  UNION ALL
+      |  SELECT vec_b AS vec_id, vec_a AS nbr, cosine FROM p
+      |), r AS (
+      |  SELECT vec_id, nbr, cosine,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+      |                            ORDER BY cosine DESC, nbr) AS BIGINT) AS rank
+      |  FROM sym
+      |)
+      |SELECT vec_id, rank, nbr, cosine
+      |FROM r
+      |WHERE rank <= 3
+      |ORDER BY vec_id, rank""".stripMargin
 }

@@ -69,6 +69,34 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kNN graph: structure sound, matches driver-side brute force") {
+    val rows = Similarity.knnGraphQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val emb = Tables.embeddings(spark, T.sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(rows.map(_._1).distinct.length == emb.size)
+    rows.groupBy(_._1).foreach { case (v, ns) =>
+      assert(ns.map(_._2).sorted.sameElements(1L to ns.length))
+      assert(ns.length == math.min(3, emb.size - 1))
+      assert(ns.forall(_._3 != v), s"vec $v lists itself as neighbor")
+      val byRank = ns.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"vec $v cosines not non-increasing")
+    }
+    // brute-force the top-3 for a handful of vectors
+    def unit(a: Array[Double]) = { val n = math.sqrt(a.map(x => x * x).sum); a.map(_ / n) }
+    def cos(a: Array[Double], b: Array[Double]) =
+      unit(a).zip(unit(b)).map { case (x, y) => x * y }.sum
+    emb.keys.toSeq.sorted.take(5).foreach { v =>
+      val expect = emb.keys.filter(_ != v)
+        .map(o => (o, cos(emb(v), emb(o))))
+        .toSeq.sortBy { case (o, c) => (-c, o) }.take(3).map(_._1)
+      val got = rows.filter(_._1 == v).sortBy(_._2).map(_._3).toSeq
+      assert(got == expect, s"vec $v top-3 mismatch: got $got expected $expect")
+    }
+  }
+
   test("dedup manifest: partitions the corpus, pointers are consistent") {
     val docs = Tables.documents(spark, T.sf0001)
     val rows = Dedup.dedupManifestQuery(spark, T.sf0001)
