@@ -428,4 +428,72 @@ object Corpus {
       |FROM b JOIN t USING (source)
       |GROUP BY t.source, t.n_total, t.w_u, t.w_total
       |ORDER BY t.source""".stripMargin
+
+  // ------------------------------------------ n40 cross-source overlap
+
+  /**
+   * Cross-source content-overlap matrix — the corpus-audit view that tells
+   * you which sources are scraping each other (or a common upstream)
+   * before mixing weights are chosen: for every source pair, the number of
+   * shared distinct word trigrams and the trigram-set Jaccard.
+   *
+   * Scale shape: the corpus collapses to DISTINCT (source, gram-md5) in one
+   * map-side-combined aggregate — constant-width 16-byte keys, the n01
+   * trick — and every later frame is bounded by sources, not documents:
+   * the self-join expands each gram to at most (#sources-per-gram)² rows
+   * (≤ S², with S in the thousands while documents are in the billions),
+   * and the output is the S×S upper triangle. The gram table is persisted
+   * because the pair join reads it twice and the per-source counts once.
+   */
+  def sourceOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    val grams = docs
+      .select(col("source"), explode(Dedup.wordShingles(col("text"))).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+      .persist()
+    val counts = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
+    val shared = grams.as("a").join(grams.as("b"), Seq("h"))
+      .filter(col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(counts.select(col("source").as("source_a"),
+        col("n_grams").as("n_a")), "source_a")
+      .join(counts.select(col("source").as("source_b"),
+        col("n_grams").as("n_b")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        (col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  /** Same trigram construction as the n27 closure oracle, distinct per
+    * source, self-joined on the md5. */
+  val sourceOverlapOracle: String =
+    """WITH w AS (
+      |  SELECT source, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), g AS (
+      |  SELECT DISTINCT source,
+      |    md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS h
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) - 1)) AS i) r
+      |  WHERE len(ws) >= 3
+      |), c AS (
+      |  SELECT source, COUNT(*) AS n_grams FROM g GROUP BY source
+      |), x AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+      |  FROM g a JOIN g b USING (h)
+      |  WHERE a.source < b.source
+      |  GROUP BY 1, 2
+      |)
+      |SELECT source_a, source_b, n_shared,
+      |  ca.n_grams AS n_a, cb.n_grams AS n_b,
+      |  CAST(n_shared AS DOUBLE) /
+      |    CAST(ca.n_grams + cb.n_grams - n_shared AS DOUBLE) AS jaccard
+      |FROM x
+      |JOIN c ca ON ca.source = x.source_a
+      |JOIN c cb ON cb.source = x.source_b
+      |ORDER BY source_a, source_b""".stripMargin
 }

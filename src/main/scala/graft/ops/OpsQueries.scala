@@ -53,6 +53,7 @@ object OpsQueries {
     "n37_embedding_clusters" -> (Dedup.embeddingClustersQuery _),
     "n38_dedup_manifest" -> (Dedup.dedupManifestQuery _),
     "n39_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
+    "n40_source_overlap" -> (Corpus.sourceOverlapQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -93,5 +94,6 @@ object OpsQueries {
     "n37_embedding_clusters" -> Dedup.embeddingClustersOracle,
     "n38_dedup_manifest" -> Dedup.dedupManifestOracle,
     "n39_knn_graph" -> Similarity.knnGraphOracle,
+    "n40_source_overlap" -> Corpus.sourceOverlapOracle,
   )
 }

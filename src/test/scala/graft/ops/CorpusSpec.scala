@@ -11,6 +11,28 @@ import graft.{SparkTestSession => T}
 class CorpusSpec extends AnyFunSuite {
   lazy val spark = T.spark
 
+  test("source overlap: bounded counts, upper triangle, exact for one pair") {
+    val rows = Corpus.sourceOverlapQuery(spark, T.sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, shared, na, nb, j) =>
+      assert(a < b, s"($a,$b) not upper-triangular")
+      assert(shared >= 1 && shared <= math.min(na, nb))
+      assert(j > 0.0 && j <= 1.0)
+      assert(math.abs(j - shared.toDouble / (na + nb - shared)) < 1e-15)
+    }
+    // recompute one pair from the raw shingle sets
+    val (a0, b0, shared0, na0, nb0, _) = rows.head
+    val bySource = graft.queries.Tables.documents(spark, T.sf0001)
+      .filter(col("source").isin(a0, b0))
+      .select(col("source"), explode(Dedup.wordShingles(col("text"))).as("g"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .groupBy(_._1).map { case (s, gs) => s -> gs.map(_._2).toSet }
+    assert(bySource(a0).size == na0 && bySource(b0).size == nb0)
+    assert((bySource(a0) & bySource(b0)).size == shared0)
+  }
+
   test("chunking covers every token exactly: stride windows tile each doc") {
     val df = Corpus.chunkingQuery(spark, T.sf0001, window = 32, stride = 16)
     // chunk ids are dense from 0 per doc, and the last chunk is the only
