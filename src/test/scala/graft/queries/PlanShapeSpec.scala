@@ -146,6 +146,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n34 attribution join neither shuffles on h nor broadcasts:\n$p")
   }
 
+  test("n38 manifest: fingerprint + cluster-label joins are hash joins, no cartesian") {
+    assertNoPairBlowup("n38_dedup_manifest")
+  }
+
+  test("n39 knn graph: no cartesian; per-key cut is the custom TopKPerKey operator") {
+    val p = assertNoPairBlowup("n39_knn_graph")
+    assert(p.contains("TopKPerKey"),
+      s"n39 does not plan the bounded-heap top-k operator:\n$p")
+  }
+
+  test("n40 source overlap: gram self-join shuffles on the md5, no cartesian") {
+    val p = assertNoPairBlowup("n40_source_overlap")
+    assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n40 gram join neither shuffles on h nor broadcasts:\n$p")
+  }
+
   test("n33 pipeline: stages fuse into one plan, no cartesian") {
     val p = assertNoPairBlowup("n33_pipeline_e2e")
     // the dedup window must shuffle on the constant-width fingerprint; the
