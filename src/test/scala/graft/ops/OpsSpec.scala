@@ -125,6 +125,37 @@ class OpsSpec extends AnyFunSuite {
     assert(dupCount == texts.size - texts.values.toSet.size)
   }
 
+  test("minLabelComponents equals union-find on random graphs (fixed seed)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val n = 30 + rng.nextInt(40)
+      // ~n random edges: a near-critical random graph — has a giant
+      // component with nontrivial diameter plus isolated chains/cycles,
+      // stressing the doubling path far harder than planted 2-3 cliques
+      val edges = Seq.fill(n)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val got = Dedup.minLabelComponents(
+          edges.toDF("a", "b"), "a", "b", "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val members = parent.keys.toSeq
+      val expect = members.groupBy(find).flatMap { case (_, ms) =>
+        val min = ms.min; ms.map(_ -> min)
+      }.toMap
+      assert(got == expect, s"trial $trial (n=$n) mismatch")
+    }
+  }
+
   test("near-dup clusters: result is checkpoint-backed with truncated lineage") {
     val out = Dedup.nearDupClusters(Tables.documents(spark, T.sf0001))
     // the per-round eager localCheckpoint must leave a constant-size plan:
