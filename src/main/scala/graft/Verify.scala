@@ -29,6 +29,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Queries that persist intermediates (pair tables, gram tables) rely
+      // on the session dropping them afterwards — same policy as Bench and
+      // PlanAudit, else 141 queries' caches accumulate across the run.
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -355,9 +355,11 @@ object Corpus {
    * the documented envelope `W < 10^14 ∧ n_s < 10^12`: since
    * `W = Σ floor(sqrt(n_s))·2^16`, W < 10^14 holds up to ~10^4 sources of
    * ~10^10 docs each (Σ√n < 1.5·10^9) — ample past any real corpus.
-   * Outside it the decimal casts/products overflow loudly (ANSI error or
-   * null kept counts) rather than silently wrapping like the round-5
-   * BIGINT form did.
+   * Outside it the query raises an explicit error (a `raise_error` guard on
+   * the per-source frame — under default non-ANSI Spark an overflowed
+   * decimal product would otherwise be a null predicate silently counted as
+   * "rejected") rather than silently wrapping like the round-5 BIGINT form
+   * did.
    *
    * Bias bound: accepted buckets = ⌈t⌉ for threshold `t = K·w·2^32/(W·n)`,
    * so the realized expected kept count exceeds the ideal `K·w/W` by at
@@ -380,8 +382,22 @@ object Corpus {
           .as("w_u"))
     // global weight total over the per-source frame (rows = #sources, not
     // #docs — the empty-partition window is deliberate and tiny)
-    val withTotal = perSource.select(col("source"), col("n_total"), col("w_u"),
-      sum(col("w_u")).over(Window.partitionBy()).as("w_total"))
+    // Explicit envelope guards: outside W < 10^14 ∧ n_s < 10^12 the decimal
+    // products below would overflow, and under default (non-ANSI) Spark an
+    // overflowed product is a null predicate that silently counts as
+    // "rejected". raise_error on the per-source frame makes the failure
+    // loud regardless of ANSI mode; both checks run on #sources rows.
+    val guarded = (c: Column, bound: Long, what: String) =>
+      when(c < bound, c).otherwise(raise_error(concat(
+        lit(s"n31 decimal envelope exceeded: $what = "), c.cast("string"),
+        lit(s" >= $bound"))).cast("long"))
+    val withTotal = perSource
+      .select(col("source"),
+        guarded(col("n_total"), 1000000000000L, "n_total").as("n_total"),
+        col("w_u"),
+        sum(col("w_u")).over(Window.partitionBy()).as("w_total"))
+      .withColumn("w_total",
+        guarded(col("w_total"), 100000000000000L, "w_total"))
     val bucket = conv(substring(
       md5(concat(lit("temp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
       .cast("long")

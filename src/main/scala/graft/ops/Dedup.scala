@@ -382,11 +382,17 @@ object Dedup {
     val right = unit
       .select(col("vec_id").as("vec_y"), col("u").as("uy"), col("blk").as("by"))
       .withColumn("ci", explode(sequence(lit(0), col("by"))))
-    left.join(right, col("bx") === col("ci") && col("cj") === col("by"))
+    val scored = left
+      .join(right, col("bx") === col("ci") && col("cj") === col("by"))
       .filter(col("bx") < col("by") ||
         (col("bx") === col("by") && col("vec_x") < col("vec_y")))
       .withColumn("cosine", graft.functions.DotProduct(col("ux"), col("uy")))
-      .filter(col("cosine") >= threshold)
+    // A non-finite threshold means "keep every pair": skip the filter rather
+    // than compare against -1.0, where a near-antipodal dot product rounding
+    // a hair below -1.0 would silently drop a pair the caller wants (the n39
+    // kNN graph passes NegativeInfinity for exactly this reason).
+    (if (threshold.isInfinite || threshold.isNaN) scored
+     else scored.filter(col("cosine") >= threshold))
       .select(least(col("vec_x"), col("vec_y")).as("vec_a"),
         greatest(col("vec_x"), col("vec_y")).as("vec_b"), col("cosine"))
   }

@@ -172,8 +172,13 @@ object Similarity {
    * window over the already-reduced n·k rows, not the pair stream.
    */
   def knnGraphQuery(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    // NegativeInfinity = no cosine filter at all (see embeddingNearDupPairs:
+    // a -1.0 threshold could drop a near-antipodal pair on float rounding).
+    // The persist is released by the caller's session-level clearCache
+    // (Verify/Bench/PlanAudit all clear per query).
     val pairs = Dedup
-      .embeddingNearDupPairs(embeddings(spark, dir), threshold = -1.0)
+      .embeddingNearDupPairs(embeddings(spark, dir),
+        threshold = Double.NegativeInfinity)
       .persist()
     val sym = pairs
       .select(col("vec_a").as("vec_id"), col("vec_b").as("nbr"), col("cosine"))

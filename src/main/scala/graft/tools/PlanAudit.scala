@@ -59,5 +59,7 @@ object PlanAudit {
     println(s"AUDIT ${if (bad == 0 && errs == 0) "CLEAN"
       else s"$bad blowups, $errs errors"} over ${SparkEntry.queries.size} queries")
     spark.stop()
+    // non-zero exit so a scripted gate fails on a blowup/build regression
+    if (bad > 0 || errs > 0) sys.exit(1)
   }
 }
