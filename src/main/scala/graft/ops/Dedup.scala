@@ -138,8 +138,8 @@ object Dedup {
     * `size(array_intersect(...))` builds a hash set and materializes the
     * intersection per candidate pair, and was the verify stage's dominant
     * cost on the n03 candidate stream. */
-  private def verifyJaccard(candidates: DataFrame, sh: DataFrame,
-                            threshold: Double): DataFrame =
+  private[ops] def verifyJaccard(candidates: DataFrame, sh: DataFrame,
+                                 threshold: Double): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")

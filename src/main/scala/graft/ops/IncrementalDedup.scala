@@ -1,0 +1,290 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.Tables
+
+/**
+ * Incremental / streaming deduplication: the n38 per-document manifest
+ * maintained continuously as documents arrive, instead of recomputed from
+ * scratch. This is the composition a production corpus pipeline actually
+ * runs — the reference's flagship path is a streaming source→sink lifecycle
+ * (`/root/reference/tests/test_delta_end_to_end.py:72-90`) and the dedup
+ * family (n01→n38) is what the micro-batches must maintain.
+ *
+ * Per micro-batch (`foreachBatch`, the d61 idempotent-write shape):
+ *   1. compute the batch's shingle hashes, MinHash band hashes, and md5
+ *      fingerprints with the SAME kernels the batch queries use
+ *      ([[Dedup.wordShingles]] / [[Dedup.minHashSignature]] /
+ *      [[Dedup.lshBands]]) — banding is per-document and deterministic, so
+ *      candidate recall is batching-invariant;
+ *   2. append them to the persisted index (one `b<batchId>` parquet part
+ *      per table, overwrite mode + commit marker ⇒ checkpoint-replay
+ *      idempotent, exactly the `IdempotentParquetWriter` contract);
+ *   3. generate candidates STREAM-STATIC: batch bands ⋈ (index ∪ batch)
+ *      on (band, bh) — every qualifying pair has at least one endpoint in
+ *      the current batch, so each unordered pair is discovered exactly
+ *      once across the run, in the batch where its younger member arrives;
+ *   4. verify candidates with exact Jaccard ([[Dedup.verifyJaccard]]) and
+ *      fold the new edges into the persisted cluster labels by CONTRACTING
+ *      them through the current labels (endpoint → its component minimum)
+ *      and running [[Dedup.minLabelComponents]] on the contracted graph —
+ *      the graph of *touched components*, bounded by the batch's edge
+ *      count, never the corpus. Labels are component-minimum doc_ids, so
+ *      contraction preserves the global fixpoint: after every batch the
+ *      label table equals what the batch algorithm would produce on all
+ *      documents seen so far (bridging merges included — a batch that
+ *      connects two existing clusters relabels the larger-min one, which
+ *      can flip an old "keep" verdict to "near_dup", exactly as a batch
+ *      recompute would);
+ *   5. merge the batch's (fp, min doc_id) into the fingerprint-keeper
+ *      snapshot and append arrival-time verdicts for the batch's documents
+ *      to the manifest log.
+ *
+ * State layout under `root/`: `docs|shingles|bands|manifest/b<k>/`
+ * (append-only parts), `labels|fpmin/v<k>/` (versioned snapshots; a batch
+ * writes a new version only when it changes the table), `commits/<k>`.
+ * The versioned-snapshot rewrite is the offline stand-in for a Delta
+ * `MERGE` / RocksDB state store: per batch it costs one read+write of the
+ * label and fp tables (each bounded by matched docs / distinct
+ * fingerprints, not raw corpus bytes); at 100 TB the same plan lands on a
+ * partitioned MERGE so only affected partitions rewrite. The expensive
+ * stages — shingling, banding, candidate generation, verification — touch
+ * only the batch and its collision partners, which is the entire point of
+ * maintaining the index incrementally.
+ *
+ * Correctness claim (tested in `IncrementalDedupSpec`, oracle-gated as
+ * n41): after `processAllAvailable`, [[IncrementalDedupIndex.finalManifest]]
+ * equals the batch n38 manifest on the same documents — for ANY split of
+ * the corpus into batches, because the edge set is batching-invariant
+ * (step 3) and min-label contraction commutes with edge arrival order.
+ */
+final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
+
+  private val DocsDdl = "doc_id BIGINT, source STRING, fp STRING"
+  private val ShinglesDdl = "doc_id BIGINT, sh_hashes ARRAY<BIGINT>"
+  private val BandsDdl = "doc_id BIGINT, band INT, bh BIGINT"
+  private val LabelsDdl = "doc_id BIGINT, lbl BIGINT"
+  private val FpMinDdl = "fp STRING, fp_keep BIGINT"
+
+  private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
+  private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
+  private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
+
+  /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
+    * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
+    * has none and is re-written verbatim on replay). */
+  private def committedIds(name: String, prefix: String, max: Long): Seq[Long] = {
+    val dir = root.resolve(name)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
+            Files.exists(p.resolve("_SUCCESS")))
+          Some(n.drop(prefix.length).toLong).filter(_ < max)
+        else None
+      }.toSeq
+    } finally s.close()
+  }
+
+  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+
+  /** Union of all committed append parts of `name` below batch `max`. */
+  private def readParts(spark: SparkSession, name: String, max: Long,
+                        ddl: String): DataFrame = {
+    val ids = committedIds(name, "b", max)
+    if (ids.isEmpty) emptyDf(spark, ddl)
+    else spark.read.schema(StructType.fromDDL(ddl))
+      .parquet(ids.map(partDir(name, _).toString): _*)
+  }
+
+  /** Latest committed snapshot of `name` below batch `max`. */
+  private def readSnapshot(spark: SparkSession, name: String, max: Long,
+                           ddl: String): DataFrame =
+    committedIds(name, "v", max).maxOption match {
+      case Some(v) => spark.read.schema(StructType.fromDDL(ddl))
+        .parquet(snapDir(name, v).toString)
+      case None => emptyDf(spark, ddl)
+    }
+
+  def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
+
+  /** The `foreachBatch` entry point. Replay-idempotent: a committed batch
+    * short-circuits; an interrupted one recomputes deterministically and
+    * overwrites its own parts (both end states identical — the
+    * [[graft.sinks.IdempotentParquetWriter]] contract). */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (isCommitted(batchId)) return
+    val spark = batch.sparkSession
+    val b = batch.persist()
+    val sh = b
+      .select(col("doc_id"), Dedup.wordShingles(col("text")).as("shingles"))
+      .filter(size(col("shingles")) > 0)
+      .select(col("doc_id"),
+        array_sort(transform(col("shingles"), s => xxhash64(s))).as("sh_hashes"))
+      .persist()
+    val bandsB = sh
+      .select(col("doc_id"),
+        explode(Dedup.lshBands(Dedup.minHashSignature(col("sh_hashes")))).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+      .persist()
+    val edges = Dedup.verifyJaccard(candidatePairs(spark, bandsB, batchId),
+        readParts(spark, "shingles", batchId, ShinglesDdl).unionByName(sh),
+        threshold)
+      .select("doc_a", "doc_b").persist()
+    try {
+      val docsB = b.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
+      docsB.write.mode("overwrite").parquet(partDir("docs", batchId).toString)
+      sh.write.mode("overwrite").parquet(partDir("shingles", batchId).toString)
+      bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
+
+      if (edges.limit(1).count() > 0)
+        mergeLabels(spark, edges, batchId)
+          .write.mode("overwrite").parquet(snapDir("labels", batchId).toString)
+
+      val fpmin = readSnapshot(spark, "fpmin", batchId, FpMinDdl)
+        .unionByName(docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep")))
+        .groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
+      fpmin.write.mode("overwrite").parquet(snapDir("fpmin", batchId).toString)
+
+      // arrival-time verdicts for THIS batch's documents (the append-only
+      // audit log; a later bridging merge can supersede an old doc's
+      // verdict, which is why finalManifest derives from state instead)
+      manifestFor(docsB,
+          readSnapshot(spark, "fpmin", batchId + 1, FpMinDdl),
+          readSnapshot(spark, "labels", batchId + 1, LabelsDdl))
+        .write.mode("overwrite").parquet(partDir("manifest", batchId).toString)
+
+      Files.createDirectories(marker(batchId).getParent)
+      if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
+    } finally {
+      edges.unpersist(); bandsB.unpersist(); sh.unpersist(); b.unpersist()
+    }
+  }
+
+  /** Stream-static candidate generation: batch bands against the committed
+    * index plus the batch itself (within-batch pairs), deduped on the
+    * normalized unordered pair. Every pair with a shared band has at least
+    * one endpoint in SOME batch's `bandsB`, and the older endpoint is in
+    * that batch's index view — so the union over batches of these candidate
+    * sets is exactly the batch algorithm's candidate set. */
+  private def candidatePairs(spark: SparkSession, bandsB: DataFrame,
+                             batchId: Long): DataFrame = {
+    val all = readParts(spark, "bands", batchId, BandsDdl).unionByName(bandsB)
+    bandsB.as("x").join(all.as("y"), Seq("band", "bh"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+  }
+
+  /** Fold verified batch edges into the label snapshot: contract each edge
+    * endpoint through its current label (labels are component-minimum
+    * doc_ids, so contraction preserves global minima), cluster the
+    * contracted graph — whose size is bounded by the batch's edges, not
+    * the corpus — and rewrite only labels that moved plus brand-new
+    * endpoints. */
+  private def mergeLabels(spark: SparkSession, edges: DataFrame,
+                          batchId: Long): DataFrame = {
+    val oldLabels = readSnapshot(spark, "labels", batchId, LabelsDdl)
+    val contracted = edges
+      .join(oldLabels.select(col("doc_id").as("doc_a"), col("lbl").as("la0")),
+        Seq("doc_a"), "left")
+      .join(oldLabels.select(col("doc_id").as("doc_b"), col("lbl").as("lb0")),
+        Seq("doc_b"), "left")
+      .select(coalesce(col("la0"), col("doc_a")).as("la"),
+        coalesce(col("lb0"), col("doc_b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    val mapping = Dedup.minLabelComponents(contracted, "la", "lb", "node")
+      .select(col("node"), col("cluster_id"))
+    val updatedOld = oldLabels
+      .join(mapping.select(col("node").as("lbl"), col("cluster_id")),
+        Seq("lbl"), "left")
+      .select(col("doc_id"), coalesce(col("cluster_id"), col("lbl")).as("lbl"))
+    val newEndpoints = edges.select(col("doc_a").as("doc_id"))
+      .unionByName(edges.select(col("doc_b").as("doc_id"))).distinct()
+      .join(oldLabels.select("doc_id"), Seq("doc_id"), "left_anti")
+      .join(mapping.select(col("node").as("doc_id"), col("cluster_id").as("lbl")),
+        "doc_id")
+    updatedOld.unionByName(newEndpoints)
+  }
+
+  /** The n38 verdict CASE over (docs ⋈ fp keepers ⋈ cluster labels) —
+    * `is_canonical ⟺ cluster_id = doc_id` because labels are component
+    * minima. */
+  private def manifestFor(docs: DataFrame, fpmin: DataFrame,
+                          labels: DataFrame): DataFrame =
+    docs.join(fpmin, "fp")
+      .join(labels.select(col("doc_id"), col("lbl").as("cluster_id")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") =!= col("fp_keep"), lit("exact_dup"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            lit("near_dup"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("doc_id") =!= col("fp_keep"), col("fp_keep"))
+          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
+            col("cluster_id"))
+          .otherwise(col("doc_id")).as("keep_doc"))
+
+  /** The manifest implied by the final state — row-identical to the batch
+    * n38 manifest over every ingested document. */
+  def finalManifest(spark: SparkSession): DataFrame =
+    manifestFor(readParts(spark, "docs", Long.MaxValue, DocsDdl),
+      readSnapshot(spark, "fpmin", Long.MaxValue, FpMinDdl),
+      readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl))
+}
+
+object IncrementalDedup {
+
+  /** Stage `docs` as `chunks` arrival groups (one parquet file each,
+    * written sequentially so modification-time ordering gives one file per
+    * micro-batch under maxFilesPerTrigger=1). The split key is arbitrary:
+    * the final manifest is batching-invariant. */
+  private[ops] def stageChunks(docs: DataFrame, input: Path, chunks: Int,
+                               from: Int = 0): Unit =
+    (from until chunks).foreach { c =>
+      docs.filter(pmod(col("doc_id"), lit(chunks)) === c)
+        .coalesce(1).write.mode("append").parquet(input.toString)
+    }
+
+  /** One AvailableNow run of the incremental pipeline over whatever staged
+    * files the checkpoint has not seen yet. */
+  private[ops] def runStream(spark: SparkSession, input: Path, ckpt: Path,
+                             index: IncrementalDedupIndex): Unit = {
+    val schema = spark.read.parquet(input.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input.toString)
+      .writeStream
+      .foreachBatch((df: DataFrame, id: Long) => index.processBatch(df, id))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .queryName("graft:n41")
+      .start()
+    q.awaitTermination()
+  }
+
+  /** n41: ingest the documents table as a 4-batch file stream through the
+    * incremental index, then emit the manifest implied by the final state.
+    * Oracle: the batch n38 SQL ([[Dedup.dedupManifestOracle]]) verbatim —
+    * the whole point is that incremental maintenance converges to the
+    * batch answer. */
+  def streamingManifestQuery(spark: SparkSession, dir: String,
+                             chunks: Int = 4): DataFrame = {
+    val base = Tables.scratchDir("n41")
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    stageChunks(Tables.documents(spark, dir), base.resolve("input"), chunks)
+    runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
+    index.finalManifest(spark).orderBy("doc_id")
+  }
+}

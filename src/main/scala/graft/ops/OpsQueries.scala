@@ -54,6 +54,7 @@ object OpsQueries {
     "n38_dedup_manifest" -> (Dedup.dedupManifestQuery _),
     "n39_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "n40_source_overlap" -> (Corpus.sourceOverlapQuery _),
+    "n41_streaming_manifest" -> ((s, d) => IncrementalDedup.streamingManifestQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +96,7 @@ object OpsQueries {
     "n38_dedup_manifest" -> Dedup.dedupManifestOracle,
     "n39_knn_graph" -> Similarity.knnGraphOracle,
     "n40_source_overlap" -> Corpus.sourceOverlapOracle,
+    // incremental maintenance must converge to the batch answer: same SQL
+    "n41_streaming_manifest" -> Dedup.dedupManifestOracle,
   )
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+import graft.queries.Tables
+
+/**
+ * The incremental-dedup invariant (n41): maintaining the manifest one
+ * micro-batch at a time converges to the batch n38 answer — including
+ * across a stream restart with new data, and across checkpoint replay of
+ * an already-committed batch.
+ */
+class IncrementalDedupSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private def batchManifest: Set[Row] =
+    Dedup.dedupManifestQuery(spark, T.sf0001).collect().toSet
+
+  test("streaming manifest equals the batch n38 manifest") {
+    val got = IncrementalDedup.streamingManifestQuery(spark, T.sf0001)
+      .collect().toSet
+    assert(got == batchManifest)
+  }
+
+  test("restart with new data resumes the index and still converges") {
+    val base = Files.createTempDirectory("graft-n41-restart-")
+    val input = base.resolve("input")
+    val ckpt = base.resolve("ckpt")
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    val docs = Tables.documents(spark, T.sf0001)
+
+    // run 1 sees only half the corpus; run 2 reuses the same checkpoint
+    // and state, so its batches continue the id sequence and join against
+    // the index run 1 persisted (bridging pairs across the runs included).
+    // Any batching converges to the same manifest, so the split key need
+    // only partition the corpus.
+    IncrementalDedup.stageChunks(docs.filter(col_mod(0, 4) || col_mod(1, 4)),
+      input, chunks = 2)
+    IncrementalDedup.runStream(spark, input, ckpt, index)
+    assert(index.finalManifest(spark).count() > 0)
+
+    IncrementalDedup.stageChunks(docs.filter(col_mod(2, 4) || col_mod(3, 4)),
+      input, chunks = 2)
+    IncrementalDedup.runStream(spark, input, ckpt, index)
+    assert(index.finalManifest(spark).collect().toSet == batchManifest)
+  }
+
+  private def col_mod(r: Int, m: Int) = {
+    import org.apache.spark.sql.functions._
+    pmod(col("doc_id"), lit(m)) === r
+  }
+
+  test("replaying a committed batch is a no-op; an uncommitted one recomputes") {
+    val base = Files.createTempDirectory("graft-n41-replay-")
+    val input = base.resolve("input")
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    val docs = Tables.documents(spark, T.sf0001)
+    IncrementalDedup.stageChunks(docs, input, chunks = 2)
+    val schema = spark.read.parquet(input.toString).schema
+    val b0 = spark.read.schema(schema)
+      .parquet(input.toString).filter(col_mod(0, 2))
+    val b1 = spark.read.schema(schema)
+      .parquet(input.toString).filter(col_mod(1, 2))
+    index.processBatch(b0, 0L)
+    index.processBatch(b1, 1L)
+    val before = index.finalManifest(spark).collect().toSet
+    assert(before.nonEmpty)
+
+    // committed replay: marker short-circuits
+    index.processBatch(b1, 1L)
+    assert(index.finalManifest(spark).collect().toSet == before)
+
+    // crash-before-commit replay: remove the marker, replay recomputes and
+    // overwrites its own parts deterministically
+    Files.delete(base.resolve("state/commits/1.committed"))
+    assert(!index.isCommitted(1L))
+    index.processBatch(b1, 1L)
+    assert(index.isCommitted(1L))
+    assert(index.finalManifest(spark).collect().toSet == before)
+  }
+}
