@@ -334,7 +334,7 @@ object Dedup {
     * cast transform under it) per element, an O(dim²) per row interpretive
     * blowup (see [[wordShingles]]). Input element type may be float or
     * double; the cast is exact. */
-  private def unitVector(vecCol: Column): Column =
+  private[ops] def unitVector(vecCol: Column): Column =
     element_at(transform(array(transform(vecCol, x => x.cast("double"))), dv =>
       element_at(transform(array(sqrt(aggregate(dv, lit(0.0),
           (acc, x) => acc + x * x))), nrm =>

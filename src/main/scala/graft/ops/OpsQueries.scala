@@ -55,6 +55,8 @@ object OpsQueries {
     "n39_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
     "n40_source_overlap" -> (Corpus.sourceOverlapQuery _),
     "n41_streaming_manifest" -> ((s, d) => IncrementalDedup.streamingManifestQuery(s, d)),
+    // seed-dependent (KMeans centroids): rows-only; recall-vs-n39 in OpsSpec
+    "n42_knn_join" -> (Similarity.knnJoinQuery _),
   )
 
   val oracles: Map[String, String] = Map(

@@ -101,6 +101,75 @@ object Similarity {
   def ivfQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(embeddings(spark, dir))
 
+  // ------------------------------------------------- n42 IVF kNN join
+
+  /**
+   * Batched ANN kNN JOIN — every row of a query table gets its approximate
+   * k nearest neighbors from the index in ONE distributed plan. n06/n07
+   * answer a single probe vector (and legitimately pull that one parameter
+   * driver-side); this is the shape a 100 TB semantic-dedup actually
+   * executes — millions of queries × a billion-vector index — where no
+   * vector may touch the driver. The exact kNN graph (n39) is the recall
+   * oracle.
+   *
+   * Plan: (1) KMeans(nlist) coarse centroids over unit vectors (fixed
+   * seed; at corpus scale trained on a sample); (2) every index vector
+   * assigned to its cell map-side; (3) every QUERY row scored against the
+   * centroids via an exploded literal centroid table — nlist×dim doubles,
+   * a plan constant (at nlist in the tens of thousands this becomes a
+   * broadcast join against a centroid frame instead) — and cut to its
+   * nProbe best cells with [[graft.plans.TopKPerKey]] (bounded heap, no
+   * global sort); (4) equi-join on cell against the cell-partitioned
+   * index — each query moves nProbe times, each index vector once, never
+   * the n² pair space — exact-cosine scoring (codegen
+   * [[graft.functions.DotProduct]]), and a second TopKPerKey cut to k per
+   * query. Compare work is n·(nProbe/nlist)·|index| — the IVF recall/cost
+   * dial; KMeans balances cells, and residual cell skew at scale is AQE
+   * skew-join territory (the d35 treatment).
+   */
+  def knnJoin(emb: DataFrame, k: Int = 3, nlist: Int = 8,
+              nProbe: Int = 4): DataFrame = {
+    val par = emb.sparkSession.sparkContext.defaultParallelism
+    // persisted: consumed by KMeans fit, the index side, and the query
+    // side; released by the session-level per-query clearCache policy
+    val unit = emb.repartition(par).select(col("vec_id"),
+      Dedup.unitVector(col("embedding")).as("u"),
+      toUnitVector(col("embedding")).as("features")).persist()
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cell").fit(unit)
+    val index = model.transform(unit)
+      .select(col("cell"), col("vec_id").as("nbr"), col("u").as("un"))
+    val ctrLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      val arr = c.toArray
+      val nrm = math.sqrt(arr.map(x => x * x).sum)
+      struct(lit(i).as("cell"), array(arr.map(x => lit(x / nrm)): _*).as("ctr"))
+    }: _*)
+    val scoredCells = unit
+      .select(col("vec_id"), col("u"), explode(ctrLit).as("c"))
+      .select(col("vec_id"), col("u"), col("c.cell").as("cell"),
+        graft.functions.DotProduct(col("u"), col("c.ctr")).as("ccos"))
+    val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
+      Seq(col("ccos").desc, col("cell")), nProbe)
+    val cands = probed.select(col("vec_id"), col("u"), col("cell"))
+      .join(index, "cell")
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("cosine", graft.functions.DotProduct(col("u"), col("un")))
+    val top = graft.plans.TopKPerKey(cands.select("vec_id", "nbr", "cosine"),
+      Seq(col("vec_id")), Seq(col("cosine").desc, col("nbr")), k)
+    top
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr")))
+        .cast("long"))
+      .select(col("vec_id"), col("rank"), col("nbr"), col("cosine"))
+      .orderBy("vec_id", "rank")
+  }
+
+  /** n42: the embeddings table as BOTH query and index side (directly
+    * comparable to the exact n39 graph). Seed-dependent through KMeans ⇒
+    * rows-only checked; recall vs n39 asserted in OpsSpec. */
+  def knnJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    knnJoin(embeddings(spark, dir))
+
   // ----------------------------------------- n35 exact per-label centroids
 
   /**

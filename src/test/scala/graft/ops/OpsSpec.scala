@@ -267,6 +267,23 @@ class OpsSpec extends AnyFunSuite {
     assert(ivf.intersect(exact).size >= 3, s"ivf=$ivf exact=$exact")
   }
 
+  test("n42 kNN join recovers most of the exact n39 graph") {
+    // nProbe=4 of nlist=8 probes ~half the index per query; on
+    // uniform-random embeddings (no cluster structure for the coarse
+    // quantizer to exploit — the worst case for IVF) the measured recall
+    // of the exact top-3 is ~0.77 at sf0.001. Assert a margin below; exact
+    // per-pair equality is n39's job, this guards the join plumbing.
+    val exact = Similarity.knnGraphQuery(spark, T.sf0001)
+      .select("vec_id", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnJoinQuery(spark, T.sf0001)
+      .select("vec_id", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"n42 recall vs exact n39: $recall%.3f")
+    assert(recall >= 0.6, s"recall $recall (${approx.size} approx, ${exact.size} exact)")
+    // every query vector answered with a full top-k
+    assert(approx.map(_._1).size == exact.map(_._1).size)
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val o = Tables.orders(spark, T.sf0001)
     val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
