@@ -460,13 +460,34 @@ object Corpus {
    * (≤ S², with S in the thousands while documents are in the billions),
    * and the output is the S×S upper triangle. The gram table is persisted
    * because the pair join reads it twice and the per-source counts once.
+   *
+   * Cost envelope and the `maxSourcesPerGram` cap: the self-join's compare
+   * work is Ω(Σ_g c_g²) over per-gram source counts c_g, so it
+   * concentrates on grams shared by MANY sources — in a production corpus,
+   * boilerplate ("all rights reserved …") whose c_g approaches S and which
+   * carries no discriminative overlap signal (the n30 observation applied
+   * across sources instead of documents). Setting the cap drops grams with
+   * c_g > K before the join, bounding compare work at Σ min(c_g,K)² ≤ K²·G
+   * and turning the measure into discriminative-gram Jaccard (counts and
+   * denominators both computed over the capped gram set, so it stays a
+   * true Jaccard). Default = no cap, keeping the registered query exactly
+   * the oracle's plain-Jaccard semantics; the capped variant is asserted
+   * monotone-consistent in `CorpusSpec`.
    */
-  def sourceOverlapQuery(spark: SparkSession, dir: String): DataFrame = {
+  def sourceOverlapQuery(spark: SparkSession, dir: String,
+                         maxSourcesPerGram: Int = Int.MaxValue): DataFrame = {
     val docs = documents(spark, dir)
-    val grams = docs
+    val allGrams = docs
       .select(col("source"), explode(Dedup.wordShingles(col("text"))).as("g"))
       .select(col("source"), md5(col("g")).as("h"))
       .distinct()
+    // one map-side-combined count per gram, then an anti-join on the hot
+    // set — both on the 16-byte key; no new wide exchange over documents
+    val grams = (if (maxSourcesPerGram == Int.MaxValue) allGrams
+      else allGrams.join(
+        allGrams.groupBy("h").agg(count(lit(1)).as("c_g"))
+          .filter(col("c_g") > maxSourcesPerGram).select("h"),
+        Seq("h"), "left_anti"))
       .persist()
     val counts = grams.groupBy("source").agg(count(lit(1)).as("n_grams"))
     val shared = grams.as("a").join(grams.as("b"), Seq("h"))

@@ -53,7 +53,7 @@ object OpsQueries {
     "n37_embedding_clusters" -> (Dedup.embeddingClustersQuery _),
     "n38_dedup_manifest" -> (Dedup.dedupManifestQuery _),
     "n39_knn_graph" -> ((s, d) => Similarity.knnGraphQuery(s, d)),
-    "n40_source_overlap" -> (Corpus.sourceOverlapQuery _),
+    "n40_source_overlap" -> ((s, d) => Corpus.sourceOverlapQuery(s, d)),
     "n41_streaming_manifest" -> ((s, d) => IncrementalDedup.streamingManifestQuery(s, d)),
     // seed-dependent (KMeans centroids): rows-only; recall-vs-n39 in OpsSpec
     "n42_knn_join" -> (Similarity.knnJoinQuery _),

@@ -92,4 +92,24 @@ class CorpusSpec extends AnyFunSuite {
     val nDocs = graft.queries.Tables.documents(spark, T.sf0001).count()
     assert(total == nDocs)
   }
+
+  test("n40 boilerplate-gram cap drops only hot grams and keeps a true Jaccard") {
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val uncapped = toMap(Corpus.sourceOverlapQuery(spark, T.sf0001))
+    val capped = toMap(Corpus.sourceOverlapQuery(spark, T.sf0001,
+      maxSourcesPerGram = 2))
+    assert(uncapped.nonEmpty)
+    // dropping grams can only shrink shared counts and per-source totals,
+    // and the Jaccard must stay consistent with its own capped counts
+    capped.foreach { case (pair, (shared, na, nb, jac)) =>
+      val (s0, a0, b0, _) = uncapped(pair)
+      assert(shared <= s0 && na <= a0 && nb <= b0, s"cap grew counts for $pair")
+      assert(math.abs(jac - shared.toDouble / (na + nb - shared)) < 1e-12)
+    }
+    // the cap engaged at this scale: some gram lives in >2 sources
+    assert(capped.exists { case (p, (s, _, _, _)) => s < uncapped(p)._1 } ||
+      capped.map(_._2._2).sum < uncapped.map(_._2._2).sum)
+  }
 }
