@@ -99,8 +99,26 @@ object Dedup {
    * ≤ (1-0.8⁴)¹⁶ < 4e-3 (and the testdata's planted near-dups sit at ≈0.99,
    * where the miss probability is ~1e-22), so the verified output equals the
    * exact threshold join and is oracle-checkable.
+   *
+   * Skew: band-bucket sizes follow the corpus's duplicate structure, which
+   * is zipfian in production — and a degenerate bucket of c members emits
+   * c² candidate rows from the self-join BEFORE any partitioning remedy
+   * can act. AQE skew-join splitting (on in the bench/audit sessions)
+   * keeps the join's post-shuffle partitions within memory but cannot
+   * shrink that quadratic row count; the real mitigation is
+   * `maxBandBucket`: buckets larger than the cap are dropped before the
+   * self-join (one map-side-combined count on the constant-width
+   * (band, bh) key + an anti-join), bounding per-bucket work at cap². The
+   * recall cost is confined to pairs ALL of whose shared bands are hot —
+   * at jaccard ≥ 0.8 a pair shares many of the 16 bands, and a bucket
+   * only saturates the cap when its members are near-identical en masse:
+   * exact-duplicate / boilerplate clusters that n01 exact dedup collapses
+   * upstream anyway. Default = no cap (the oracle-matched exact
+   * semantics); `DedupSkewSpec` plants a pathological bucket and asserts
+   * the capped result equals the unplanted baseline.
    */
-  def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  def minHashNearDupPairs(docs: DataFrame, threshold: Double = 0.8,
+                          maxBandBucket: Int = Int.MaxValue): DataFrame = {
     // shingle + hash once, behind a persist barrier: the expression tree is
     // expensive and referenced from both sides of the candidate self-join,
     // and higher-order functions re-evaluate per reference otherwise. At
@@ -115,17 +133,31 @@ object Dedup {
       .filter(size(col("shingles")) > 0)
       .withColumn("sh_hashes", array_sort(transform(col("shingles"), s => xxhash64(s))))
       .persist()
-    val banded = sh
+    val bandedAll = sh
       .select(col("doc_id"),
         explode(lshBands(minHashSignature(col("sh_hashes")))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
       .persist()
+    val banded = dropHotBuckets(bandedAll, maxBandBucket)
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     verifyJaccard(candidates, sh, threshold)
   }
+
+  /** Drop LSH band buckets with more than `cap` members before a candidate
+    * self-join (no-op at the default). See the skew paragraph on
+    * [[minHashNearDupPairs]]; shared by the text (n02) and embedding (n26)
+    * banded paths. The count is one map-side-combined aggregate on the
+    * constant-width (band, bh) key; the anti-join is a hash join on the
+    * same key. */
+  private def dropHotBuckets(banded: DataFrame, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) banded
+    else banded.join(
+      banded.groupBy("band", "bh").agg(count(lit(1)).as("c_bucket"))
+        .filter(col("c_bucket") > cap).select("band", "bh"),
+      Seq("band", "bh"), "left_anti")
 
   /** Join candidate (doc_a, doc_b) pairs back to the persisted shingle table
     * and keep those with exact Jaccard ≥ threshold. Set intersection runs on
@@ -711,7 +743,8 @@ object Dedup {
    * exact all-pairs form ([[embeddingNearDupPairs]]) stays the oracle-
    * checkable verifier for thresholds inside the background distribution.
    */
-  def embeddingLshNearDupPairs(emb: DataFrame, threshold: Double = 0.9): DataFrame = {
+  def embeddingLshNearDupPairs(emb: DataFrame, threshold: Double = 0.9,
+                               maxBandBucket: Int = Int.MaxValue): DataFrame = {
     val par = emb.sparkSession.sparkContext.defaultParallelism
     val base = emb.select(col("vec_id"),
       transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -724,7 +757,9 @@ object Dedup {
     // ≈ 37k steps per row and dominated this query's bench time
     val bandVals = graft.functions.SignBandHashes(col("u"),
       signPlanes.flatten.toArray, EmbeddingDim, LshPlaneBits, LshPlaneBands)
-    val banded = unit.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bh")))
+    val banded = dropHotBuckets(
+      unit.select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bh"))),
+      maxBandBucket)
     val candidates = banded.as("x").join(banded.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
