@@ -489,7 +489,7 @@ object Dedup {
    * local cost driver.
    */
   def nearDupClusters(docs: DataFrame, threshold: Double = 0.8,
-                      maxIters: Int = 20): DataFrame =
+                      maxIters: Int = 50): DataFrame =
     minLabelComponents(
       minHashNearDupPairs(docs, threshold).select("doc_a", "doc_b"),
       "doc_a", "doc_b", "doc_id", maxIters)
@@ -501,10 +501,20 @@ object Dedup {
    * text pairs, exact embedding pairs, …) shares one clustering engine.
    * Input: a frame with columns `aCol`, `bCol` (one row per matched pair);
    * output: (`outId`, cluster_id, is_canonical), one row per distinct
-   * endpoint.
+   * endpoint. `onConverged` receives the round count (instrumentation —
+   * the scale-curve tooling records it).
+   *
+   * Round-cap calibration: dup-cluster graphs converge in a handful of
+   * rounds, but a pair graph near the random-graph percolation threshold
+   * (average degree ≈ 2, measured on the ×10-amplified embedding corpus:
+   * 17.4k edges over 16.5k matched nodes, giant component of 14k) grows
+   * long thin chains and needed >20 doubling rounds — hence the default
+   * cap of 50. Early convergence exits the loop, so the cap costs nothing
+   * when the graph is shallow, and a non-converged exit still raises.
    */
   def minLabelComponents(pairList: DataFrame, aCol: String, bCol: String,
-                         outId: String, maxIters: Int = 20): DataFrame = {
+                         outId: String, maxIters: Int = 50,
+                         onConverged: Int => Unit = _ => ()): DataFrame = {
     // persist BEFORE the symmetric union: the two edge directions are two
     // consumers of the (possibly expensive) pair pipeline, and without the
     // barrier each one re-runs it
@@ -566,6 +576,7 @@ object Dedup {
         s"label propagation did not converge in $maxIters rounds — a cluster " +
           "diameter exceeds the cap; raise maxIters rather than returning " +
           "partial labels")
+      onConverged(iter)
       // cheap projection over the final round's checkpoint blocks — the
       // result stays valid after the finally because checkpoint blocks are
       // lineage-free and live as long as the returned Dataset references them
