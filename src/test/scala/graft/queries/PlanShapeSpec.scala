@@ -156,6 +156,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n39 does not plan the bounded-heap top-k operator:\n$p")
   }
 
+  test("n41 streaming manifest: final-state joins are hash joins, no cartesian") {
+    // building this plan replays the staged stream first (the d20/d21
+    // precedent); the asserted plan is the manifest derivation over the
+    // persisted state tables
+    assertNoPairBlowup("n41_streaming_manifest")
+  }
+
+  test("n42 knn join: cell equi-join + TopKPerKey cuts, no cartesian") {
+    val p = assertNoPairBlowup("n42_knn_join")
+    assert(p.contains("TopKPerKey"),
+      s"n42 does not plan the bounded-heap top-k operator:\n$p")
+  }
+
   test("n40 source overlap: gram self-join shuffles on the md5, no cartesian") {
     val p = assertNoPairBlowup("n40_source_overlap")
     assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
