@@ -24,15 +24,9 @@ object ProbeN37Scale {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val amplified = (0 until k).map { j =>
-      if (j == 0) emb
-      else emb.select((col("vec_id") + lit(j * 10000000L)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(pmod(xxhash64(lit(j), i), lit(2)) === 0, x).otherwise(-x)
-            .cast("float")).as("embedding"),
-        col("label"))
-    }.reduce(_.unionByName(_)).repartition(32).persist()
+    val amplified = ScaleCurve.amplifyEmbeddings(
+      spark.read.parquet(s"$sfDir/embeddings.parquet"), k)
+      .repartition(32).persist()
     println(s"vectors: ${amplified.count()}")
 
     val pairs = Dedup.embeddingNearDupPairs(amplified).select("vec_a", "vec_b")

@@ -68,8 +68,9 @@ object ScaleCurve {
     spark.stop()
   }
 
-  private def stage(spark: SparkSession, sfDir: String, out: String, k: Int): Unit = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  /** ×k disjoint word-suffixed replicas of the documents table (pair graph
+    * = k disjoint copies; see object scaladoc). */
+  private[tools] def amplifyDocuments(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { j =>
       if (j == 0) docs
       else docs.select((col("doc_id") + lit(j * 10000000L)).as("doc_id"),
@@ -77,9 +78,10 @@ object ScaleCurve {
           w => concat(w, lit(s"_$j")))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_.unionByName(_))
-      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
 
-    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+  /** ×k sign-flip-isometry replicas of the embeddings table (within-replica
+    * cosines exact, cross-replica cosines back in the random bulk). */
+  private[tools] def amplifyEmbeddings(emb: DataFrame, k: Int): DataFrame =
     (0 until k).map { j =>
       if (j == 0) emb
       else emb.select((col("vec_id") + lit(j * 10000000L)).as("vec_id"),
@@ -88,8 +90,12 @@ object ScaleCurve {
             .cast("float")).as("embedding"),
         col("label"))
     }.reduce(_.unionByName(_))
-      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
+  private def stage(spark: SparkSession, sfDir: String, out: String, k: Int): Unit = {
+    amplifyDocuments(spark.read.parquet(s"$sfDir/documents.parquet"), k)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/documents.parquet")
+    amplifyEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"), k)
+      .repartition(32).write.mode("overwrite").parquet(s"$out/embeddings.parquet")
     val nd = spark.read.parquet(s"$out/documents.parquet").count()
     val ne = spark.read.parquet(s"$out/embeddings.parquet").count()
     println(s"STAGED x$k: $nd docs, $ne embeddings at $out")
