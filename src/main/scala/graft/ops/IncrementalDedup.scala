@@ -242,6 +242,16 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     manifestFor(readParts(spark, "docs", Long.MaxValue, DocsDdl),
       readSnapshot(spark, "fpmin", Long.MaxValue, FpMinDdl),
       readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl))
+
+  /** The append-only arrival audit log: one verdict row per document,
+    * written in the batch that ingested it, judged against the state AS OF
+    * that batch. Exactly one row per ingested doc; a row can differ from
+    * [[finalManifest]] only by a later batch superseding it (an exact-dup
+    * keeper dethroned by a smaller doc_id, or a bridging merge relabeling
+    * a cluster) — `IncrementalDedupSpec` asserts both properties. */
+  def arrivalLog(spark: SparkSession): DataFrame =
+    readParts(spark, "manifest",
+      Long.MaxValue, "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT")
 }
 
 object IncrementalDedup {

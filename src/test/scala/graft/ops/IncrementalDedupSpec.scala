@@ -54,6 +54,34 @@ class IncrementalDedupSpec extends AnyFunSuite {
     pmod(col("doc_id"), lit(m)) === r
   }
 
+  test("arrival log: one verdict per doc; only supersession diverges from final") {
+    val base = Files.createTempDirectory("graft-n41-log-")
+    val input = base.resolve("input")
+    val ckpt = base.resolve("ckpt")
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    IncrementalDedup.stageChunks(Tables.documents(spark, T.sf0001), input, 4)
+    IncrementalDedup.runStream(spark, input, ckpt, index)
+
+    val log = index.arrivalLog(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    val fin = index.finalManifest(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(3))).toMap
+    // exactly one arrival verdict per ingested document
+    assert(log.size == fin.size)
+    assert(index.arrivalLog(spark).count() == fin.size)
+    // an arrival verdict may only be WEAKENED later (keep -> dup via a
+    // smaller keeper or a bridging merge), never invented: every doc whose
+    // final verdict is "keep" must also have been "keep" on arrival
+    fin.foreach { case (doc, (v, keep)) =>
+      if (v == "keep") assert(log(doc) == (("keep", doc)), s"doc $doc: ${log(doc)}")
+    }
+    // and divergent rows must exist only in the supersedable direction
+    log.foreach { case (doc, (v, _)) =>
+      if (v != "keep") assert(fin(doc)._1 != "keep",
+        s"doc $doc was judged $v on arrival but keep at the end")
+    }
+  }
+
   test("replaying a committed batch is a no-op; an uncommitted one recomputes") {
     val base = Files.createTempDirectory("graft-n41-replay-")
     val input = base.resolve("input")
