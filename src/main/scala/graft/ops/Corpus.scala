@@ -533,4 +533,71 @@ object Corpus {
       |JOIN c ca ON ca.source = x.source_a
       |JOIN c cb ON cb.source = x.source_b
       |ORDER BY source_a, source_b""".stripMargin
+
+  // ------------------------------------- n44 Bloom-prefilter decontamination
+
+  /**
+   * Benchmark decontamination with a Bloom prefilter — the 100 TB shape of
+   * n20's exact gram join. n20 broadcasts the full benchmark gram SET and
+   * the corpus-side join still shuffles every gram that might match; at
+   * corpus scale the standard mitigation is a two-stage filter: (1) a Bloom
+   * filter over the benchmark grams (1–2 bytes/gram at 3% fpp — 10–50×
+   * smaller than the string set, broadcastable even for very large
+   * benchmark suites) screens every corpus gram MAP-SIDE, so ~97% of the
+   * corpus gram stream dies before any shuffle; (2) only the survivors
+   * (true matches + fpp false positives) reach the exact semi-join against
+   * the real benchmark grams, which kills the false positives. The final
+   * answer is therefore EXACT — the Bloom stage changes the plan's cost,
+   * never its result — which is why this query shares a hash-matched
+   * DuckDB oracle with no approximation caveat, unlike sketch queries
+   * (d10/d68). Output is the decontaminated corpus itself (keep-side LEFT
+   * ANTI on the contaminated doc set), complementing n20's detection stats.
+   *
+   * The probe is a Scala UDF over the broadcast
+   * [[org.apache.spark.util.sketch.BloomFilter]]: an opaque per-row sketch
+   * probe with no columnar/codegen form to prefer — the UDF is the probe,
+   * not a hot arithmetic kernel (the functions-over-UDFs rule targets the
+   * latter). The filter itself is built by `DataFrameStatFunctions
+   * .bloomFilter` (one distributed aggregate; only the ~MB sketch reaches
+   * the driver) sized by an exact benchmark-gram count — one tiny scalar
+   * aggregate, the n13 `docs.count()` precedent.
+   */
+  def bloomDecontamQuery(spark: SparkSession, dir: String,
+                         fpp: Double = 0.03): DataFrame = {
+    val docs = documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 101 === 0)
+    val corpus = grams.filter(col("doc_id") % 101 =!= 0)
+    val nBench = math.max(bench.count(), 1L)
+    val bloom = bench.stat.bloomFilter("gram", nBench, fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => bloomB.value.mightContainString(g))
+    val contaminated = corpus
+      .filter(mightContain(col("gram"))) // map-side: ~fpp of the stream survives
+      .join(bench.select("gram"), Seq("gram"), "left_semi") // exact verify
+      .select("doc_id").distinct()
+    docs.filter(col("doc_id") % 101 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("source"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** Exact decontamination semantics — the Bloom stage is invisible to the
+    * result, so the oracle is a plain anti-join on shared 3-grams. */
+  val bloomDecontamOracle: String =
+    """WITH g AS (
+      |  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i + 2), ' ') AS gram
+      |  FROM (SELECT doc_id, string_split_regex(lower(text), '\s+') AS words FROM documents),
+      |       LATERAL (SELECT unnest(range(1, len(words) - 3 + 2)) AS i)
+      |), contaminated AS (
+      |  SELECT DISTINCT c.doc_id
+      |  FROM g c JOIN g b ON c.gram = b.gram AND b.doc_id % 101 = 0
+      |  WHERE c.doc_id % 101 <> 0
+      |)
+      |SELECT d.doc_id, d.source, d.lang
+      |FROM documents d
+      |WHERE d.doc_id % 101 <> 0
+      |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+      |ORDER BY d.doc_id""".stripMargin
 }

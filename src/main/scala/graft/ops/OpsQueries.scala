@@ -57,6 +57,9 @@ object OpsQueries {
     "n41_streaming_manifest" -> ((s, d) => IncrementalDedup.streamingManifestQuery(s, d)),
     // seed-dependent (KMeans centroids): rows-only; recall-vs-n39 in OpsSpec
     "n42_knn_join" -> (Similarity.knnJoinQuery _),
+    "n43_bigram_lm" -> (TextAnalysis.bigramLmQuery _),
+    "n44_bloom_decontam" -> ((s, d) => Corpus.bloomDecontamQuery(s, d)),
+    "n45_segment_dedup" -> ((s, d) => TextAnalysis.segmentDedupQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -100,5 +103,9 @@ object OpsQueries {
     "n40_source_overlap" -> Corpus.sourceOverlapOracle,
     // incremental maintenance must converge to the batch answer: same SQL
     "n41_streaming_manifest" -> Dedup.dedupManifestOracle,
+    "n43_bigram_lm" -> TextAnalysis.bigramLmOracle,
+    // exact result: the Bloom stage is a prefilter, not an approximation
+    "n44_bloom_decontam" -> Corpus.bloomDecontamOracle,
+    "n45_segment_dedup" -> TextAnalysis.segmentDedupOracle,
   )
 }

@@ -464,4 +464,164 @@ object TextAnalysis {
       |  CAST(length(norm) AS BIGINT) AS norm_len
       |FROM s
       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------- n43 corpus-trained bigram LM
+
+  /**
+   * Corpus-trained bigram language-model fluency score — the self-supervised
+   * stand-in for the KenLM-perplexity quality filter (CCNet-style): train
+   * bigram counts on the corpus itself, then score every document by its
+   * mean bigram conditional probability p(w2|w1) = c(w1 w2)/c(w1·). Higher
+   * means the document's word transitions are typical of the corpus; the
+   * lowest-scoring tail is the incoherent/outlier cut.
+   *
+   * Exactness: probabilities are engine-ambiguous only if you touch
+   * transcendentals (log-perplexity) or order-dependent float sums. Neither
+   * happens here: each probability is quantized to
+   * `q = (c2 · 2^30) div c1` in pure integer arithmetic (exact in both
+   * engines), the per-doc sum runs in BIGINTs (order-independent), and the
+   * mean is ONE double division of exact integers at the end — the n35
+   * integer-quantization treatment. The monotone log is dropped for the
+   * same reason as n13's TF-IDF: it cannot change any ranking. Envelope:
+   * `c2 < 2^33` keeps `c2·2^30 < 2^63`; a hotter bigram (≈8.6e9
+   * occurrences — a ~10^11-token corpus's "of the") raises an explicit
+   * error on the #bigram-types frame rather than silently wrapping (the
+   * n31 treatment); past that, shard the quantization by salting c2.
+   *
+   * Scale shape: bigram extraction is map-side (one split per row, bound
+   * via the lambda trick of [[dupSpanStatsQuery]]); the model is ONE
+   * partial-aggregated count on (w1, w2) — Zipf skew lands on the
+   * map-side combine, not the shuffle; prefix totals derive from the
+   * model table (#bigram-types rows, not corpus rows); scoring re-joins
+   * doc bigrams to the model on (w1, w2) — at production scale the model
+   * table is the broadcast side once pruned to the top-k vocabulary —
+   * and the per-doc aggregate is the only other corpus-width shuffle.
+   */
+  def bigramLmQuery(spark: SparkSession, dir: String): DataFrame =
+    bigramLm(documents(spark, dir))
+
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val pairsOf: Column => Column = ws => {
+      val ps = transform(sequence(lit(1), size(ws) - 1),
+        i => struct(element_at(ws, i).as("w1"), element_at(ws, i + 1).as("w2")))
+      when(size(ws) >= 2, ps)
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+    }
+    val pairs = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), pairsOf), 1)
+    val bg = docs
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val model = c2.join(c1, "w1")
+      .withColumn("q",
+        when(col("c2") < lit(1L << 33),
+          expr("c2 * CAST(1073741824 AS BIGINT) div c1"))
+          .otherwise(raise_error(concat(
+            lit("n43 quantization envelope exceeded: c2 = "),
+            col("c2").cast("string"), lit(" >= 2^33"))).cast("long")))
+      .select("w1", "w2", "q")
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_q"),
+        (col("sum_q").cast("double") /
+          (col("n_bigrams").cast("double") * lit(1073741824.0))).as("lm_score"))
+      .orderBy("doc_id")
+  }
+
+  val bigramLmOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+      |), c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+      |), model AS (
+      |  SELECT w1, w2, CAST((c2 * 1073741824) // c1 AS BIGINT) AS q
+      |  FROM c2 JOIN c1 USING (w1)
+      |)
+      |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(q) AS BIGINT) AS sum_q,
+      |  CAST(SUM(q) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1073741824.0)
+      |    AS lm_score
+      |FROM bg JOIN model USING (w1, w2)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------ n45 segment-level cross-doc dedup
+
+  /**
+   * Segment-level cross-document dedup with text reconstruction — the
+   * RefinedWeb/CCNet line-dedup transformation at segment granularity (the
+   * synthetic corpus has no sentence punctuation, so "line" = a
+   * non-overlapping 4-word window): every segment whose EARLIEST corpus
+   * occurrence (min doc_id — the n34 keep-first attribution) is elsewhere
+   * is dropped, and the document's surviving text is reassembled in
+   * original segment order. Unlike the document-level families (n01–n38)
+   * this rewrites documents instead of selecting them — the dedup that
+   * salvages partially-duplicated pages. A doc that repeats a segment it
+   * owns keeps every copy (within-doc repetition is n16's signal).
+   *
+   * Scale shape: segments are md5-hashed immediately (constant-width
+   * shuffle key); attribution is `min(doc_id)` per hash — one
+   * partial-aggregated min, the n34 inverted-index shape — then one join
+   * back and a per-doc rebuild. The rebuild's collect_list is per-document
+   * (bounded by doc size, the same envelope any per-doc array program
+   * already has), ordered deterministically by array_sort on (pos, seg)
+   * — collect_list's arrival order is not deterministic, the sort is what
+   * makes the output exact.
+   */
+  def segmentDedupQuery(spark: SparkSession, dir: String, width: Int = 4): DataFrame =
+    segmentDedup(documents(spark, dir), width)
+
+  def segmentDedup(docs: DataFrame, width: Int = 4): DataFrame = {
+    val segsOf: Column => Column = ws =>
+      transform(sequence(lit(0), size(ws) - 1, lit(width)),
+        st => concat_ws(" ", slice(ws, st + 1, lit(width))))
+    val segs = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), segsOf), 1)
+    val exploded = docs
+      .select(col("doc_id"), posexplode(segs).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val firstDoc = exploded.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    exploded.join(firstDoc, "h")
+      .withColumn("kept", col("doc_id") === col("first_doc"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("kept_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_segs")).as("kept_frac"),
+        col("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  val segmentDedupOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), seg AS (
+      |  SELECT doc_id, CAST(st / 4 AS BIGINT) AS pos,
+      |    md5(array_to_string(list_slice(ws, st + 1, st + 4), ' ')) AS h,
+      |    array_to_string(list_slice(ws, st + 1, st + 4), ' ') AS seg
+      |  FROM w, LATERAL (SELECT unnest(range(0, len(ws), 4)) AS st) r
+      |), f AS (
+      |  SELECT h, MIN(doc_id) AS first_doc FROM seg GROUP BY h
+      |)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS kept_frac,
+      |  COALESCE(string_agg(CASE WHEN doc_id = first_doc THEN seg END,
+      |    ' ' ORDER BY pos), '') AS kept_text
+      |FROM seg JOIN f USING (h)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

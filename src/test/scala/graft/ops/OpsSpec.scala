@@ -334,4 +334,95 @@ class OpsSpec extends AnyFunSuite {
     assert(out.map(_.getString(0)).toSet == Set("audio", "image", "video"))
     assert(out.forall(_.getLong(1) > 0))
   }
+
+  test("bigram LM: scores in (0,1], duplicate texts score identically, quantization near-lossless") {
+    val out = TextAnalysis.bigramLmQuery(spark, T.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (doc, (n, sumQ, score)) =>
+      assert(n > 0 && sumQ > 0)
+      assert(score > 0.0 && score <= 1.0, s"doc $doc score $score")
+    }
+    // identical texts produce identical bigram streams, hence equal scores:
+    // sf0.001 has no planted exact dups (those appear at sf0.1), so double
+    // the corpus under shifted ids — the score is a pure function of text
+    val docs = Tables.documents(spark, T.sf0001)
+    val doubled = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 100000L))
+    val dbl = TextAnalysis.bigramLm(doubled).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    out.keys.foreach { id =>
+      assert(dbl(id) == dbl(id + 100000L), s"copies of doc $id diverge")
+    }
+    // quantization check: per prefix w1, the floor'd 2^30-scaled conditional
+    // probabilities must sum to within #successor-types of exactly 2^30
+    val ds = Tables.documents(spark, T.sf0001)
+    ds.createOrReplaceTempView("n43docs")
+    val bad = spark.sql(
+      """WITH w AS (SELECT doc_id, split(lower(text), '\\s+') AS ws FROM n43docs),
+        |bg AS (SELECT ws[i - 1] AS w1, ws[i] AS w2
+        |       FROM w LATERAL VIEW explode(sequence(1, size(ws) - 1)) t AS i
+        |       WHERE size(ws) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, SUM(c2) AS c1 FROM c2 GROUP BY 1),
+        |q AS (SELECT c2.w1, c2.c2 * CAST(1073741824 AS BIGINT) div c1.c1 AS q
+        |      FROM c2 JOIN c1 ON c2.w1 = c1.w1)
+        |SELECT w1, SUM(q) AS s, COUNT(*) AS types FROM q GROUP BY w1
+        |HAVING SUM(q) > 1073741824 OR SUM(q) <= 1073741824 - COUNT(*)
+        |""".stripMargin).collect()
+    assert(bad.isEmpty, s"prefixes with lossy quantization: ${bad.mkString(", ")}")
+  }
+
+  test("bloom decontamination: prefilter has no false negatives and result equals the no-bloom plan") {
+    val dir = T.sf0001
+    val docs = Tables.documents(spark, dir)
+    val grams = docs
+      .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+    val bench = grams.filter(col("doc_id") % 101 === 0)
+    val corpus = grams.filter(col("doc_id") % 101 =!= 0)
+    val bloom = bench.stat.bloomFilter("gram", math.max(bench.count(), 1L), 0.03)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val might = udf((g: String) => bloomB.value.mightContainString(g))
+    val total = corpus.count()
+    val passed = corpus.filter(might(col("gram"))).count()
+    val trueHits = corpus.join(bench.select("gram"), Seq("gram"), "left_semi").count()
+    // Bloom guarantee: every true match passes; the rest is fpp-bounded noise
+    assert(passed >= trueHits, s"bloom dropped true matches: $passed < $trueHits")
+    assert(passed < total, s"bloom prefilter screened nothing ($passed of $total)")
+    // the sketch stage must not change the answer
+    val withBloom = Corpus.bloomDecontamQuery(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = docs.filter(col("doc_id") % 101 =!= 0)
+      .join(corpus.join(bench.select("gram"), Seq("gram"), "left_semi")
+        .select("doc_id").distinct(), Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(withBloom == exact)
+  }
+
+  test("segment dedup: keep-first attribution, exact-dup docs fully dropped, faithful rebuild") {
+    val out = TextAnalysis.segmentDedupQuery(spark, T.sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out.nonEmpty)
+    val docs = Tables.documents(spark, T.sf0001)
+    val texts = docs
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // a later exact duplicate owns none of its segments: sf0.001 has no
+    // planted exact dups, so double the corpus under shifted (larger) ids —
+    // every copy's segments are owned by the original
+    val doubled = docs.unionAll(docs.withColumn("doc_id", col("doc_id") + 100000L))
+    TextAnalysis.segmentDedup(doubled).collect().foreach { r =>
+      if (r.getLong(0) >= 100000L) {
+        assert(r.getLong(2) == 0L, s"dup doc ${r.getLong(0)} kept segments")
+        assert(r.getString(4).isEmpty)
+      }
+    }
+    // fully-kept docs rebuild to the whitespace-normalized original (doc 0
+    // is always fully kept: no smaller doc_id can own its segments)
+    val fullyKept = out.filter { case (_, (n, k, _)) => n == k }
+    assert(fullyKept.contains(0L))
+    fullyKept.foreach { case (doc, (_, _, rebuilt)) =>
+      assert(rebuilt == texts(doc).split("\\s+", -1).mkString(" "),
+        s"doc $doc rebuild mismatch")
+    }
+  }
 }

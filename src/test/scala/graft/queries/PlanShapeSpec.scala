@@ -176,6 +176,25 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n40 gram join neither shuffles on h nor broadcasts:\n$p")
   }
 
+  test("n43 bigram LM: model and scoring joins are hash joins, no cartesian") {
+    val p = assertNoPairBlowup("n43_bigram_lm")
+    // the envelope guard must not break whole-stage codegen of the model
+    assert(p.contains("HashAggregate"), s"n43 lost partial aggregation:\n$p")
+  }
+
+  test("n44 bloom decontamination: verify semi-join and keep anti-join are hash joins") {
+    val p = assertNoPairBlowup("n44_bloom_decontam")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"n44 lost its semi/anti join structure:\n$p")
+  }
+
+  test("n45 segment dedup: attribution index shuffles on the md5 hash, no cartesian") {
+    val p = assertNoPairBlowup("n45_segment_dedup")
+    assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n45 attribution join neither shuffles on h nor broadcasts:\n$p")
+  }
+
   test("n33 pipeline: stages fuse into one plan, no cartesian") {
     val p = assertNoPairBlowup("n33_pipeline_e2e")
     // the dedup window must shuffle on the constant-width fingerprint; the
