@@ -600,4 +600,213 @@ object Corpus {
       |WHERE d.doc_id % 101 <> 0
       |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ----------------------------------------------- n46 snapshot drift (TV)
+
+  /**
+   * Corpus drift between snapshots — per-source total-variation distance
+   * between the word distributions of two crawl snapshots (here a
+   * deterministic md5 doc_id hash split — the n14 treatment — standing in
+   * for snapshot ids; a caller with a real snapshot column passes it as
+   * `snapA`. A plain even/odd doc_id split would NOT do: the synthetic
+   * corpus assigns sources in doc_id blocks, so parity is perfectly
+   * correlated with source and every per-source "snapshot" comes out
+   * one-sided — the classic accidental-correlation trap any modular split
+   * of a structured key invites).
+   * TV = ½ Σ_w |c_A(w)/N_A − c_B(w)/N_B| ∈ [0,1] is THE standard
+   * distribution-shift monitor for training corpora: 0 = identical mix,
+   * 1 = disjoint vocabularies; unlike KL it is symmetric, bounded, and
+   * defined when a word appears in only one snapshot — and unlike KL it
+   * needs no transcendentals, so it can be computed EXACTLY.
+   *
+   * Exactness (the n31/n43 integer treatment): the per-word term is
+   * rewritten over the common denominator N_A·N_B as
+   * |c_A·N_B − c_B·N_A| — a DECIMAL(38,0) cross-product, exact in Spark
+   * and HUGEINT-exact in DuckDB — summed in DECIMAL(38,0)
+   * (order-independent), with ONE double division by 2·N_A·N_B at the
+   * end. Envelope: c·N < 10^38 holds to c ≈ 10^26 at a 10^12-token
+   * snapshot — no realistic corpus exceeds it; past that, the n31
+   * overflow note applies (non-ANSI Spark nulls the product — visibly,
+   * as a null tv_distance, not a silent undercount).
+   *
+   * Scale shape: one corpus-width explode feeding ONE partial-aggregated
+   * (source, word) count — the same Zipf-absorbing shape as the n43
+   * model build (both snapshots counted in a single pass as conditional
+   * sums, not two scans); snapshot totals derive from the count table
+   * (vocab-sized, not corpus-sized) and come back via a broadcast-sized
+   * S-row join; the final rollup is S rows.
+   */
+  def snapshotDriftQuery(spark: SparkSession, dir: String): DataFrame =
+    snapshotDrift(documents(spark, dir))
+
+  /** Default snapshot assignment: first md5 hex digit of the doc_id even. */
+  private def hashSnapA: Column =
+    substring(md5(col("doc_id").cast("string")), 1, 1)
+      .isin("0", "2", "4", "6", "8", "a", "c", "e")
+
+  def snapshotDrift(docs: DataFrame): DataFrame =
+    snapshotDrift(docs, hashSnapA)
+
+  def snapshotDrift(docs: DataFrame, snapA: Column): DataFrame =
+    driftFromCounts(snapshotCounts(docs, snapA))
+
+  /** The corpus-width half of n46: one explode into one partial-aggregated
+    * (source, word) count with per-snapshot conditional sums. This is also
+    * the table [[IncrementalDrift]] maintains incrementally. */
+  def snapshotCounts(docs: DataFrame, snapA: Column): DataFrame =
+    docs.select(col("source"), snapA.as("snap_a"),
+        explode(split(lower(col("text")), "\\s+")).as("w"))
+      .groupBy("source", "w")
+      .agg(sum(when(col("snap_a"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("snap_a"), 1L).otherwise(0L)).as("cb"))
+
+  private[ops] def defaultSnapA: Column = hashSnapA
+
+  /** The vocab-width half of n46: TV distance from a (source, w, ca, cb)
+    * count table — every frame here is vocabulary-sized, not corpus-sized. */
+  def driftFromCounts(counts: DataFrame): DataFrame = {
+    val totals = counts.groupBy("source")
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    counts.join(totals, "source")
+      .withColumn("diff", abs(
+        col("ca").cast("decimal(38,0)") * col("nb").cast("decimal(38,0)") -
+          col("cb").cast("decimal(38,0)") * col("na").cast("decimal(38,0)")))
+      .groupBy("source")
+      .agg(max(col("na")).as("n_words_a"), max(col("nb")).as("n_words_b"),
+        count(lit(1)).as("vocab"),
+        sum(col("diff")).as("sum_diff"))
+      .select(col("source"), col("n_words_a"), col("n_words_b"), col("vocab"),
+        // TV is undefined when a snapshot is empty for a source; null it
+        // rather than divide by zero (ANSI default in Spark 4 would raise)
+        when(col("n_words_a") > 0 && col("n_words_b") > 0,
+          col("sum_diff").cast("double") /
+            (lit(2.0) * col("n_words_a").cast("double") *
+              col("n_words_b").cast("double"))).as("tv_distance"))
+      .orderBy("source")
+  }
+
+  /** Same common-denominator rewrite; DuckDB's HUGEINT keeps the
+    * cross-products exact, and the one double division matches bit-for-bit. */
+  val snapshotDriftOracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+      |      IN ('0','2','4','6','8','a','c','e') AS snap_a,
+      |    unnest(string_split_regex(lower(text), '\s+')) AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, w,
+      |    CAST(SUM(CASE WHEN snap_a THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+      |    CAST(SUM(CASE WHEN NOT snap_a THEN 1 ELSE 0 END) AS BIGINT) AS cb
+      |  FROM t GROUP BY 1, 2
+      |), tot AS (
+      |  SELECT source, CAST(SUM(ca) AS BIGINT) AS na,
+      |    CAST(SUM(cb) AS BIGINT) AS nb
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT c.source, MAX(tot.na) AS n_words_a, MAX(tot.nb) AS n_words_b,
+      |  COUNT(*) AS vocab,
+      |  CASE WHEN MAX(tot.na) > 0 AND MAX(tot.nb) > 0 THEN
+      |    CAST(SUM(ABS(CAST(c.ca AS HUGEINT) * tot.nb
+      |                  - CAST(c.cb AS HUGEINT) * tot.na)) AS DOUBLE)
+      |      / (2.0 * MAX(tot.na) * MAX(tot.nb))
+      |  END AS tv_distance
+      |FROM c JOIN tot ON c.source = tot.source
+      |GROUP BY c.source
+      |ORDER BY c.source""".stripMargin
+
+  // -------------------------------------- n47 content-defined chunk dedup
+
+  /**
+   * Content-defined chunking (CDC) + cross-document chunk dedup — the
+   * FastCDC/rsync idea re-expressed relationally: a chunk boundary falls
+   * AFTER word i whenever the trailing 3-word window hashes into a fixed
+   * 1/8 slice of hash space (first md5 hex digit ∈ {0,8} — expected chunk
+   * length 8 words), so boundaries depend only on LOCAL content. That is
+   * the property the fixed-grid splitters (n19 windows, n45 segments)
+   * lack: insert one word at the front of a copied document and every
+   * fixed segment shifts off its original — n45 sees nothing — while CDC
+   * boundaries re-synchronize at the first shared boundary and every
+   * chunk after it matches the original verbatim. Attribution is then
+   * n45's keep-first min(doc_id) on the chunk hash; output is per-doc
+   * chunk counts and the owned fraction — the storage-dedup view of the
+   * corpus (shift-resistant shared-content detection), complementing
+   * n45's rewrite view. The shift-resilience contrast is pinned in
+   * `OpsSpec` ("content-defined chunking survives a one-word prefix
+   * shift").
+   *
+   * Scale shape: ONE shuffle on doc_id drives both window passes (the
+   * 2-word lag and the running boundary count share the same
+   * partition-by-doc sort); chunk assembly is the n45 ordered rebuild on
+   * (doc, chunk_id); attribution shuffles the constant-width md5 only.
+   * Per-doc window state is one row lookback — no per-doc
+   * materialization beyond the sort, so a 100 TB corpus streams through
+   * at parquet row-group granularity.
+   */
+  def cdcChunkQuery(spark: SparkSession, dir: String): DataFrame =
+    cdcChunks(documents(spark, dir))
+
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val words = docs
+      .select(col("doc_id"),
+        posexplode(split(lower(col("text")), "\\s+")).as(Seq("pos", "w")))
+    val marked = words
+      .withColumn("bmark",
+        when(col("pos") >= 2 &&
+          substring(md5(concat_ws(" ",
+            lag(col("w"), 2).over(byPos), lag(col("w"), 1).over(byPos),
+            col("w"))), 1, 1).isin("0", "8"), 1L).otherwise(0L))
+      .withColumn("chunk_id", coalesce(
+        sum(col("bmark")).over(byPos.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val chunks = marked.groupBy("doc_id", "chunk_id")
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w")), " ")).as("h"))
+    val firstDoc = chunks.groupBy("h").agg(min(col("doc_id")).as("first_doc"))
+    chunks.join(firstDoc, "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("doc_id") === col("first_doc"), 1L).otherwise(0L))
+          .as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_chunks")).as("kept_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Identical boundary rule (md5 of the trailing 3-word window, first hex
+    * digit ∈ {0,8}) and keep-first attribution, via window functions. */
+  val cdcChunkOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), p AS (
+      |  SELECT doc_id, i - 1 AS pos, ws[i] AS w
+      |  FROM w, LATERAL (SELECT unnest(range(1, len(ws) + 1)) AS i) r
+      |), b AS (
+      |  SELECT doc_id, pos, w,
+      |    CASE WHEN pos >= 2 AND substr(md5(
+      |        lag(w, 2) OVER win || ' ' || lag(w, 1) OVER win || ' ' || w
+      |      ), 1, 1) IN ('0', '8') THEN 1 ELSE 0 END AS bmark
+      |  FROM p WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |), c AS (
+      |  SELECT doc_id, pos, w, COALESCE(SUM(bmark) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      |  FROM b
+      |), ch AS (
+      |  SELECT doc_id, chunk_id,
+      |    md5(string_agg(w, ' ' ORDER BY pos)) AS h
+      |  FROM c GROUP BY 1, 2
+      |), f AS (
+      |  SELECT h, MIN(doc_id) AS first_doc FROM ch GROUP BY 1
+      |)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS kept_frac
+      |FROM ch JOIN f USING (h)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
 }

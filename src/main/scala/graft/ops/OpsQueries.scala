@@ -60,6 +60,8 @@ object OpsQueries {
     "n43_bigram_lm" -> (TextAnalysis.bigramLmQuery _),
     "n44_bloom_decontam" -> ((s, d) => Corpus.bloomDecontamQuery(s, d)),
     "n45_segment_dedup" -> ((s, d) => TextAnalysis.segmentDedupQuery(s, d)),
+    "n46_snapshot_drift" -> (Corpus.snapshotDriftQuery _),
+    "n47_cdc_chunks" -> (Corpus.cdcChunkQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -107,5 +109,7 @@ object OpsQueries {
     // exact result: the Bloom stage is a prefilter, not an approximation
     "n44_bloom_decontam" -> Corpus.bloomDecontamOracle,
     "n45_segment_dedup" -> TextAnalysis.segmentDedupOracle,
+    "n46_snapshot_drift" -> Corpus.snapshotDriftOracle,
+    "n47_cdc_chunks" -> Corpus.cdcChunkOracle,
   )
 }

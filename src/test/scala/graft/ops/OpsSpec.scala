@@ -425,4 +425,63 @@ class OpsSpec extends AnyFunSuite {
         s"doc $doc rebuild mismatch")
     }
   }
+
+  test("snapshot drift: tv in [0,1] on real data, exactly 0 for identical snapshots") {
+    val out = Corpus.snapshotDriftQuery(spark, T.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val tv = r.getDouble(4)
+      assert(tv >= 0.0 && tv <= 1.0, s"source ${r.getString(0)} tv $tv")
+      assert(tv > 0.0, "disjoint random halves should show some drift")
+    }
+    // put a full copy of the corpus in EACH snapshot (explicit split
+    // column): the two snapshots then have IDENTICAL word distributions,
+    // so every cross-product cancels and tv must be exactly 0.0 — the
+    // integer arithmetic makes this an equality, not a tolerance
+    val docs = Tables.documents(spark, T.sf0001)
+    val twinned = docs.withColumn("is_a", lit(true))
+      .unionAll(docs.withColumn("is_a", lit(false)))
+    Corpus.snapshotDrift(twinned, col("is_a")).collect().foreach { r =>
+      assert(r.getDouble(4) == 0.0,
+        s"identical snapshots drifted: ${r.getString(0)} -> ${r.getDouble(4)}")
+      assert(r.getLong(1) == r.getLong(2), "twin construction broke totals")
+    }
+  }
+
+  test("content-defined chunking survives a one-word prefix shift that blinds fixed segments") {
+    val docs = Tables.documents(spark, T.sf0001)
+    // chunk-length sanity: 1/8 boundary probability => mean chunk ~8 words
+    val base = Corpus.cdcChunks(docs).collect()
+    val nChunks = base.map(_.getLong(1)).sum.toDouble
+    val nWords = docs.select(sum(size(split(lower(col("text")), "\\s+"))))
+      .head().getLong(0).toDouble
+    val meanLen = nWords / nChunks
+    assert(meanLen > 5.0 && meanLen < 12.0, s"mean chunk length $meanLen")
+    // exact copies own nothing: every chunk's first occurrence is the original
+    val copies = docs.withColumn("doc_id", col("doc_id") + 100000L)
+    Corpus.cdcChunks(docs.unionAll(copies)).collect()
+      .filter(_.getLong(0) >= 100000L)
+      .foreach(r => assert(r.getLong(2) == 0L, s"exact copy ${r.getLong(0)} kept chunks"))
+    // one-word prefix shift: fixed 4-word segments all move off-grid, so
+    // n45 sees nothing (copies keep 100% of segments) …
+    val shifted = copies.withColumn("text", concat(lit("qqzz "), col("text")))
+    // (mostly: the corpus has planted near-dups with insertions/deletions,
+    // so ~8% of shifted segments still collide with some other doc's
+    // alignment — measured 0.92 mean kept)
+    val seg = TextAnalysis.segmentDedup(docs.unionAll(shifted)).collect()
+      .filter(_.getLong(0) >= 100000L)
+    assert(seg.nonEmpty)
+    val segKept = seg.map(r => r.getLong(2).toDouble / r.getLong(1)).sum / seg.length
+    assert(segKept > 0.8,
+      f"fixed segments unexpectedly matched after the shift: $segKept%.3f")
+    // … while CDC boundaries re-synchronize after the first shared window
+    // and the copies lose most of their chunks to the originals
+    val cdc = Corpus.cdcChunks(docs.unionAll(shifted)).collect()
+      .filter(_.getLong(0) >= 100000L)
+    val keptFrac = cdc.map(_.getDouble(3)).sum / cdc.length
+    assert(keptFrac < 0.5,
+      f"CDC failed to re-sync after shift: mean kept_frac $keptFrac%.3f")
+    assert(segKept - keptFrac > 0.3,
+      f"CDC ($keptFrac%.3f) should beat fixed segments ($segKept%.3f) by a wide margin")
+  }
 }

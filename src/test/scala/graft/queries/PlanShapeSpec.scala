@@ -195,6 +195,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n45 attribution join neither shuffles on h nor broadcasts:\n$p")
   }
 
+  test("n46 snapshot drift: single-pass conditional counts, totals join stays hash") {
+    val p = assertNoPairBlowup("n46_snapshot_drift")
+    // one explode feeding a partial-aggregated (source, word) count; the
+    // two snapshots must NOT appear as two scans of the corpus
+    assert(p.contains("HashAggregate"), s"n46 lost partial aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("n47 cdc chunks: window passes share one doc_id sort, attribution on md5") {
+    val p = assertNoPairBlowup("n47_cdc_chunks")
+    assert(p.contains("Window"), s"n47 lost its window passes:\n$p")
+    assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n47 attribution join neither shuffles on h nor broadcasts:\n$p")
+  }
+
   test("n33 pipeline: stages fuse into one plan, no cartesian") {
     val p = assertNoPairBlowup("n33_pipeline_e2e")
     // the dedup window must shuffle on the constant-width fingerprint; the
