@@ -62,6 +62,7 @@ object OpsQueries {
     "n45_segment_dedup" -> ((s, d) => TextAnalysis.segmentDedupQuery(s, d)),
     "n46_snapshot_drift" -> (Corpus.snapshotDriftQuery _),
     "n47_cdc_chunks" -> (Corpus.cdcChunkQuery _),
+    "n48_streaming_drift" -> ((s, d) => IncrementalDrift.streamingDriftQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,5 +112,7 @@ object OpsQueries {
     "n45_segment_dedup" -> TextAnalysis.segmentDedupOracle,
     "n46_snapshot_drift" -> Corpus.snapshotDriftOracle,
     "n47_cdc_chunks" -> Corpus.cdcChunkOracle,
+    // incremental maintenance must converge to the batch answer: same SQL
+    "n48_streaming_drift" -> Corpus.snapshotDriftOracle,
   )
 }

@@ -1,0 +1,82 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+import graft.queries.Tables
+
+/**
+ * The incremental-drift invariants (n48): count merging converges to the
+ * batch n46 answer for any batching (including across a restart with new
+ * data), replay of a committed batch is a no-op, and the per-batch alarm
+ * actually fires on a distribution-shifted arrival slice.
+ */
+class IncrementalDriftSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private def batchDrift =
+    Corpus.snapshotDriftQuery(spark, T.sf0001).collect().toSet
+
+  test("final drift table equals the batch n46 answer, for 1-batch and 5-batch ingestion") {
+    Seq(1, 5).foreach { chunks =>
+      val got = IncrementalDrift.streamingDriftQuery(spark, T.sf0001, chunks)
+        .collect().toSet
+      assert(got == batchDrift, s"chunks=$chunks diverged from batch n46")
+    }
+  }
+
+  test("restart with new data resumes the count state and still converges") {
+    val base = Files.createTempDirectory("graft-n48-restart-")
+    val input = base.resolve("input")
+    val ckpt = base.resolve("ckpt")
+    val monitor = new IncrementalDriftMonitor(base.resolve("state"))
+    val docs = Tables.documents(spark, T.sf0001)
+
+    IncrementalDedup.stageChunks(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0), input, chunks = 2)
+    IncrementalDrift.runStream(spark, input, ckpt, monitor)
+    val mid = monitor.finalDrift(spark).count()
+    assert(mid > 0)
+
+    IncrementalDedup.stageChunks(
+      docs.filter(pmod(col("doc_id"), lit(2)) === 1), input, chunks = 2)
+    IncrementalDrift.runStream(spark, input, ckpt, monitor)
+    assert(monitor.finalDrift(spark).collect().toSet == batchDrift)
+
+    // replay idempotence: re-processing a committed batch changes nothing
+    val before = monitor.finalDrift(spark).collect().toSet
+    monitor.processBatch(docs.limit(50), 0L)
+    assert(monitor.finalDrift(spark).collect().toSet == before)
+  }
+
+  test("the alarm fires on a distribution-shifted arrival slice") {
+    val base = Files.createTempDirectory("graft-n48-alarm-")
+    val monitor = new IncrementalDriftMonitor(base.resolve("state"))
+    val docs = Tables.documents(spark, T.sf0001)
+      .filter(col("source") === "src0")
+
+    // batches 0 and 1: two halves of the same source — same distribution.
+    // The synthetic corpus assigns source = doc_id % 20, so src0's ids are
+    // 0, 20, 40, …; split them on doc_id mod 40 to get two nonempty halves
+    monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(40)) === 0), 0L)
+    monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(40)) === 20), 1L)
+    // batch 2: same source label, pathological content
+    val shifted = docs.limit(10)
+      .withColumn("text", lit("alarmword " * 50))
+      .withColumn("doc_id", col("doc_id") + 100000L)
+    monitor.processBatch(shifted, 2L)
+
+    val log = monitor.driftLog(spark).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(4)) None else Some(r.getDouble(4))))
+      .toMap
+    assert(log(0L).isEmpty, "batch 0 has no prior, tv must be null")
+    val steady = log(1L).get
+    val alarm = log(2L).get
+    assert(steady < 0.8, s"same-distribution batch drifted: $steady")
+    assert(alarm > 0.95, s"shifted batch did not alarm: $alarm")
+    assert(alarm > steady + 0.2, s"no separation: steady=$steady alarm=$alarm")
+  }
+}

@@ -195,6 +195,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n45 attribution join neither shuffles on h nor broadcasts:\n$p")
   }
 
+  test("n48 streaming drift: final-state derivation is vocab-sized, no cartesian") {
+    // building this plan replays the staged stream first (the n41
+    // precedent); the asserted plan is driftFromCounts over the persisted
+    // vocabulary-sized count state
+    assertNoPairBlowup("n48_streaming_drift")
+  }
+
   test("n46 snapshot drift: single-pass conditional counts, totals join stays hash") {
     val p = assertNoPairBlowup("n46_snapshot_drift")
     // one explode feeding a partial-aggregated (source, word) count; the
