@@ -445,6 +445,137 @@ object Corpus {
       |GROUP BY t.source, t.n_total, t.w_u, t.w_total
       |ORDER BY t.source""".stripMargin
 
+  // ---------------------------------------- n49 quality-tiered mixing
+
+  /**
+   * Quality-stratified temperature mixing — the composition a pre-training
+   * data team actually ships: score every document with the corpus-trained
+   * bigram LM ([[TextAnalysis.bigramLm]], n43), split each source into
+   * high/low quality tiers at its own median score (exact integer rank,
+   * the n29 treatment: `2·row_number > n` over a total order with doc_id
+   * tie-break — per-source medians, so a clean source doesn't crowd out a
+   * noisy one's best half), then run the n31 temperature-acceptance over
+   * the (source, tier) STRATA with the high tier's weight doubled. The
+   * result is a reproducible sampling plan that simultaneously flattens
+   * source sizes (T=2) and up-weights quality — the knob DoReMi/Gopher-style
+   * mixtures tune.
+   *
+   * Exactness is inherited: scores are the n43 quantized-integer doubles
+   * (bit-identical in both engines), the tier boundary is an integer rank
+   * comparison over a deterministic total order (score, doc_id) — ties and
+   * unscorable docs (< 2 words: no bigrams) order NULLS FIRST into the low
+   * tier — and the acceptance predicate is the n31 DECIMAL(38,0)/HUGEINT
+   * program with the same envelope guards (the ×2 tier multiplier consumes
+   * one bit of the W < 10^14 headroom).
+   *
+   * Scale shape: scoring is n43's plan; tiering is one window over the
+   * (source)-partitioned corpus — a per-source sort, the unavoidable cost
+   * of an exact median (production would swap in the n29 percentile note's
+   * approx_percentile when exactness isn't required); strata acceptance is
+   * the n31 shape — a tiny per-stratum frame broadcast back onto a
+   * map-side bucket predicate.
+   */
+  def qualityMixingQuery(spark: SparkSession, dir: String,
+                         budget: Int = 100): DataFrame = {
+    val docs = documents(spark, dir)
+    val scored = TextAnalysis.bigramLm(docs).select(col("doc_id"), col("lm_score"))
+    val bySource = Window.partitionBy("source")
+    val tiered = docs.select(col("doc_id"), col("source"))
+      .join(scored, Seq("doc_id"), "left")
+      .withColumn("rn", row_number().over(
+        bySource.orderBy(col("lm_score").asc_nulls_first, col("doc_id"))))
+      .withColumn("n_src", count(lit(1)).over(bySource))
+      .withColumn("tier",
+        when(col("rn") * 2 > col("n_src"), lit("high")).otherwise(lit("low")))
+      .select("doc_id", "source", "tier")
+    val guarded = (c: Column, bound: Long, what: String) =>
+      when(c < bound, c).otherwise(raise_error(concat(
+        lit(s"n49 decimal envelope exceeded: $what = "), c.cast("string"),
+        lit(s" >= $bound"))).cast("long"))
+    val perStratum = tiered.groupBy("source", "tier")
+      .agg(count(lit(1)).as("n_total"))
+      .select(col("source"), col("tier"),
+        guarded(col("n_total"), 1000000000000L, "n_total").as("n_total"),
+        (floor(sqrt(col("n_total").cast("double")) * MixWeightScale.toDouble) *
+          when(col("tier") === "high", 2L).otherwise(1L)).as("w_u"))
+    val withTotal = perStratum
+      .withColumn("w_total",
+        guarded(sum(col("w_u")).over(Window.partitionBy()),
+          100000000000000L, "w_total"))
+    val bucket = conv(substring(
+      md5(concat(lit("qtemp:"), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+    tiered.select(col("doc_id"), col("source"), col("tier"), bucket.as("b"))
+      .join(broadcast(withTotal), Seq("source", "tier"))
+      .groupBy(col("source"), col("tier"), col("n_total"), col("w_u"),
+        col("w_total"))
+      .agg(sum(when(
+        col("b").cast("decimal(10,0)") * col("w_total").cast("decimal(14,0)") *
+          col("n_total").cast("decimal(12,0)") <
+          lit(budget.toLong).cast("decimal(10,0)") *
+            col("w_u").cast("decimal(14,0)") *
+            lit(MixBucketScale).cast("decimal(10,0)"), 1L).otherwise(0L))
+        .as("n_kept"))
+      .select(col("source"), col("tier"), col("n_total"), col("w_u"),
+        col("w_total"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_total")).as("kept_frac"))
+      .orderBy("source", "tier")
+  }
+
+  val qualityMixingOracle: String =
+    """WITH w0 AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), bg AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM w0, LATERAL (SELECT unnest(range(1, len(ws))) AS i) r
+      |), c2 AS (
+      |  SELECT w1, w2, COUNT(*) AS c2 FROM bg GROUP BY 1, 2
+      |), c1 AS (
+      |  SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1
+      |), model AS (
+      |  SELECT w1, w2, CAST((c2 * 1073741824) // c1 AS BIGINT) AS q
+      |  FROM c2 JOIN c1 USING (w1)
+      |), score AS (
+      |  SELECT doc_id, CAST(SUM(q) AS DOUBLE)
+      |    / (CAST(COUNT(*) AS DOUBLE) * 1073741824.0) AS lm_score
+      |  FROM bg JOIN model USING (w1, w2) GROUP BY doc_id
+      |), tiered AS (
+      |  SELECT d.doc_id, d.source,
+      |    CASE WHEN 2 * row_number() OVER (PARTITION BY d.source
+      |        ORDER BY s.lm_score ASC NULLS FIRST, d.doc_id)
+      |      > COUNT(*) OVER (PARTITION BY d.source)
+      |    THEN 'high' ELSE 'low' END AS tier
+      |  FROM documents d LEFT JOIN score s USING (doc_id)
+      |), n AS (
+      |  SELECT source, tier, COUNT(*) AS n_total FROM tiered GROUP BY 1, 2
+      |), w AS (
+      |  SELECT source, tier, n_total,
+      |    CAST(floor(sqrt(CAST(n_total AS DOUBLE)) * 65536.0) AS BIGINT)
+      |      * (CASE WHEN tier = 'high' THEN 2 ELSE 1 END) AS w_u
+      |  FROM n
+      |), t AS (
+      |  SELECT source, tier, n_total, w_u,
+      |    CAST(SUM(w_u) OVER () AS BIGINT) AS w_total
+      |  FROM w
+      |), b AS (
+      |  SELECT doc_id, source,
+      |    CAST(CAST(('0x' || substring(md5('qtemp:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |         AS UBIGINT) AS BIGINT) AS b
+      |  FROM documents
+      |)
+      |SELECT t.source, t.tier, t.n_total, t.w_u, t.w_total,
+      |  CAST(SUM(CASE WHEN CAST(b.b AS HUGEINT) * t.w_total * t.n_total
+      |                    < CAST(100 AS HUGEINT) * t.w_u * 4294967296
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN CAST(b.b AS HUGEINT) * t.w_total * t.n_total
+      |                    < CAST(100 AS HUGEINT) * t.w_u * 4294967296
+      |           THEN 1 ELSE 0 END) AS DOUBLE) / t.n_total AS kept_frac
+      |FROM b
+      |JOIN tiered USING (doc_id, source)
+      |JOIN t ON t.source = tiered.source AND t.tier = tiered.tier
+      |GROUP BY t.source, t.tier, t.n_total, t.w_u, t.w_total
+      |ORDER BY t.source, t.tier""".stripMargin
+
   // ------------------------------------------ n40 cross-source overlap
 
   /**

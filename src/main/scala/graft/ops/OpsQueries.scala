@@ -63,6 +63,8 @@ object OpsQueries {
     "n46_snapshot_drift" -> (Corpus.snapshotDriftQuery _),
     "n47_cdc_chunks" -> (Corpus.cdcChunkQuery _),
     "n48_streaming_drift" -> ((s, d) => IncrementalDrift.streamingDriftQuery(s, d)),
+    "n49_quality_mixing" -> ((s, d) => Corpus.qualityMixingQuery(s, d)),
+    "n50_inner_segment_dedup" -> ((s, d) => TextAnalysis.innerSegmentDedupQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -114,5 +116,7 @@ object OpsQueries {
     "n47_cdc_chunks" -> Corpus.cdcChunkOracle,
     // incremental maintenance must converge to the batch answer: same SQL
     "n48_streaming_drift" -> Corpus.snapshotDriftOracle,
+    "n49_quality_mixing" -> Corpus.qualityMixingOracle,
+    "n50_inner_segment_dedup" -> TextAnalysis.innerSegmentDedupOracle,
   )
 }

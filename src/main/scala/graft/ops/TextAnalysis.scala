@@ -603,6 +603,74 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // --------------------------------- n50 within-doc segment dedup rewrite
+
+  /**
+   * Within-document segment dedup with text reconstruction — the other
+   * half of the RefinedWeb/CCNet line-dedup recipe: [[segmentDedup]] (n45)
+   * drops segments whose earliest occurrence is in ANOTHER document but
+   * deliberately keeps within-doc repeats; this op drops every repeat of a
+   * segment AFTER its first occurrence INSIDE the same document (menus,
+   * boilerplate headers, scraped pagination loops) and reassembles the
+   * text. Attribution is `min(pos)` per (doc, segment-hash) — the n45
+   * machinery with the grouping key narrowed from corpus-global to
+   * per-document, which also changes the scale shape: the aggregation key
+   * is (doc_id, h), so the shuffle partitions by document and NO
+   * cross-document traffic exists at all — this op would run as a
+   * map-side-only pass under a bucketing on doc_id.
+   */
+  def innerSegmentDedupQuery(spark: SparkSession, dir: String,
+                             width: Int = 4): DataFrame =
+    innerSegmentDedup(documents(spark, dir), width)
+
+  def innerSegmentDedup(docs: DataFrame, width: Int = 4): DataFrame = {
+    val segsOf: Column => Column = ws =>
+      transform(sequence(lit(0), size(ws) - 1, lit(width)),
+        st => concat_ws(" ", slice(ws, st + 1, lit(width))))
+    val segs = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), segsOf), 1)
+    val exploded = docs
+      .select(col("doc_id"), posexplode(segs).as(Seq("pos", "seg")))
+      .withColumn("h", md5(col("seg")))
+    val firstPos = exploded.groupBy("doc_id", "h")
+      .agg(min(col("pos")).as("first_pos"))
+    exploded.join(firstPos, Seq("doc_id", "h"))
+      .withColumn("kept", col("pos") === col("first_pos"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(col("kept").cast("long")).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("pos"), col("seg"))))),
+          x => x.getField("seg")), " ").as("kept_text"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_kept").cast("double") / col("n_segs")).as("kept_frac"),
+        col("kept_text"))
+      .orderBy("doc_id")
+  }
+
+  val innerSegmentDedupOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), seg AS (
+      |  SELECT doc_id, CAST(st / 4 AS BIGINT) AS pos,
+      |    md5(array_to_string(list_slice(ws, st + 1, st + 4), ' ')) AS h,
+      |    array_to_string(list_slice(ws, st + 1, st + 4), ' ') AS seg
+      |  FROM w, LATERAL (SELECT unnest(range(0, len(ws), 4)) AS st) r
+      |), f AS (
+      |  SELECT doc_id, h, MIN(pos) AS first_pos FROM seg GROUP BY 1, 2
+      |)
+      |SELECT doc_id, COUNT(*) AS n_segs,
+      |  CAST(SUM(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_kept,
+      |  CAST(SUM(CASE WHEN pos = first_pos THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / COUNT(*) AS kept_frac,
+      |  COALESCE(string_agg(CASE WHEN pos = first_pos THEN seg END,
+      |    ' ' ORDER BY pos), '') AS kept_text
+      |FROM seg JOIN f USING (doc_id, h)
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val segmentDedupOracle: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents

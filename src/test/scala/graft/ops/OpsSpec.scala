@@ -484,4 +484,52 @@ class OpsSpec extends AnyFunSuite {
     assert(segKept - keptFrac > 0.3,
       f"CDC ($keptFrac%.3f) should beat fixed segments ($segKept%.3f) by a wide margin")
   }
+
+  test("quality mixing: strata cover source x tier, high tier out-sampled, kept near budget") {
+    val out = Corpus.qualityMixingQuery(spark, T.sf0001).collect()
+    assert(out.nonEmpty)
+    val bySource = out.groupBy(_.getString(0))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_.getString(1)).toSet == Set("high", "low"),
+        s"$src missing a tier")
+      // exact median split: tier sizes differ by at most 1
+      val ns = rows.map(_.getLong(2))
+      assert(math.abs(ns(0) - ns(1)) <= 1, s"$src uneven tiers: ${ns.toSeq}")
+      // the doubled weight is exact: w_u(high) = 2 * floor(sqrt(n_high)*2^16)
+      val w = rows.map(r => r.getString(1) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(w("high")._2 ==
+        2L * math.floor(math.sqrt(w("high")._1.toDouble) * 65536.0).toLong,
+        s"$src high-tier weight not doubled: $w")
+    }
+    // realized acceptance per stratum is a fixed-bucket draw over ~13 docs,
+    // so dominance only holds in aggregate: across all sources the high
+    // tiers (2x threshold) must out-sample the low tiers decisively
+    val keptByTier = out.groupBy(_.getString(1))
+      .map { case (t, rs) => t -> rs.map(_.getLong(5)).sum }
+    assert(keptByTier("high") > keptByTier("low"),
+      s"high tiers not up-sampled in aggregate: $keptByTier")
+    // realized total ~ budget (bias bound is one bucket-quantum per stratum)
+    val kept = out.map(_.getLong(5)).sum
+    assert(kept > 50 && kept < 200, s"total kept $kept far from budget 100")
+  }
+
+  test("inner segment dedup: within-doc repeats drop, cross-doc repeats survive") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b c d a b c d e f g h"), // repeated first segment
+      (1L, "a b c d x y z w")          // same segment in ANOTHER doc: kept
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.innerSegmentDedup(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(4))).toMap
+    assert(out(0L) == ((3L, 2L, "a b c d e f g h")))
+    assert(out(1L) == ((2L, 2L, "a b c d x y z w")))
+    // on the real corpus: n_kept is the distinct-segment count — always in
+    // (0, n_segs], and equal to n_segs exactly when no segment repeats
+    val real = TextAnalysis.innerSegmentDedupQuery(spark, T.sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getLong(2) <= r.getLong(1),
+        s"doc ${r.getLong(0)}: kept ${r.getLong(2)} of ${r.getLong(1)}")
+    }
+  }
 }

@@ -218,6 +218,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n47 attribution join neither shuffles on h nor broadcasts:\n$p")
   }
 
+  test("n49 quality mixing: stratum table broadcasts onto the bucket predicate") {
+    val p = assertNoPairBlowup("n49_quality_mixing")
+    assert(p.contains("BroadcastHashJoin"),
+      s"n49 stratum join is not broadcast:\n$p")
+  }
+
+  test("n50 inner segment dedup: aggregation keyed by doc, no cross-doc exchange width") {
+    val p = assertNoPairBlowup("n50_inner_segment_dedup")
+    assert("hashpartitioning\\(doc_id#\\d+".r.findFirstIn(p).isDefined,
+      s"n50 does not partition by doc_id:\n$p")
+  }
+
   test("n33 pipeline: stages fuse into one plan, no cartesian") {
     val p = assertNoPairBlowup("n33_pipeline_e2e")
     // the dedup window must shuffle on the constant-width fingerprint; the
