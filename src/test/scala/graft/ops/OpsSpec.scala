@@ -485,6 +485,30 @@ class OpsSpec extends AnyFunSuite {
       f"CDC ($keptFrac%.3f) should beat fixed segments ($segKept%.3f) by a wide margin")
   }
 
+  test("cdc chunk counts match the pure-Scala model of the boundary rule") {
+    // binds the shipped Spark program to the model CdcChunkProps proves
+    // theorems about — if either drifts, this breaks
+    import spark.implicits._
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(42)
+    val docs = (0L until 20L).map(i =>
+      (i, Seq.fill(30 + rnd.nextInt(50))("w" + rnd.nextInt(40)).mkString(" ")))
+    val got = Corpus.cdcChunks(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    docs.foreach { case (id, text) =>
+      val ws = text.split(" ")
+      def isBoundary(i: Int) = i >= 2 && {
+        val h = md5hex(s"${ws(i - 2)} ${ws(i - 1)} ${ws(i)}")
+        h.head == '0' || h.head == '8'
+      }
+      val boundaries = ws.indices.count(isBoundary)
+      // a boundary closes a chunk; words after the last boundary form one more
+      val expected = boundaries + (if (isBoundary(ws.length - 1)) 0 else 1)
+      assert(got(id) == expected.toLong, s"doc $id: ${got(id)} != $expected")
+    }
+  }
+
   test("quality mixing: strata cover source x tier, high tier out-sampled, kept near budget") {
     val out = Corpus.qualityMixingQuery(spark, T.sf0001).collect()
     assert(out.nonEmpty)
