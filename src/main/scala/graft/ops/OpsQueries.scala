@@ -65,6 +65,7 @@ object OpsQueries {
     "n48_streaming_drift" -> ((s, d) => IncrementalDrift.streamingDriftQuery(s, d)),
     "n49_quality_mixing" -> ((s, d) => Corpus.qualityMixingQuery(s, d)),
     "n50_inner_segment_dedup" -> ((s, d) => TextAnalysis.innerSegmentDedupQuery(s, d)),
+    "n51_dup_segment_top" -> ((s, d) => TextAnalysis.dupSegmentTopQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -118,5 +119,6 @@ object OpsQueries {
     "n48_streaming_drift" -> Corpus.snapshotDriftOracle,
     "n49_quality_mixing" -> Corpus.qualityMixingOracle,
     "n50_inner_segment_dedup" -> TextAnalysis.innerSegmentDedupOracle,
+    "n51_dup_segment_top" -> TextAnalysis.dupSegmentTopOracle,
   )
 }

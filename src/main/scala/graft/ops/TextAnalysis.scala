@@ -671,6 +671,62 @@ object TextAnalysis {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // ----------------------------------- n51 duplicated-segment leaderboard
+
+  /**
+   * Global duplicated-segment leaderboard — the audit a data team runs
+   * before choosing dedup/boilerplate thresholds: the top-20 segments by
+   * how many DISTINCT documents contain them, with total occurrence
+   * counts. n30 answers this per-source with a DF threshold; this is the
+   * corpus-global ranked view (the "which exact strings are everywhere"
+   * report that catches cookie banners, license headers, scraped nav
+   * bars). Determinism: ties rank by segment hash, so the top-20 cut is
+   * total-ordered.
+   *
+   * Scale shape: one md5 shuffle into a partial-aggregated per-hash count
+   * (count_distinct docs partial-aggregates on (h, doc_id) — Spark plans
+   * the standard two-phase distinct expansion), then a top-20 over the
+   * distinct-segment frame — the d50 ordered-limit shape, which the
+   * TopKRewrite/TakeOrderedAndProject machinery keeps as a per-partition
+   * bounded heap + single 20-row merge: no global sort of the segment
+   * table ever materializes.
+   */
+  def dupSegmentTopQuery(spark: SparkSession, dir: String,
+                         width: Int = 4, k: Int = 20): DataFrame =
+    dupSegmentTop(documents(spark, dir), width, k)
+
+  def dupSegmentTop(docs: DataFrame, width: Int = 4, k: Int = 20): DataFrame = {
+    val segsOf: Column => Column = ws =>
+      transform(sequence(lit(0), size(ws) - 1, lit(width)),
+        st => concat_ws(" ", slice(ws, st + 1, lit(width))))
+    val segs = element_at(
+      transform(array(split(lower(col("text")), "\\s+")), segsOf), 1)
+    docs
+      .select(col("doc_id"), explode(segs).as("seg"))
+      .withColumn("h", md5(col("seg")))
+      .groupBy("h", "seg")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .orderBy(col("n_docs").desc, col("h"))
+      .limit(k)
+  }
+
+  val dupSegmentTopOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), seg AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_slice(ws, st + 1, st + 4), ' ') AS seg
+      |  FROM w, LATERAL (SELECT unnest(range(0, len(ws), 4)) AS st) r
+      |)
+      |SELECT md5(seg) AS h, seg,
+      |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  COUNT(*) AS n_occ
+      |FROM seg
+      |GROUP BY seg
+      |ORDER BY n_docs DESC, h
+      |LIMIT 20""".stripMargin
+
   val segmentDedupOracle: String =
     """WITH w AS (
       |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents

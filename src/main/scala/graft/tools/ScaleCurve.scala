@@ -34,9 +34,11 @@ object ScaleCurve {
 
   private val DocQueries = Seq("n02_dedup_minhash_lsh", "n03_ngram_jaccard",
     "n27_dedup_clusters", "n36_dedup_corpus", "n38_dedup_manifest",
-    // word-suffixing makes replica bigram vocabularies and segment sets
-    // disjoint too: model size and attribution index scale ×k, rounds n/a
-    "n43_bigram_lm", "n45_segment_dedup")
+    // word-suffixing makes replica bigram vocabularies, segment sets, and
+    // CDC window hashes disjoint too: model size and attribution indexes
+    // scale ×k, rounds n/a
+    "n43_bigram_lm", "n45_segment_dedup", "n47_cdc_chunks",
+    "n50_inner_segment_dedup")
   private val EmbQueries = Seq("n37_embedding_clusters")
 
   def main(args: Array[String]): Unit = {

@@ -509,6 +509,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dup-segment leaderboard: k rows, sorted by reach, planted boilerplate tops it") {
+    val out = TextAnalysis.dupSegmentTopQuery(spark, T.sf0001).collect()
+    assert(out.length == 20)
+    val reach = out.map(_.getLong(2))
+    assert(reach.zip(reach.tail).forall { case (a, b) => a >= b }, "not sorted")
+    out.foreach(r => assert(r.getLong(3) >= r.getLong(2),
+      "occurrences must be >= distinct docs"))
+    // plant a 4-word banner segment in 40 synthetic docs: it must take the
+    // #1 slot (max organic reach at sf0.001 is far below 40)
+    import spark.implicits._
+    val banner = (100000L until 100040L)
+      .map(i => (i, s"this site uses cookies unique$i tail words here"))
+      .toDF("doc_id", "text")
+    assert(reach.max < 40, s"organic reach ${reach.max} >= banner reach 40")
+    val docs = Tables.documents(spark, T.sf0001).select("doc_id", "text")
+      .unionByName(banner)
+    val top = TextAnalysis.dupSegmentTop(docs).collect().head
+    assert(top.getString(1) == "this site uses cookies", s"banner not #1: $top")
+    assert(top.getLong(2) == 40L && top.getLong(3) == 40L)
+  }
+
   test("quality mixing: strata cover source x tier, high tier out-sampled, kept near budget") {
     val out = Corpus.qualityMixingQuery(spark, T.sf0001).collect()
     assert(out.nonEmpty)

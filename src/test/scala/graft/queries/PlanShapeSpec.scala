@@ -230,6 +230,12 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n50 does not partition by doc_id:\n$p")
   }
 
+  test("n51 dup-segment leaderboard: ordered limit plans as bounded top-k, not a global sort") {
+    val p = assertNoPairBlowup("n51_dup_segment_top")
+    assert(p.contains("TakeOrderedAndProject") || p.contains("TopK"),
+      s"n51 materializes a global sort for a 20-row answer:\n$p")
+  }
+
   test("n33 pipeline: stages fuse into one plan, no cartesian") {
     val p = assertNoPairBlowup("n33_pipeline_e2e")
     // the dedup window must shuffle on the constant-width fingerprint; the
