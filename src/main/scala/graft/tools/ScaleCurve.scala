@@ -20,11 +20,13 @@ import graft.SparkEntry
  *  - embeddings: k replicas under per-replica pseudo-random sign flips
  *    s_j (an isometry: within-replica cosines are preserved exactly), so
  *    within-replica geometry replicates while cross-replica cosines fall
- *    back to the random bulk. NOTE the n05/n37 family thresholds at 0.45
- *    INSIDE that bulk, so cross-replica tail pairs grow ~quadratically
- *    with rows — that is the input distribution's pair density, inherent
- *    to exact bulk-thresholding (see the n05 scaladoc), not an engine
- *    artifact; the text family is the clean linear-scaling evidence.
+ *    back to the random bulk. Since round 8, n37 clusters the BANDED
+ *    pair graph at the separating 0.9 threshold (planted-copy
+ *    construction), so cross-replica pairs are impossible (bulk ≪ 0.9)
+ *    and the pair graph is k disjoint copies — n37 now scales linearly
+ *    like the text family. The old in-bulk 0.45 exact path (quadratic
+ *    tail pairs by distribution, the round-7 `weak` item) survives only
+ *    behind `allowQuadratic = true` and n05's bounded oracle query.
  *
  * Usage: runMain graft.tools.ScaleCurve [sfDir] [k ...]  (default sf0.1,
  * k ∈ {1,3,10}); prints one CURVE line per (query, k): seconds

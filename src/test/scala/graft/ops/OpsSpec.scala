@@ -52,9 +52,9 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
-  test("embedding clusters: endpoints of every n05 pair share a cluster, canonical is the min") {
+  test("embedding clusters: endpoints of every banded pair share a cluster, canonical is the min") {
     val emb = Tables.embeddings(spark, T.sf0001)
-    val pairs = Dedup.embeddingNearDupPairs(emb)
+    val pairs = Dedup.embeddingLshNearDupPairs(emb)
       .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
     val labels = Dedup.embeddingClustersQuery(spark, T.sf0001)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
