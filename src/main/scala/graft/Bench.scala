@@ -59,6 +59,13 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // two buckets (round-7 verdict #4): streaming replays pay a fixed local
+    // per-micro-batch floor that dwarfs plan cost and would otherwise hide
+    // batch-plan regressions inside the total
+    val replaySet = SparkEntry.replayQueries
+    val (replayRs, batchRs) = results.partition(r => replaySet(r._1))
+    val batchTotal = batchRs.map(_._2).filter(_ >= 0).sum
+    val replayTotal = replayRs.map(_._2).filter(_ >= 0).sum
 
     // streaming-throughput probe: the D20 pipeline replayed over the same
     // 10-file staged input at three admission settings — the micro-batch
@@ -85,7 +92,7 @@ object Bench {
     // total repeated at the END of the line: the driver stores only the
     // tail of long stdout lines, and with 126 per-query entries the leading
     // "value" field falls outside the kept window
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -17,6 +17,15 @@ object SparkEntry {
       FormatQueries.queries ++ RuntimeQueries.queries ++ ModernSqlQueries.queries ++
       StreamingQueries.queries ++ StreamingOpsQueries.queries ++ OpsQueries.queries
 
+  /** Queries that execute a real micro-batch streaming replay (readStream →
+    * writeStream, AvailableNow): their wall-clock is dominated by the local
+    * per-micro-batch scheduling floor (~0.5 s/batch), not by plan quality,
+    * so the bench reports them in a separate `replay_sec` bucket — a batch
+    * plan regression must not hide inside replay noise (round-7 verdict #4). */
+  def replayQueries: Set[String] =
+    StreamingQueries.queries.keySet ++ StreamingOpsQueries.queries.keySet ++
+      Set("n41_streaming_manifest", "n48_streaming_drift")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */
   def oracleSql: Map[String, String] =

@@ -696,8 +696,13 @@ object Corpus {
   def bloomDecontamQuery(spark: SparkSession, dir: String,
                          fpp: Double = 0.03): DataFrame = {
     val docs = documents(spark, dir)
+    // persist-before-multiple-consumers: the corpus-wide gram explode feeds
+    // four actions (the bench count, the Bloom build, the exact semi-join's
+    // bench side, and the corpus side) — without the barrier the explode
+    // re-runs per consumer. Released by the session clearCache policy.
     val grams = docs
       .select(col("doc_id"), explode(Dedup.wordShingles(col("text"), 3)).as("gram"))
+      .persist()
     val bench = grams.filter(col("doc_id") % 101 === 0)
     val corpus = grams.filter(col("doc_id") % 101 =!= 0)
     val nBench = math.max(bench.count(), 1L)

@@ -263,12 +263,28 @@ object Dedup {
 
   // ------------------------------------------------------------- SimHash
 
+  /** 64-bit word hash both engines can derive: the big-endian value of the
+    * first 16 hex chars of md5, assembled from two 8-hex-char halves (each
+    * half fits a signed long after `conv`; the high half's `<<32` wraps
+    * through the sign bit exactly like the oracle's hex parse mod 2⁶⁴).
+    * Replaces xxhash64 in the SimHash path SOLELY so the n04 result is
+    * DuckDB-recomputable — bit b of this value is bit (b mod 4) of hex
+    * digit 16 − b/4 (1-based), which is what the oracle's digit arithmetic
+    * extracts. Hash quality is md5's; xxhash64 stays in the MinHash path,
+    * where the oracle checks exact Jaccard rather than hash values. */
+  def md5Hash64(c: Column): Column = {
+    val h = md5(c)
+    shiftleft(conv(substring(h, 1, 8), 16, 10).cast("long"), 32)
+      .bitwiseOR(conv(substring(h, 9, 8), 16, 10).cast("long"))
+  }
+
   /** 64-bit SimHash of the word multiset: per bit, the majority vote of the
     * word hashes — the codegen'd [[graft.functions.SimHash64]] kernel over
-    * once-hashed words. */
+    * once-hashed words ([[md5Hash64]], so the DuckDB oracle recomputes the
+    * identical fingerprint). */
   def simHash(textCol: Column): Column = {
     val ws = split(lower(textCol), "\\s+")
-    graft.functions.SimHash64(transform(ws, w => xxhash64(w)))
+    graft.functions.SimHash64(transform(ws, w => md5Hash64(w)))
   }
 
   /**
@@ -276,8 +292,11 @@ object Dedup {
    * the 64-bit hash splits into 4 × 16-bit blocks; by pigeonhole any pair at
    * distance ≤ 3 shares at least one identical block, so candidates = pairs
    * sharing a block value, verified with bit_count(xor) ≤ 3. Exact for the
-   * radius — but hash-function-dependent, so rows-only checked (no DuckDB
-   * xxhash64) with the planted near-dups asserted in the test suite.
+   * radius, and — with the [[md5Hash64]] word hash — exactly recomputable
+   * by the DuckDB oracle ([[simHashPairsOracle]]), which rebuilds the same
+   * 64 per-bit majority votes from md5 hex digits and takes the all-pairs
+   * Hamming join (banding here is the linear-candidate plan shape; the
+   * pigeonhole bound makes it result-identical to all-pairs).
    */
   def simHashNearDupPairs(docs: DataFrame, maxDistance: Int = 3): DataFrame = {
     val par = docs.sparkSession.sparkContext.defaultParallelism
@@ -301,6 +320,40 @@ object Dedup {
 
   def simHashDedupQuery(spark: SparkSession, dir: String): DataFrame =
     simHashNearDupPairs(documents(spark, dir)).orderBy("doc_a", "doc_b")
+
+  /** The n04 twin computation in DuckDB: per word, the 64-bit hash is the
+    * big-endian value of md5's first 16 hex chars — bit b lives in hex
+    * digit 16 − b/4 (1-based) at in-digit shift b mod 4, extracted with
+    * pure digit arithmetic (strpos over the hex alphabet, integer divide,
+    * mod 2). Per document, the same +1/−1 majority vote as the codegen
+    * [[graft.functions.SimHash64]] kernel (ties → 0), assembled as a
+    * 64-char bit string so no signed-64-bit overflow ever enters SQL; the
+    * pair stage is the exact all-pairs Hamming-≤3 join (the engine's block
+    * banding is result-identical by pigeonhole). */
+  val simHashPairsOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), h AS (
+      |  SELECT doc_id, list_transform(ws, x -> substr(md5(x), 1, 16)) AS hs FROM w
+      |), bts AS (
+      |  SELECT doc_id,
+      |    list_transform(range(64), b ->
+      |      CASE WHEN 2 * len(list_filter(hs, s ->
+      |        ((strpos('0123456789abcdef', substr(s, CAST(16 - b // 4 AS INT), 1)) - 1)
+      |         // (CASE WHEN b % 4 = 0 THEN 1 WHEN b % 4 = 1 THEN 2
+      |                WHEN b % 4 = 2 THEN 4 ELSE 8 END)) % 2 = 1
+      |      )) > len(hs) THEN '1' ELSE '0' END) AS bits
+      |  FROM h
+      |), s AS (
+      |  SELECT doc_id, array_to_string(bits, '') AS sim FROM bts
+      |), p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    CAST(len(list_filter(range(64), i ->
+      |      substr(a.sim, CAST(i + 1 AS INT), 1) <> substr(b.sim, CAST(i + 1 AS INT), 1))) AS INT) AS hamming
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |)
+      |SELECT doc_a, doc_b, hamming FROM p WHERE hamming <= 3
+      |ORDER BY doc_a, doc_b""".stripMargin
 
   // ------------------------------------------------------- edit distance
 

@@ -78,8 +78,17 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
 
   /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
     * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
-    * has none and is re-written verbatim on replay). */
-  private def committedIds(name: String, prefix: String, max: Long): Seq[Long] = {
+    * has none and is re-written verbatim on replay). With `requireMarker`
+    * the id must ALSO have its `commits/<id>` batch marker: `_SUCCESS` is
+    * per-directory, so a crash between the docs part and the fpmin/labels
+    * snapshots leaves a half-written batch whose parts individually look
+    * complete — an external reader joining them would silently drop
+    * new-fingerprint docs until the stream replays the batch. Public
+    * readers therefore gate on the marker; intra-batch reads (processBatch
+    * reading the snapshot it just wrote, before its own marker exists)
+    * must not. */
+  private def committedIds(name: String, prefix: String, max: Long,
+                           requireMarker: Boolean = false): Seq[Long] = {
     val dir = root.resolve(name)
     if (!Files.isDirectory(dir)) return Seq.empty
     val s = Files.list(dir)
@@ -89,7 +98,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
         val n = p.getFileName.toString
         if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
             Files.exists(p.resolve("_SUCCESS")))
-          Some(n.drop(prefix.length).toLong).filter(_ < max)
+          Some(n.drop(prefix.length).toLong)
+            .filter(id => id < max && (!requireMarker || isCommitted(id)))
         else None
       }.toSeq
     } finally s.close()
@@ -100,8 +110,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
 
   /** Union of all committed append parts of `name` below batch `max`. */
   private def readParts(spark: SparkSession, name: String, max: Long,
-                        ddl: String): DataFrame = {
-    val ids = committedIds(name, "b", max)
+                        ddl: String, requireMarker: Boolean = false): DataFrame = {
+    val ids = committedIds(name, "b", max, requireMarker)
     if (ids.isEmpty) emptyDf(spark, ddl)
     else spark.read.schema(StructType.fromDDL(ddl))
       .parquet(ids.map(partDir(name, _).toString): _*)
@@ -109,8 +119,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
 
   /** Latest committed snapshot of `name` below batch `max`. */
   private def readSnapshot(spark: SparkSession, name: String, max: Long,
-                           ddl: String): DataFrame =
-    committedIds(name, "v", max).maxOption match {
+                           ddl: String, requireMarker: Boolean = false): DataFrame =
+    committedIds(name, "v", max, requireMarker).maxOption match {
       case Some(v) => spark.read.schema(StructType.fromDDL(ddl))
         .parquet(snapDir(name, v).toString)
       case None => emptyDf(spark, ddl)
@@ -151,10 +161,21 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
         mergeLabels(spark, edges, batchId)
           .write.mode("overwrite").parquet(snapDir("labels", batchId).toString)
 
-      val fpmin = readSnapshot(spark, "fpmin", batchId, FpMinDdl)
-        .unionByName(docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep")))
-        .groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
-      fpmin.write.mode("overwrite").parquet(snapDir("fpmin", batchId).toString)
+      // change-gated like labels: rewrite the fpmin snapshot only when the
+      // batch introduces a new fingerprint or a smaller keeper. The check
+      // is one fp-keyed left join bounded by the batch's distinct
+      // fingerprints — far cheaper than the corpus-wide rewrite it skips
+      // (and deterministic, so replay idempotence is unaffected).
+      val oldFpmin = readSnapshot(spark, "fpmin", batchId, FpMinDdl)
+      val batchFpmin = docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep"))
+      val fpChanged = batchFpmin.as("b")
+        .join(oldFpmin.as("o"), Seq("fp"), "left")
+        .filter(col("o.fp_keep").isNull || col("b.fp_keep") < col("o.fp_keep"))
+        .limit(1).count() > 0
+      if (fpChanged)
+        oldFpmin.unionByName(batchFpmin)
+          .groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
+          .write.mode("overwrite").parquet(snapDir("fpmin", batchId).toString)
 
       // arrival-time verdicts for THIS batch's documents (the append-only
       // audit log; a later bridging merge can supersede an old doc's
@@ -237,11 +258,13 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
           .otherwise(col("doc_id")).as("keep_doc"))
 
   /** The manifest implied by the final state — row-identical to the batch
-    * n38 manifest over every ingested document. */
+    * n38 manifest over every ingested document. Marker-gated: only fully
+    * committed batches contribute, so an external reader racing a crash
+    * never joins a docs part against a missing fpmin/labels snapshot. */
   def finalManifest(spark: SparkSession): DataFrame =
-    manifestFor(readParts(spark, "docs", Long.MaxValue, DocsDdl),
-      readSnapshot(spark, "fpmin", Long.MaxValue, FpMinDdl),
-      readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl))
+    manifestFor(readParts(spark, "docs", Long.MaxValue, DocsDdl, requireMarker = true),
+      readSnapshot(spark, "fpmin", Long.MaxValue, FpMinDdl, requireMarker = true),
+      readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl, requireMarker = true))
 
   /** The append-only arrival audit log: one verdict row per document,
     * written in the batch that ingested it, judged against the state AS OF
@@ -251,7 +274,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     * a cluster) — `IncrementalDedupSpec` asserts both properties. */
   def arrivalLog(spark: SparkSession): DataFrame =
     readParts(spark, "manifest",
-      Long.MaxValue, "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT")
+      Long.MaxValue, "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT",
+      requireMarker = true)
 }
 
 object IncrementalDedup {

@@ -48,7 +48,12 @@ final class IncrementalDriftMonitor(root: Path) {
   private def driftDir(k: Long) = root.resolve("drift").resolve(s"b$k")
   private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
 
-  private def committedIds(name: String, prefix: String, max: Long): Seq[Long] = {
+  /** `requireMarker` gates ids on the `commits/<id>` batch marker in
+    * addition to per-directory `_SUCCESS` — the public-reader contract
+    * shared with [[IncrementalDedupIndex]]: a crash between the drift part
+    * and the counts snapshot must not expose the half-committed batch. */
+  private def committedIds(name: String, prefix: String, max: Long,
+                           requireMarker: Boolean = false): Seq[Long] = {
     val dir = root.resolve(name)
     if (!Files.isDirectory(dir)) return Seq.empty
     val s = Files.list(dir)
@@ -58,7 +63,8 @@ final class IncrementalDriftMonitor(root: Path) {
         val n = p.getFileName.toString
         if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
             Files.exists(p.resolve("_SUCCESS")))
-          Some(n.drop(prefix.length).toLong).filter(_ < max)
+          Some(n.drop(prefix.length).toLong)
+            .filter(id => id < max && (!requireMarker || isCommitted(id)))
         else None
       }.toSeq
     } finally s.close()
@@ -67,8 +73,9 @@ final class IncrementalDriftMonitor(root: Path) {
   private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
 
-  private def readCounts(spark: SparkSession, max: Long): DataFrame =
-    committedIds("counts", "v", max).maxOption match {
+  private def readCounts(spark: SparkSession, max: Long,
+                         requireMarker: Boolean = false): DataFrame =
+    committedIds("counts", "v", max, requireMarker).maxOption match {
       case Some(v) => spark.read.schema(StructType.fromDDL(CountsDdl))
         .parquet(snapDir(v).toString)
       case None => emptyDf(spark, CountsDdl)
@@ -122,11 +129,11 @@ final class IncrementalDriftMonitor(root: Path) {
   /** The n46 drift table implied by the final count state — hash-matches
     * the batch oracle for any batching (count merging commutes). */
   def finalDrift(spark: SparkSession): DataFrame =
-    Corpus.driftFromCounts(readCounts(spark, Long.MaxValue))
+    Corpus.driftFromCounts(readCounts(spark, Long.MaxValue, requireMarker = true))
 
   /** The append-only per-batch alarm log (batching-dependent by design). */
   def driftLog(spark: SparkSession): DataFrame = {
-    val ids = committedIds("drift", "b", Long.MaxValue)
+    val ids = committedIds("drift", "b", Long.MaxValue, requireMarker = true)
     if (ids.isEmpty) emptyDf(spark, DriftDdl)
     else spark.read.schema(StructType.fromDDL(DriftDdl))
       .parquet(ids.map(driftDir(_).toString): _*)

@@ -72,7 +72,9 @@ object OpsQueries {
     "n01_dedup_fingerprint" -> Dedup.exactDedupOracle,
     "n02_dedup_minhash_lsh" -> Dedup.jaccardPairsOracle,
     "n03_ngram_jaccard" -> Dedup.jaccardPairsOracle,
-    // n04 SimHash and n06/n07 ANN are hash/seed-dependent: rows-only
+    // round 8: n04's word hash is md5-derived, so DuckDB recomputes the
+    // exact SimHash fingerprints; n06/n07 ANN stay rows-only (seed/recall)
+    "n04_dedup_simhash" -> Dedup.simHashPairsOracle,
     "n05_dedup_embedding" -> Dedup.embeddingNearDupOracle,
     "n08_lang_id" -> TextAnalysis.langIdOracle,
     "n09_quality_score" -> TextAnalysis.qualityScoreOracle,

@@ -58,17 +58,27 @@ object Tables {
     else spark.read.parquet(s"$dir/$name.parquet")
 
   /**
-   * The events table carries parquet TIMESTAMP(NANOS), which Spark's parquet
-   * reader rejects outright unless the legacy nanosAsLong flag is on; we read
-   * the raw long and truncate ns → µs ourselves (`ts div 1000`, integral
-   * division — a double division would lose precision at 1.7e18). DuckDB's
-   * reader truncates ns → µs the same way, so `ts` is value-identical across
-   * engines at microsecond precision.
+   * The events table's `ts` column has shipped in two physical layouts
+   * across driver rounds: parquet TIMESTAMP(NANOS) — which Spark's parquet
+   * reader rejects outright unless the legacy nanosAsLong flag is on, read
+   * as a raw long and truncated ns → µs with integral division (a double
+   * division would lose precision at 1.7e18) — and, since round 8, plain
+   * TIMESTAMP(MICROS) without UTC adjustment, which Spark reads as
+   * TIMESTAMP_NTZ. Both normalize to session-zoned TimestampType at
+   * microsecond precision (session timezone is UTC everywhere), and
+   * DuckDB's reader lands on the same microsecond values — so `ts` stays
+   * value-identical across engines and across testdata vintages.
    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) as long
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType => // TIMESTAMP(MICROS)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")

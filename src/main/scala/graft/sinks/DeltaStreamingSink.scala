@@ -39,6 +39,8 @@ final case class DeltaStreamingSink(
     "txnVersion" -> None,
     "mergeSchema" -> Some("false"),
     "maxRecordsPerFile" -> Some("100000"),
+    "partitionBy" -> None,
+    "clusterBy" -> None,
     "userMetadata" -> None,
     "path" -> None,
     "queryName" -> Some("delta:sink:default"),
@@ -61,7 +63,17 @@ final case class DeltaStreamingSink(
     val resolved = options(df.sparkSession)
     val forwarded = Seq("checkpointLocation", "mergeSchema", "path")
       .flatMap(k => resolved.get(k).map(k -> _)).toMap
-    generateWriteStream(df, forwarded)
+    val writer = generateWriteStream(df, forwarded)
+    // partitionBy/clusterBy are writer METHODS, not option keys — the
+    // reference held them config-only (streaming_sink.py:19-20); applying
+    // them makes the layout contract real (same beyond-parity treatment as
+    // maxRecordsPerFile on the parquet specialization). Spark itself
+    // rejects setting both on one writer, so no extra validation here.
+    def cols(k: String): Option[Seq[String]] =
+      resolved.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
+        .filter(_.nonEmpty)
+    val p = cols("partitionBy").fold(writer)(cs => writer.partitionBy(cs: _*))
+    cols("clusterBy").fold(p)(cs => p.clusterBy(cs: _*))
   }
 
   /** Alias mirroring `DeltaTable.forName(...).toDF()` familiarity

@@ -27,6 +27,7 @@ final case class ParquetStreamingSink(
     "checkpointLocation" -> None,
     "outputMode" -> Some("append"),
     "maxRecordsPerFile" -> Some("100000"),
+    "partitionBy" -> None,
     "path" -> None,
     "queryName" -> Some("parquet:sink:default"),
   )
@@ -36,7 +37,16 @@ final case class ParquetStreamingSink(
     val forwarded = Seq("checkpointLocation", "path")
       .flatMap(k => resolved.get(k).map(k -> _)).toMap ++
       resolved.get("maxRecordsPerFile").map("maxRecordsPerFile" -> _)
-    generateWriteStream(df, forwarded)
+    val writer = generateWriteStream(df, forwarded)
+    // partitionBy is a writer METHOD, not an option key: a comma-separated
+    // config value becomes hive-style directory partitioning, so downstream
+    // batch readers get listing-time partition pruning (asserted in
+    // PartitionedSinkSpec). The reference carried the option config-only
+    // (streaming_sink.py:19); this applies it, completing what the
+    // maxRecordsPerFile forwarding fix started.
+    resolved.get("partitionBy").map(_.split(",").map(_.trim).filter(_.nonEmpty))
+      .filter(_.nonEmpty)
+      .fold(writer)(cols => writer.partitionBy(cols.toIndexedSeq: _*))
   }
 
   def fromDF(df: DataFrame): DataStreamWriter[Row] = generate(df)

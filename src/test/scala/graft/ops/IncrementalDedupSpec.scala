@@ -110,4 +110,35 @@ class IncrementalDedupSpec extends AnyFunSuite {
     assert(index.isCommitted(1L))
     assert(index.finalManifest(spark).collect().toSet == before)
   }
+
+  test("public readers hide a half-committed batch until its marker exists") {
+    val base = Files.createTempDirectory("graft-n41-marker-")
+    val input = base.resolve("input")
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    val docs = Tables.documents(spark, T.sf0001)
+    IncrementalDedup.stageChunks(docs, input, chunks = 2)
+    val schema = spark.read.parquet(input.toString).schema
+    val b0 = spark.read.schema(schema)
+      .parquet(input.toString).filter(col_mod(0, 2))
+    val b1 = spark.read.schema(schema)
+      .parquet(input.toString).filter(col_mod(1, 2))
+    index.processBatch(b0, 0L)
+    val afterB0 = index.finalManifest(spark).collect().toSet
+    val logAfterB0 = index.arrivalLog(spark).collect().toSet
+    assert(afterB0.nonEmpty)
+
+    // simulate a crash between batch 1's part/snapshot writes and its
+    // commit marker: every per-directory _SUCCESS exists, but the batch is
+    // not committed. External readers must see exactly the batch-0 state —
+    // before marker gating, finalManifest joined b1's docs against the
+    // pre-b1 fpmin/labels view and silently dropped new-fingerprint docs.
+    index.processBatch(b1, 1L)
+    Files.delete(base.resolve("state/commits/1.committed"))
+    assert(index.finalManifest(spark).collect().toSet == afterB0)
+    assert(index.arrivalLog(spark).collect().toSet == logAfterB0)
+
+    // replay commits the batch; the readers flip to the two-batch state
+    index.processBatch(b1, 1L)
+    assert(index.finalManifest(spark).collect().toSet == batchManifest)
+  }
 }
