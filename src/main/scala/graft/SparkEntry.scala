@@ -24,7 +24,8 @@ object SparkEntry {
     * plan regression must not hide inside replay noise (round-7 verdict #4). */
   def replayQueries: Set[String] =
     StreamingQueries.queries.keySet ++ StreamingOpsQueries.queries.keySet ++
-      Set("n41_streaming_manifest", "n48_streaming_drift")
+      Set("n41_streaming_manifest", "n48_streaming_drift",
+        "n52_streaming_embedding_clusters")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a weaker rows-only check. */

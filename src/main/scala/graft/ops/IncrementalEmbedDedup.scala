@@ -1,0 +1,255 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+import graft.queries.Tables
+
+/**
+ * Incremental / streaming embedding near-dup index: the n37 embedding
+ * cluster table maintained continuously as vectors arrive — the embedding
+ * twin of [[IncrementalDedup]] (n41), completing the round-7/8 advice
+ * ("n41 proved the pattern for text; the embedding twin is missing").
+ *
+ * Per micro-batch (`foreachBatch`):
+ *   1. unit-normalize the batch's vectors and compute their sign-projection
+ *      band hashes with a PINNED (bits, bands) geometry
+ *      ([[Dedup.signBandCol]]) — the adaptive sizing the batch path uses
+ *      ([[Dedup.lshBitsFor]]) is a function of corpus size, which GROWS
+ *      under streaming, so the index pins the geometry of the expected
+ *      final corpus at construction and every batch hashes identically
+ *      (banding is per-vector and deterministic ⇒ candidate recall is
+ *      batching-invariant, the n41 argument verbatim);
+ *   2. append (vec_id, u) and (vec_id, band, bh) parts to the persisted
+ *      index (overwrite + per-batch commit marker ⇒ checkpoint-replay
+ *      idempotent — the [[graft.sinks.IdempotentParquetWriter]] contract);
+ *   3. generate candidates STREAM-STATIC: batch bands ⋈ (index ∪ batch) on
+ *      (band, bh) — every qualifying pair has at least one endpoint in the
+ *      current batch, so each unordered pair is discovered exactly once
+ *      across the run, in the batch where its younger member arrives;
+ *   4. verify candidates with the exact codegen DotProduct at `threshold`
+ *      and fold the verified edges into the persisted cluster labels by
+ *      contracting them through the current labels and re-clustering only
+ *      the contracted graph ([[Dedup.minLabelComponents]]) — bounded by
+ *      the batch's edges, never the corpus; labels are component-minimum
+ *      vec_ids, so contraction preserves the global fixpoint including
+ *      bridging merges across batches.
+ *
+ * State layout under `root/` (the n41 conventions): `units|bands/b<k>/`
+ * (append-only parts), `labels/v<k>/` (versioned snapshots, written only
+ * by batches that change them), `commits/<k>` (markers). Public readers
+ * gate on the marker so a crash between a part write and the labels
+ * snapshot never exposes a half-committed batch. At 100 TB the versioned
+ * label snapshot becomes a partitioned MERGE and the band parts are the
+ * banded index any production ANN/near-dup service persists anyway; the
+ * per-batch work touches only the batch and its band-collision partners.
+ *
+ * Correctness claim (tested in `IncrementalEmbedDedupSpec`, oracle-gated
+ * as n52): after `processAllAvailable` over the n37 corpus (embeddings ∪
+ * planted copies), [[IncrementalEmbedIndex.finalClusters]] equals the
+ * batch [[Dedup.embeddingClustersQuery]] answer — same DuckDB oracle
+ * verbatim — for ANY batching, because the edge set is batching-invariant
+ * (step 3) and min-label contraction commutes with edge arrival order.
+ */
+final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
+                                  geometry: (Int, Int)) {
+
+  private val (bits, bands) = geometry
+  private val UnitsDdl = "vec_id BIGINT, u ARRAY<DOUBLE>"
+  private val BandsDdl = "vec_id BIGINT, band INT, bh BIGINT"
+  private val LabelsDdl = "vec_id BIGINT, lbl BIGINT"
+
+  private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
+  private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
+  private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
+
+  /** `_SUCCESS`-complete children of `name` strictly below `max`;
+    * `requireMarker` additionally gates on the batch commit marker — the
+    * public-reader crash-consistency contract shared with
+    * [[IncrementalDedupIndex]] / [[IncrementalDriftMonitor]]. */
+  private def committedIds(name: String, prefix: String, max: Long,
+                           requireMarker: Boolean = false): Seq[Long] = {
+    val dir = root.resolve(name)
+    if (!Files.isDirectory(dir)) return Seq.empty
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.flatMap { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
+            Files.exists(p.resolve("_SUCCESS")))
+          Some(n.drop(prefix.length).toLong)
+            .filter(id => id < max && (!requireMarker || isCommitted(id)))
+        else None
+      }.toSeq
+    } finally s.close()
+  }
+
+  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+
+  private def readParts(spark: SparkSession, name: String, max: Long,
+                        ddl: String, requireMarker: Boolean = false): DataFrame = {
+    val ids = committedIds(name, "b", max, requireMarker)
+    if (ids.isEmpty) emptyDf(spark, ddl)
+    else spark.read.schema(StructType.fromDDL(ddl))
+      .parquet(ids.map(partDir(name, _).toString): _*)
+  }
+
+  private def readLabels(spark: SparkSession, max: Long,
+                         requireMarker: Boolean = false): DataFrame =
+    committedIds("labels", "v", max, requireMarker).maxOption match {
+      case Some(v) => spark.read.schema(StructType.fromDDL(LabelsDdl))
+        .parquet(snapDir("labels", v).toString)
+      case None => emptyDf(spark, LabelsDdl)
+    }
+
+  def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
+
+  /** The `foreachBatch` entry point (replay-idempotent, n41 contract):
+    * a committed batch short-circuits; an interrupted one recomputes
+    * deterministically and overwrites its own parts. */
+  def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (isCommitted(batchId)) return
+    val spark = batch.sparkSession
+    val unitB = batch
+      .select(col("vec_id"), Dedup.unitVector(col("embedding")).as("u"))
+      .persist()
+    val bandsB = unitB
+      .select(col("vec_id"),
+        posexplode(Dedup.signBandCol(col("u"), bits, bands)).as(Seq("band", "bh")))
+      .persist()
+    // stream-static candidates: the union over batches of (batch ⋈ index ∪
+    // batch) band collisions is exactly the batch algorithm's candidate set
+    val allBands = readParts(spark, "bands", batchId, BandsDdl).unionByName(bandsB)
+    val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
+      .filter(col("x.vec_id") =!= col("y.vec_id"))
+      .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+        greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+      .distinct()
+    val allUnits = readParts(spark, "units", batchId, UnitsDdl).unionByName(unitB)
+    val edges = candidates
+      .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
+      .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
+      .filter(graft.functions.DotProduct(col("ua"), col("ub")) >= threshold)
+      .select("vec_a", "vec_b").persist()
+    try {
+      unitB.write.mode("overwrite").parquet(partDir("units", batchId).toString)
+      bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
+      if (edges.limit(1).count() > 0)
+        mergeLabels(spark, edges, batchId)
+          .write.mode("overwrite").parquet(snapDir("labels", batchId).toString)
+      Files.createDirectories(marker(batchId).getParent)
+      if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
+    } finally {
+      edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
+    }
+  }
+
+  /** Contract verified batch edges through the current labels (labels are
+    * component-minimum vec_ids, so contraction preserves global minima),
+    * cluster the contracted graph — bounded by the batch's edges — and
+    * rewrite moved labels plus brand-new endpoints (the
+    * [[IncrementalDedupIndex]] mergeLabels shape on the vector id space). */
+  private def mergeLabels(spark: SparkSession, edges: DataFrame,
+                          batchId: Long): DataFrame = {
+    val oldLabels = readLabels(spark, batchId)
+    val contracted = edges
+      .join(oldLabels.select(col("vec_id").as("vec_a"), col("lbl").as("la0")),
+        Seq("vec_a"), "left")
+      .join(oldLabels.select(col("vec_id").as("vec_b"), col("lbl").as("lb0")),
+        Seq("vec_b"), "left")
+      .select(coalesce(col("la0"), col("vec_a")).as("la"),
+        coalesce(col("lb0"), col("vec_b")).as("lb"))
+      .filter(col("la") =!= col("lb"))
+    val mapping = Dedup.minLabelComponents(contracted, "la", "lb", "node")
+      .select(col("node"), col("cluster_id"))
+    val updatedOld = oldLabels
+      .join(mapping.select(col("node").as("lbl"), col("cluster_id")),
+        Seq("lbl"), "left")
+      .select(col("vec_id"), coalesce(col("cluster_id"), col("lbl")).as("lbl"))
+    val newEndpoints = edges.select(col("vec_a").as("vec_id"))
+      .unionByName(edges.select(col("vec_b").as("vec_id"))).distinct()
+      .join(oldLabels.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(mapping.select(col("node").as("vec_id"), col("cluster_id").as("lbl")),
+        "vec_id")
+    updatedOld.unionByName(newEndpoints)
+  }
+
+  /** The cluster table implied by the final state — row-identical to the
+    * batch n37 answer over every ingested vector. Marker-gated: only fully
+    * committed batches contribute. */
+  def finalClusters(spark: SparkSession): DataFrame =
+    readLabels(spark, Long.MaxValue, requireMarker = true)
+      .select(col("vec_id"), col("lbl").as("cluster_id"),
+        (col("vec_id") === col("lbl")).as("is_canonical"))
+}
+
+object IncrementalEmbedDedup {
+
+  /** Stage the n37 corpus (embeddings ∪ planted copies, double vectors) as
+    * `chunks` arrival groups. The split key is a HASH of vec_id, not the id
+    * itself: planted copies sit at vec_id + 10⁶ (≡ id mod small moduli), so
+    * an id-modulo split would co-locate every near-dup pair with its
+    * partner and the stream-static cross-batch join path would go untested. */
+  private[ops] def stageChunks(corpus: DataFrame, input: Path, chunks: Int,
+                               from: Int = 0): Unit =
+    (from until chunks).foreach { c =>
+      corpus.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === c)
+        .coalesce(1).write.mode("append").parquet(input.toString)
+    }
+
+  /** The n37 corpus: embeddings as double vectors ∪ planted near-dup
+    * copies ([[Dedup.plantedCopies]]), the construction whose qualifying
+    * pair set the 0.9 threshold separates. */
+  private[ops] def corpus(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    emb.select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("embedding"))
+      .unionByName(Dedup.plantedCopies(emb)
+        .select(col("vec_id"), col("v").as("embedding")))
+  }
+
+  /** One AvailableNow run over whatever staged files the checkpoint has
+    * not seen yet. */
+  private[ops] def runStream(spark: SparkSession, input: Path, ckpt: Path,
+                             index: IncrementalEmbedIndex): Unit = {
+    val schema = spark.read.parquet(input.toString).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(input.toString)
+      .writeStream
+      .foreachBatch((df: DataFrame, id: Long) => index.processBatch(df, id))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .queryName("graft:n52")
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The pinned geometry for a corpus of `n` vectors: what the batch path
+    * would choose adaptively ([[Dedup.lshBitsFor]]), frozen up front. */
+  private[ops] def geometryFor(n: Long): (Int, Int) = {
+    val b = Dedup.lshBitsFor(n)
+    (b, Dedup.lshBandsFor(b))
+  }
+
+  /** n52: ingest the n37 corpus as a 4-batch file stream through the
+    * incremental index, then emit the cluster table implied by the final
+    * state. Oracle: the batch n37 SQL ([[Dedup.embeddingClustersOracle]])
+    * verbatim — incremental maintenance converges to the batch answer. */
+  def streamingEmbeddingClustersQuery(spark: SparkSession, dir: String,
+                                      chunks: Int = 4): DataFrame = {
+    val base = Tables.scratchDir("n52")
+    val full = corpus(spark, dir)
+    val index = new IncrementalEmbedIndex(base.resolve("state"),
+      geometry = geometryFor(full.count()))
+    stageChunks(full, base.resolve("input"), chunks)
+    runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
+    index.finalClusters(spark).orderBy("vec_id")
+  }
+}

@@ -66,6 +66,8 @@ object OpsQueries {
     "n49_quality_mixing" -> ((s, d) => Corpus.qualityMixingQuery(s, d)),
     "n50_inner_segment_dedup" -> ((s, d) => TextAnalysis.innerSegmentDedupQuery(s, d)),
     "n51_dup_segment_top" -> ((s, d) => TextAnalysis.dupSegmentTopQuery(s, d)),
+    "n52_streaming_embedding_clusters" ->
+      ((s, d) => IncrementalEmbedDedup.streamingEmbeddingClustersQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -122,5 +124,8 @@ object OpsQueries {
     "n49_quality_mixing" -> Corpus.qualityMixingOracle,
     "n50_inner_segment_dedup" -> TextAnalysis.innerSegmentDedupOracle,
     "n51_dup_segment_top" -> TextAnalysis.dupSegmentTopOracle,
+    // incremental maintenance converges to the batch n37 answer, so the
+    // batch oracle applies verbatim (the n41/n48 pattern)
+    "n52_streaming_embedding_clusters" -> Dedup.embeddingClustersOracle,
   )
 }
