@@ -75,8 +75,10 @@ object OpsQueries {
     "n02_dedup_minhash_lsh" -> Dedup.jaccardPairsOracle,
     "n03_ngram_jaccard" -> Dedup.jaccardPairsOracle,
     // round 8: n04's word hash is md5-derived, so DuckDB recomputes the
-    // exact SimHash fingerprints; n06/n07 ANN stay rows-only (seed/recall)
+    // exact SimHash fingerprints; round 9 extended the trick to n06's LSH
+    // planes. n07/n42 ANN stay rows-only (KMeans seed-dependence).
     "n04_dedup_simhash" -> Dedup.simHashPairsOracle,
+    "n06_ann_lsh" -> Similarity.annLshOracle,
     "n05_dedup_embedding" -> Dedup.embeddingNearDupOracle,
     "n08_lang_id" -> TextAnalysis.langIdOracle,
     "n09_quality_score" -> TextAnalysis.qualityScoreOracle,

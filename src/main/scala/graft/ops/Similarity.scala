@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
 import org.apache.spark.ml.linalg.{Vector, Vectors}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,9 +13,10 @@ import graft.queries.Tables._
  * [[graft.queries.BatchQueries]]).
  *
  * Two scale paths:
- *  - [[annLshTopK]]: MLlib BucketedRandomProjectionLSH over L2-normalized
- *    vectors (euclidean on the unit sphere is monotone in cosine), the
- *    library-grade random-projection route;
+ *  - [[annLshTopK]]: sign-projection LSH banding over md5-derived planes —
+ *    deterministic with no RNG anywhere, so the DuckDB oracle recomputes
+ *    the full band-candidate-rank pipeline and hash-matches it (round 9;
+ *    previously MLlib BRP-LSH, seed-dependent and rows-only);
  *  - [[ivfTopK]]: an IVF index — KMeans coarse centroids (fixed seed), every
  *    vector assigned to its cell map-side, the query probes the nProbe
  *    nearest cells and ranks them by exact cosine. At 100 TB this is the
@@ -24,8 +24,8 @@ import graft.queries.Tables._
  *    touches ~nProbe/nlist of the data, and only the tiny centroid table
  *    reaches the driver.
  *
- * Both are approximate and seed-dependent, so they are rows-only checked by
- * the driver; the test suite asserts recall against the exact D19 top-k.
+ * The IVF paths stay seed-dependent (KMeans) and rows-only checked; the
+ * test suite asserts recall against the exact D19 top-k for both.
  */
 object Similarity {
 
@@ -43,24 +43,129 @@ object Similarity {
 
   // ----------------------------------------------------------- LSH path
 
-  /** Top-k approximate neighbors of `queryVecId` via random-projection LSH
-    * (fixed seed ⇒ deterministic result). */
+  /** n06 banding geometry: 12 bands × 4 bits. At the bulk cosines of the
+    * uniform-random embeddings table the bands are a soft prune, not a
+    * separator (the n05 in-bulk story) — the point of n06 is the LSH ANN
+    * *shape* with cross-engine-deterministic banding; n07/n42 carry the
+    * IVF scale path. */
+  private val AnnBits = 4
+  private val AnnBands = 12
+
+  /** md5-derived sign-projection planes (the n04 trick lifted from one bit
+    * to a whole coefficient): component i of plane p is the first 8 hex
+    * chars of md5("p_&lt;p&gt;_&lt;i&gt;") read as an integer, mapped to
+    * [-1, 1) by an exact power-of-two scale. Both engines rebuild the
+    * identical doubles from md5 alone — no RNG, no seed — which is what
+    * lets the DuckDB oracle recompute the band hashes verbatim
+    * ([[annLshOracle]]). Sign projections only need a symmetric coefficient
+    * distribution, so uniform replaces Gaussian at no loss here. */
+  private lazy val annPlanes: Array[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(AnnBands * AnnBits * 64) { idx =>
+      val p = idx / 64
+      val i = idx % 64
+      val hex = md.digest(s"p_${p}_${i}".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+    }
+  }
+
+  /**
+   * Top-k approximate neighbors of `queryVecId` via sign-projection LSH
+   * banding: candidates = vectors sharing at least one (band, bandHash)
+   * with the query (the codegen [[graft.functions.SignBandHashes]] kernel
+   * over the md5-derived [[annPlanes]] — sign of a dot product is
+   * scale-invariant, so banding runs on the raw vectors, no normalization
+   * to disagree over), ranked by exact cosine ([[cosineCol]], the d19
+   * kernel). Deterministic and DuckDB-recomputable end to end — round 9
+   * replaced the seed-dependent MLlib BRP-LSH path (rows-only checked)
+   * with this oracle-gated equivalent, and dropped that path's
+   * driver-side `.head()` on the query vector: both the query's bands and
+   * its embedding now travel as broadcast frames.
+   *
+   * Scale shape: banding is one map-side kernel pass; the candidate join
+   * broadcasts the query's 12 band rows; scoring touches only candidates;
+   * the global top-k is TakeOrderedAndProject via orderBy+limit.
+   */
   def annLshTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
-    val withVec = emb.withColumn("features", toUnitVector(col("embedding")))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(8).setSeed(42L)
-    val model = lsh.fit(withVec)
-    val queryVec = withVec.filter(col("vec_id") === queryVecId)
-      .select("features").head().getAs[Vector](0)
-    model.approxNearestNeighbors(
-        withVec.filter(col("vec_id") =!= queryVecId), queryVec, k)
-      .select(col("vec_id"), col("label"), col("distCol").as("distance"))
-      .orderBy(col("distance"), col("vec_id"))
+    val base = emb.select(col("vec_id"), col("label"), col("embedding"))
+    val banded = base.select(col("vec_id"),
+      posexplode(graft.functions.SignBandHashes(
+        transform(col("embedding"), x => x.cast("double")),
+        annPlanes, 64, AnnBits, AnnBands)).as(Seq("band", "bh")))
+    val qBands = banded.filter(col("vec_id") === queryVecId).select("band", "bh")
+    val cands = banded.join(broadcast(qBands), Seq("band", "bh"))
+      .filter(col("vec_id") =!= queryVecId)
+      .select("vec_id").distinct()
+    val q = base.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    cands.join(base, "vec_id")
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("label"),
+        cosineCol(col("embedding"), col("qv")).as("score"))
+      .orderBy(desc("score"), col("vec_id"))
+      .limit(k)
   }
 
   def annLshQuery(spark: SparkSession, dir: String): DataFrame =
     annLshTopK(embeddings(spark, dir))
+
+  /** The n06 twin computation in DuckDB: rebuild the md5-derived planes
+    * (8 hex digits → integer via digit arithmetic and shifts — no signed
+    * overflow at 32 bits — then the exact power-of-two map to [-1, 1)),
+    * recompute every vector's band hashes (MSB-first packing, matching the
+    * [[graft.functions.SignBandHashes]] fold; dot-product summation agrees
+    * bitwise across engines on this data, the d19-proven property), take
+    * band-collision candidates against vec 0, and rank them with the d19
+    * cosine formulation. */
+  val annLshOracle: String =
+    s"""WITH pl AS (
+       |  SELECT p, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('p_' || p || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
+       |      / 2147483648.0 - 1.0 AS comp
+       |  FROM range(${AnnBands * AnnBits}) t(p), range(64) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT vec_id, p, SUM(x * comp) AS dot
+       |  FROM ex JOIN pl USING (i)
+       |  GROUP BY 1, 2
+       |), bnd AS (
+       |  SELECT vec_id, p // $AnnBits AS band,
+       |    SUM(CASE WHEN dot > 0
+       |        THEN 1 << CAST(${AnnBits - 1} - (p % $AnnBits) AS INT)
+       |        ELSE 0 END) AS bh
+       |  FROM dots GROUP BY 1, 2
+       |), cand AS (
+       |  SELECT DISTINCT e.vec_id
+       |  FROM bnd e JOIN bnd q ON e.band = q.band AND e.bh = q.bh
+       |  WHERE q.vec_id = 0 AND e.vec_id <> 0
+       |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ex2 AS (
+       |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS a,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id <> 0
+       |), qx AS (
+       |  SELECT unnest(CAST(qv AS DOUBLE[])) AS b,
+       |    generate_subscripts(qv, 1) AS i
+       |  FROM q
+       |), s AS (
+       |  -- scored over the FULL table in d19's exact shape, candidates
+       |  -- applied AFTER aggregation: restricting the scan first perturbs
+       |  -- the summation order and drifts the last ulp off the d19-proven
+       |  -- cross-engine agreement
+       |  SELECT vec_id, any_value(label) AS label,
+       |    SUM(a * b) AS dot, SUM(a * a) AS na2, SUM(b * b) AS nb2
+       |  FROM ex2 JOIN qx USING (i) GROUP BY vec_id
+       |)
+       |SELECT vec_id, label, dot / (SQRT(na2) * SQRT(nb2)) AS score
+       |FROM s JOIN cand USING (vec_id)
+       |ORDER BY score DESC, vec_id
+       |LIMIT 5""".stripMargin
 
   // ----------------------------------------------------------- IVF path
 
