@@ -25,6 +25,22 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Contamination guard (round-8 verdict: a bench recorded while the
+    // builder session was active inflated untouched queries 5-8x and read
+    // as a false regression): sample the OS load average before and after,
+    // emit both in the JSON, and warn loudly up front when the machine is
+    // already busy. The numbers stay recorded either way - the flag is
+    // what lets a reader discard a contaminated run instead of diagnosing
+    // phantom regressions.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
+    if (loadStart > cpus.toInt / 4.0)
+      System.err.println(f"[bench] WARNING: loadavg $loadStart%.1f at start " +
+        s"(threshold ${cpus.toInt / 4}) - another workload is active; " +
+        "timings will be inflated. Re-run on a quiet machine.")
+
     def exec(name: String): Double = {
       val t0 = System.nanoTime()
       val elapsed =
@@ -92,7 +108,7 @@ object Bench {
     // total repeated at the END of the line: the driver stores only the
     // tail of long stdout lines, and with 126 per-query entries the leading
     // "value" field falls outside the kept window
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

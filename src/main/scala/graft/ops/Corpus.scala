@@ -692,6 +692,13 @@ object Corpus {
    * .bloomFilter` (one distributed aggregate; only the ~MB sketch reaches
    * the driver) sized by an exact benchmark-gram count — one tiny scalar
    * aggregate, the n13 `docs.count()` precedent.
+   *
+   * Caching contract: this method persists the corpus-wide gram explode
+   * (four downstream consumers) and does NOT unpersist it — the returned
+   * frame still reads it. Callers own the release via
+   * `spark.catalog.clearCache()` after consuming the result (the
+   * Verify/Bench/PlanAudit per-query policy); a long-lived session that
+   * skips it retains the gram table in executor memory.
    */
   def bloomDecontamQuery(spark: SparkSession, dir: String,
                          fpp: Double = 0.03): DataFrame = {

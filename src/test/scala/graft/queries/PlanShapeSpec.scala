@@ -124,6 +124,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n26 candidate join neither shuffles on (band, bh) nor broadcasts:\n$p")
   }
 
+  test("n06 ann-lsh: query bands and query vector ride as broadcasts") {
+    val p = plan("n06_ann_lsh")
+    // candidate generation joins the corpus bands against the query's 12
+    // band rows — that side must broadcast, never shuffle the corpus
+    assert(p.contains("BroadcastHashJoin"),
+      s"n06 band-candidate join is not a broadcast hash join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"n06 plans a CartesianProduct:\n$p")
+    // global top-5 must be TakeOrderedAndProject, not a global sort
+    assert(p.contains("TakeOrderedAndProject"),
+      s"n06 top-k is not TakeOrderedAndProject:\n$p")
+  }
+
   test("n30 boilerplate: DF index joins on (source, h), no cartesian") {
     val p = assertNoPairBlowup("n30_boilerplate")
     assert("hashpartitioning\\(source#\\d+, h#\\d+".r.findFirstIn(p).isDefined
