@@ -772,10 +772,12 @@ object Dedup {
     * Recall is held in lockstep: at the planted-pair cosine (≥ 0.992
     * measured, per-hyperplane agreement p = 1 − θ/π ≈ 0.960) widening a
     * band multiplies its hit rate by p per added bit, so the band count
-    * compensates exactly — bands = ⌈48·p^(12−bits)⌉ keeps the per-pair miss
-    * probability at the base geometry's (1 − p¹²)⁴⁸ ≈ 2e-20 for every
-    * corpus size (12 bits/48 bands at n ≤ 4k, 18/62 at the ×10 probe's
-    * 40k, capped at 32/109 where even 10⁹-row corpora stay ≈ linear).
+    * compensates — bands = ⌈48·p^(12−bits)⌉ keeps the per-pair miss
+    * probability within a few e-folds of the base geometry's
+    * (1 − p¹²)⁴⁸ ≈ 2e-20 (ceil-rounding worst case 1.1e-15 at the 32-bit
+    * cap — `BandGeometrySpec` pins the envelope) for every corpus size
+    * (12 bits/48 bands at n ≤ 4k, 18/62 at the ×10 probe's 40k, capped at
+    * 32/109 where even 10⁹-row corpora stay ≈ linear).
     *
     * The plane pool is band-major with stride [[LshMaxBits]]: band b always
     * owns pool rows [b·32, b·32+bits), so a band's planes are a fixed
@@ -1072,6 +1074,82 @@ object Dedup {
       |FROM reach
       |GROUP BY vec_id
       |ORDER BY vec_id""".stripMargin
+
+  /**
+   * The consumable end of the EMBEDDING dedup family (n53) — the n36 shape
+   * on the vector modality: the n37 corpus (embeddings ∪ planted copies,
+   * labels inherited by the copies) with every non-canonical near-dup
+   * cluster member dropped, rolled up per label. Completes the embedding
+   * symmetry with text: pairs (n26) → clusters (n37) → deduped corpus
+   * (n53) → incremental index (n52).
+   *
+   * Scale shape: the drop set is (cluster members − canonicals) applied as
+   * a LEFT ANTI hash join on the primary key; the rollup is one
+   * partial-aggregated count per label — no new wide exchange beyond the
+   * banded pair stage it composes.
+   */
+  def dedupedEmbeddingCorpusQuery(spark: SparkSession, dir: String): DataFrame = {
+    val emb = embeddings(spark, dir)
+    val corpus = emb.select(col("vec_id"), col("label"))
+      .unionByName(emb.select((col("vec_id") + lit(PlantOffset)).as("vec_id"),
+        col("label")))
+    val losers = minLabelComponents(
+        embeddingLshNearDupPairs(emb).select("vec_a", "vec_b"),
+        "vec_a", "vec_b", "vec_id")
+      .filter(!col("is_canonical")).select("vec_id")
+    val kept = corpus.join(losers, Seq("vec_id"), "left_anti")
+      .groupBy("label").agg(count(lit(1)).as("n_kept"))
+    corpus.groupBy("label").agg(count(lit(1)).as("n_total"))
+      .join(kept, "label")
+      .select(col("label"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"))
+      .orderBy("label")
+  }
+
+  /** The n37 recursive closure plus the anti-join and per-label rollup
+    * (the [[dedupedCorpusOracle]] shape on the embedding modality). */
+  val dedupedEmbeddingCorpusOracle: String =
+    """WITH RECURSIVE base AS (
+      |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+      |    generate_subscripts(embedding, 1) AS i
+      |  FROM embeddings
+      |), pl AS (
+      |  SELECT vec_id + 1000000 AS vec_id, pv AS v, i FROM
+      |    (SELECT vec_id, v + CAST(0.0078125 AS DOUBLE) * ((vec_id*31 + i) % 7 - 3) AS pv, i FROM base)
+      |), ex AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM pl
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT vec_a, vec_b FROM p WHERE cosine >= 0.9
+      |), edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS vec_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS vec_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.vec_id
+      |), losers AS (
+      |  SELECT vec_id FROM reach GROUP BY vec_id HAVING vec_id <> MIN(r)
+      |), corp AS (
+      |  SELECT vec_id, label FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 1000000 AS vec_id, label FROM embeddings
+      |)
+      |SELECT c.label, COUNT(*) AS n_total,
+      |  CAST(COUNT(*) FILTER (l.vec_id IS NULL) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (l.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+      |FROM corp c LEFT JOIN losers l USING (vec_id)
+      |GROUP BY c.label
+      |ORDER BY c.label""".stripMargin
 
   // -------------------------------------------- dedup manifest (n38)
 

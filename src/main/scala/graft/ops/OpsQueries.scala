@@ -68,6 +68,7 @@ object OpsQueries {
     "n51_dup_segment_top" -> ((s, d) => TextAnalysis.dupSegmentTopQuery(s, d)),
     "n52_streaming_embedding_clusters" ->
       ((s, d) => IncrementalEmbedDedup.streamingEmbeddingClustersQuery(s, d)),
+    "n53_embedding_dedup_corpus" -> (Dedup.dedupedEmbeddingCorpusQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -129,5 +130,6 @@ object OpsQueries {
     // incremental maintenance converges to the batch n37 answer, so the
     // batch oracle applies verbatim (the n41/n48 pattern)
     "n52_streaming_embedding_clusters" -> Dedup.embeddingClustersOracle,
+    "n53_embedding_dedup_corpus" -> Dedup.dedupedEmbeddingCorpusOracle,
   )
 }
