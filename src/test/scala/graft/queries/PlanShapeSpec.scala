@@ -168,6 +168,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n39 does not plan the bounded-heap top-k operator:\n$p")
   }
 
+  test("n53 embedding deduped corpus: anti-join rollup, no cartesian") {
+    // building this plan runs the label propagation first (the n41
+    // precedent); the asserted plan is the anti-join + per-label rollup
+    // over the checkpointed labels
+    assertNoPairBlowup("n53_embedding_dedup_corpus")
+  }
+
   test("n41 streaming manifest: final-state joins are hash joins, no cartesian") {
     // building this plan replays the staged stream first (the d20/d21
     // precedent); the asserted plan is the manifest derivation over the
