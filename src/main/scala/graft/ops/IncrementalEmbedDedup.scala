@@ -41,9 +41,12 @@ import graft.queries.Tables
  *
  * State layout under `root/` (the n41 conventions): `units|bands/b<k>/`
  * (append-only parts), `labels/v<k>/` (versioned snapshots, written only
- * by batches that change them), `commits/<k>` (markers). Public readers
- * gate on the marker so a crash between a part write and the labels
- * snapshot never exposes a half-committed batch. At 100 TB the versioned
+ * by batches that change them), `commits/<k>` (markers), plus
+ * `units|bands/c<w>/` + `compactions/<w>` — the [[IncrementalEmbedIndex.compact]]
+ * consolidation of all parts ≤ w (small-files countermeasure; same
+ * two-phase visibility rule). Public readers gate on the markers so a
+ * crash between a part write and the labels snapshot (or mid-compaction)
+ * never exposes a half-committed state. At 100 TB the versioned
  * label snapshot becomes a partitioned MERGE and the band parts are the
  * banded index any production ANN/near-dup service persists anyway; the
  * per-batch work touches only the batch and its band-collision partners.
@@ -65,7 +68,10 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
 
   private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
   private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
+  private def compactDir(name: String, w: Long) = root.resolve(name).resolve(s"c$w")
   private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
+  private def compactionMarker(w: Long) =
+    root.resolve("compactions").resolve(s"$w.committed")
 
   /** `_SUCCESS`-complete children of `name` strictly below `max`;
     * `requireMarker` additionally gates on the batch commit marker — the
@@ -92,12 +98,71 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
   private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
 
+  /** Highest fully committed compaction watermark strictly below `max`:
+    * both consolidated dirs have `_SUCCESS` AND the compaction marker
+    * exists — the same two-phase visibility rule as batch commits, so a
+    * crash mid-compaction leaves readers on the uncompacted view. */
+  private def compactionWatermark(max: Long): Option[Long] =
+    committedIds("units", "c", max)
+      .filter(w => Files.exists(compactionMarker(w)) &&
+        Files.exists(compactDir("bands", w).resolve("_SUCCESS")))
+      .maxOption
+
   private def readParts(spark: SparkSession, name: String, max: Long,
                         ddl: String, requireMarker: Boolean = false): DataFrame = {
+    val schema = StructType.fromDDL(ddl)
+    val cw = compactionWatermark(max)
     val ids = committedIds(name, "b", max, requireMarker)
-    if (ids.isEmpty) emptyDf(spark, ddl)
-    else spark.read.schema(StructType.fromDDL(ddl))
-      .parquet(ids.map(partDir(name, _).toString): _*)
+      .filter(id => cw.forall(id > _))
+    val dirs = cw.map(compactDir(name, _).toString).toSeq ++
+      ids.map(partDir(name, _).toString)
+    if (dirs.isEmpty) emptyDf(spark, ddl)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  /**
+   * Consolidate every committed `units`/`bands` part at or below the
+   * current high-water batch into one compacted tree — the small-files
+   * countermeasure an append-only banded index needs at scale (N
+   * micro-batches otherwise mean N-way directory unions and N× listing
+   * cost on every candidate join; at 100 TB this is the OPTIMIZE/
+   * bin-packing pass a Delta-backed index would schedule).
+   *
+   * Crash-consistent by the index's own two-phase rule: the consolidated
+   * trees are written first (deterministic content — the union of
+   * committed parts — so a re-run after a crash overwrites them
+   * verbatim), the `compactions/<w>` marker flips visibility atomically,
+   * and only then are the superseded part dirs and any older compaction
+   * deleted. Single-maintainer discipline (the serial foreachBatch loop)
+   * is assumed, as everywhere in this index. Returns the watermark, or
+   * None when there is nothing worth compacting.
+   */
+  def compact(spark: SparkSession): Option[Long] = {
+    val ids = committedIds("units", "b", Long.MaxValue, requireMarker = true)
+    val prev = compactionWatermark(Long.MaxValue)
+    if (ids.size + (if (prev.isDefined) 1 else 0) < 2) return None
+    val w = ids.maxOption.getOrElse(prev.get)
+    readParts(spark, "units", w + 1, UnitsDdl, requireMarker = true)
+      .write.mode("overwrite").parquet(compactDir("units", w).toString)
+    readParts(spark, "bands", w + 1, BandsDdl, requireMarker = true)
+      .write.mode("overwrite").parquet(compactDir("bands", w).toString)
+    Files.createDirectories(compactionMarker(w).getParent)
+    if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
+    // superseded trees: parts <= w and any older compaction
+    for (name <- Seq("units", "bands")) {
+      ids.filter(_ <= w).foreach(id => deleteTree(partDir(name, id)))
+      prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
+    }
+    prev.filter(_ < w).foreach(p => Files.deleteIfExists(compactionMarker(p)))
+    Some(w)
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
   }
 
   private def readLabels(spark: SparkSession, max: Long,

@@ -1,0 +1,96 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+
+/**
+ * Compaction of the incremental embedding index: consolidating committed
+ * parts must be invisible to results (before/after equality), survive a
+ * crash between the consolidated write and its marker (readers stay on
+ * the uncompacted view), physically remove the superseded part dirs, and
+ * leave subsequent batches joining against the compacted view with the
+ * same convergence guarantee.
+ */
+class IncrementalEmbedCompactionSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private def hashIn(rs: Int*) = {
+    val m = pmod(xxhash64(col("vec_id")), lit(4))
+    rs.map(r => m === r).reduce(_ || _)
+  }
+
+  private def clusters(index: IncrementalEmbedIndex) =
+    index.finalClusters(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+
+  test("compact preserves results, drops old parts, and new batches still converge") {
+    val base = Files.createTempDirectory("graft-n52-compact-")
+    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
+    val index = new IncrementalEmbedIndex(base.resolve("state"),
+      geometry = IncrementalEmbedDedup.geometryFor(full.count()))
+
+    (0 to 2).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
+    val before = clusters(index)
+
+    val w = index.compact(spark)
+    assert(w.contains(2L))
+    assert(clusters(index) == before, "compaction changed visible results")
+    // superseded part dirs are physically gone; the consolidated trees exist
+    (0 to 2).foreach { j =>
+      assert(!Files.exists(base.resolve(s"state/units/b$j")), s"b$j survived")
+      assert(!Files.exists(base.resolve(s"state/bands/b$j")), s"b$j survived")
+    }
+    assert(Files.exists(base.resolve("state/units/c2/_SUCCESS")))
+    assert(Files.exists(base.resolve("state/bands/c2/_SUCCESS")))
+
+    // a later batch joins its candidates against the compacted view and
+    // the final table still equals the batch n37 answer on the full corpus
+    index.processBatch(full.filter(hashIn(3)), 3L)
+    val expected = Dedup.embeddingClustersQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters(index) == expected)
+
+    // a second compaction folds the tail part into a new watermark and
+    // retires the old consolidated tree
+    assert(index.compact(spark).contains(3L))
+    assert(clusters(index) == expected)
+    assert(!Files.exists(base.resolve("state/units/c2")))
+    assert(!Files.exists(base.resolve("state/compactions/2.committed")))
+    full.unpersist()
+  }
+
+  test("a half-written consolidation is invisible; later batches still bridge") {
+    val base = Files.createTempDirectory("graft-n52-compactcrash-")
+    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
+    val index = new IncrementalEmbedIndex(base.resolve("state"),
+      geometry = IncrementalEmbedDedup.geometryFor(full.count()))
+    (0 to 1).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
+
+    // simulate a crash mid-compaction: the units tree consolidated (with
+    // _SUCCESS), the bands tree and the marker never written. The reader
+    // must keep treating the part dirs as authoritative — a phantom
+    // watermark here would drop batch-0/1 band history and lose every
+    // cross-batch pair whose partner arrives later.
+    spark.read.parquet(base.resolve("state/units/b0").toString,
+        base.resolve("state/units/b1").toString)
+      .write.mode("overwrite").parquet(base.resolve("state/units/c1").toString)
+    assert(Files.exists(base.resolve("state/units/c1/_SUCCESS")))
+    assert(!Files.exists(base.resolve("state/compactions/1.committed")))
+
+    (2 to 3).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
+    val expected = Dedup.embeddingClustersQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters(index) == expected,
+      "cross-batch pairs lost: reader honored a half-written compaction")
+
+    // a re-run completes the interrupted compaction (deterministic content,
+    // overwrite semantics) and the result is unchanged
+    assert(index.compact(spark).contains(3L))
+    assert(clusters(index) == expected)
+    full.unpersist()
+  }
+}
