@@ -48,7 +48,10 @@ import graft.queries.Tables
  *
  * State layout under `root/`: `docs|shingles|bands|manifest/b<k>/`
  * (append-only parts), `labels|fpmin/v<k>/` (versioned snapshots; a batch
- * writes a new version only when it changes the table), `commits/<k>`.
+ * writes a new version only when it changes the table), `commits/<k>`,
+ * plus `<table>/c<w>/` + `compactions/<w>` — the [[IncrementalDedupIndex.compact]]
+ * part consolidation (small-files countermeasure, two-phase visibility;
+ * the [[IncrementalEmbedIndex.compact]] contract).
  * The versioned-snapshot rewrite is the offline stand-in for a Delta
  * `MERGE` / RocksDB state store: per batch it costs one read+write of the
  * label and fp tables (each bounded by matched docs / distinct
@@ -74,7 +77,16 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
 
   private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
   private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
+  private def compactDir(name: String, w: Long) = root.resolve(name).resolve(s"c$w")
   private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
+  private def compactionMarker(w: Long) =
+    root.resolve("compactions").resolve(s"$w.committed")
+
+  /** The append-only part tables subject to [[compact]]; label/fpmin
+    * snapshots version-rewrite themselves and need none. */
+  private val PartTables = Seq(
+    "docs" -> DocsDdl, "shingles" -> ShinglesDdl, "bands" -> BandsDdl,
+    "manifest" -> "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT")
 
   /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
     * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
@@ -108,13 +120,66 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
   private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
 
-  /** Union of all committed append parts of `name` below batch `max`. */
+  /** Highest fully committed compaction watermark strictly below `max`:
+    * every [[PartTables]] consolidated dir has `_SUCCESS` AND the
+    * compaction marker exists — the batch-commit two-phase rule, so a
+    * crash mid-compaction leaves readers on the uncompacted view
+    * (the [[IncrementalEmbedIndex]] contract). */
+  private def compactionWatermark(max: Long): Option[Long] =
+    committedIds("docs", "c", max)
+      .filter(w => Files.exists(compactionMarker(w)) &&
+        PartTables.forall { case (n, _) =>
+          Files.exists(compactDir(n, w).resolve("_SUCCESS")) })
+      .maxOption
+
+  /** Union of all committed append parts of `name` below batch `max`,
+    * reading the consolidated tree for everything at or below the active
+    * compaction watermark. */
   private def readParts(spark: SparkSession, name: String, max: Long,
                         ddl: String, requireMarker: Boolean = false): DataFrame = {
+    val cw = compactionWatermark(max)
     val ids = committedIds(name, "b", max, requireMarker)
-    if (ids.isEmpty) emptyDf(spark, ddl)
-    else spark.read.schema(StructType.fromDDL(ddl))
-      .parquet(ids.map(partDir(name, _).toString): _*)
+      .filter(id => cw.forall(id > _))
+    val dirs = cw.map(compactDir(name, _).toString).toSeq ++
+      ids.map(partDir(name, _).toString)
+    if (dirs.isEmpty) emptyDf(spark, ddl)
+    else spark.read.schema(StructType.fromDDL(ddl)).parquet(dirs: _*)
+  }
+
+  /**
+   * Consolidate every committed append part at or below the high-water
+   * batch into one tree per [[PartTables]] table — the text twin of
+   * [[IncrementalEmbedIndex.compact]] (see its scaladoc for the
+   * small-files rationale and the two-phase crash story): consolidated
+   * trees first (deterministic, overwrite-idempotent), the
+   * `compactions/<w>` marker flips visibility, then superseded parts and
+   * older compactions are deleted. Serial-maintainer discipline assumed.
+   */
+  def compact(spark: SparkSession): Option[Long] = {
+    val ids = committedIds("docs", "b", Long.MaxValue, requireMarker = true)
+    val prev = compactionWatermark(Long.MaxValue)
+    if (ids.size + (if (prev.isDefined) 1 else 0) < 2) return None
+    val w = ids.maxOption.getOrElse(prev.get)
+    PartTables.foreach { case (name, ddl) =>
+      readParts(spark, name, w + 1, ddl, requireMarker = true)
+        .write.mode("overwrite").parquet(compactDir(name, w).toString)
+    }
+    Files.createDirectories(compactionMarker(w).getParent)
+    if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
+    PartTables.foreach { case (name, _) =>
+      ids.filter(_ <= w).foreach(id => deleteTree(partDir(name, id)))
+      prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
+    }
+    prev.filter(_ < w).foreach(p => Files.deleteIfExists(compactionMarker(p)))
+    Some(w)
+  }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
   }
 
   /** Latest committed snapshot of `name` below batch `max`. */

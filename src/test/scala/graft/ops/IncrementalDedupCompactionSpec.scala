@@ -1,0 +1,80 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+import graft.queries.Tables
+
+/**
+ * Compaction of the incremental text-dedup index (the
+ * [[IncrementalEmbedCompactionSpec]] contract on the n41 index):
+ * consolidation is invisible to the manifest and arrival log, removes the
+ * superseded part dirs, leaves later batches joining the compacted band
+ * index with the same convergence guarantee, and a half-written
+ * consolidation stays invisible.
+ */
+class IncrementalDedupCompactionSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private def modIs(r: Int, m: Int) = pmod(col("doc_id"), lit(m)) === r
+
+  private def manifest(index: IncrementalDedupIndex) =
+    index.finalManifest(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+
+  test("compact preserves manifest and log; later batches still converge") {
+    val base = Files.createTempDirectory("graft-n41-compact-")
+    val docs = Tables.documents(spark, T.sf0001)
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+
+    (0 to 2).foreach(j => index.processBatch(docs.filter(modIs(j, 4)), j.toLong))
+    val before = manifest(index)
+    val logBefore = index.arrivalLog(spark).collect().toSet
+
+    assert(index.compact(spark).contains(2L))
+    assert(manifest(index) == before, "compaction changed the manifest")
+    assert(index.arrivalLog(spark).collect().toSet == logBefore,
+      "compaction changed the arrival log")
+    for (t <- Seq("docs", "shingles", "bands", "manifest"); j <- 0 to 2)
+      assert(!Files.exists(base.resolve(s"state/$t/b$j")), s"$t/b$j survived")
+    assert(Files.exists(base.resolve("state/bands/c2/_SUCCESS")))
+
+    index.processBatch(docs.filter(modIs(3, 4)), 3L)
+    val expected = Dedup.dedupManifestQuery(spark, T.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(manifest(index) == expected)
+
+    assert(index.compact(spark).contains(3L))
+    assert(manifest(index) == expected)
+    assert(!Files.exists(base.resolve("state/docs/c2")))
+    assert(!Files.exists(base.resolve("state/compactions/2.committed")))
+  }
+
+  test("a half-written consolidation is invisible; later batches still bridge") {
+    val base = Files.createTempDirectory("graft-n41-compactcrash-")
+    val docs = Tables.documents(spark, T.sf0001)
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    (0 to 1).foreach(j => index.processBatch(docs.filter(modIs(j, 4)), j.toLong))
+
+    // crash mid-compaction: docs tree consolidated with _SUCCESS, the
+    // other three trees and the marker never written — the watermark must
+    // not activate, or batch-0/1 shingle/band history disappears and every
+    // cross-batch near-dup pair with a later partner is lost
+    spark.read.parquet(base.resolve("state/docs/b0").toString,
+        base.resolve("state/docs/b1").toString)
+      .write.mode("overwrite").parquet(base.resolve("state/docs/c1").toString)
+    assert(Files.exists(base.resolve("state/docs/c1/_SUCCESS")))
+
+    (2 to 3).foreach(j => index.processBatch(docs.filter(modIs(j, 4)), j.toLong))
+    val expected = Dedup.dedupManifestQuery(spark, T.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(manifest(index) == expected,
+      "cross-batch pairs lost: reader honored a half-written compaction")
+
+    assert(index.compact(spark).contains(3L))
+    assert(manifest(index) == expected)
+  }
+}
