@@ -77,9 +77,11 @@ object OpsQueries {
     "n03_ngram_jaccard" -> Dedup.jaccardPairsOracle,
     // round 8: n04's word hash is md5-derived, so DuckDB recomputes the
     // exact SimHash fingerprints; round 9 extended the trick to n06's LSH
-    // planes. n07/n42 ANN stay rows-only (KMeans seed-dependence).
+    // planes and n07's IVF cell directions. Only n42 (trained KMeans
+    // quantizer) remains rows-only among the ANN family.
     "n04_dedup_simhash" -> Dedup.simHashPairsOracle,
     "n06_ann_lsh" -> Similarity.annLshOracle,
+    "n07_ann_ivf" -> Similarity.ivfOracle,
     "n05_dedup_embedding" -> Dedup.embeddingNearDupOracle,
     "n08_lang_id" -> TextAnalysis.langIdOracle,
     "n09_quality_score" -> TextAnalysis.qualityScoreOracle,

@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.ml.linalg.Vectors
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -17,15 +17,17 @@ import graft.queries.Tables._
  *    deterministic with no RNG anywhere, so the DuckDB oracle recomputes
  *    the full band-candidate-rank pipeline and hash-matches it (round 9;
  *    previously MLlib BRP-LSH, seed-dependent and rows-only);
- *  - [[ivfTopK]]: an IVF index — KMeans coarse centroids (fixed seed), every
- *    vector assigned to its cell map-side, the query probes the nProbe
- *    nearest cells and ranks them by exact cosine. At 100 TB this is the
- *    shape that works: assignment is a broadcast map-side pass, the probe
- *    touches ~nProbe/nlist of the data, and only the tiny centroid table
- *    reaches the driver.
+ *  - [[ivfTopK]]: an IVF index with a deterministic md5-derived projection
+ *    quantizer (round 9; previously seeded KMeans) — every vector assigned
+ *    to its argmax-direction cell map-side, the query probes its nProbe
+ *    best cells, probed members rank by exact cosine. Oracle-gated like
+ *    n06. At 100 TB this is the shape that works: assignment is a
+ *    map-side pass, the probe touches ~nProbe/nlist of the data, and
+ *    nothing but the probed-cell id set rides a broadcast.
  *
- * The IVF paths stay seed-dependent (KMeans) and rows-only checked; the
- * test suite asserts recall against the exact D19 top-k for both.
+ * The TRAINED quantizer (seeded KMeans) lives in [[knnJoin]] (n42), the
+ * one remaining rows-only ANN entry; the test suite asserts recall
+ * against the exact D19 top-k for every approximate path.
  */
 object Similarity {
 
@@ -169,34 +171,66 @@ object Similarity {
 
   // ----------------------------------------------------------- IVF path
 
-  /** IVF top-k: KMeans(nlist) coarse quantizer, probe the nProbe closest
-    * cells by centroid cosine, exact cosine ranking inside the probed cells. */
-  def ivfTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
-              nlist: Int = 8, nProbe: Int = 2): DataFrame = {
-    val withVec = emb.withColumn("features", toUnitVector(col("embedding")))
-    val model = new KMeans()
-      .setK(nlist).setSeed(42L).setMaxIter(5)
-      .setFeaturesCol("features").setPredictionCol("cell")
-      .fit(withVec)
-    val assigned = model.transform(withVec)
+  /** n07 coarse-quantizer geometry: 8 cells, 4 probed. (The untrained
+    * projection quantizer needs wider probing than the old KMeans cells
+    * to clear the OpsSpec recall gate on uniform-random vectors — KMeans
+    * shapes cells to the data, fixed directions cannot; nProbe/nlist stays
+    * the recall/cost dial exactly as in a trained IVF.) */
+  private val IvfNList = 8
+  private val IvfNProbe = 4
 
-    // tiny driver-side math: rank the nlist centroids against the query
-    val queryArr = assigned.filter(col("vec_id") === queryVecId)
-      .select("features").head().getAs[Vector](0).toArray
-    def cos(a: Array[Double], b: Array[Double]): Double = {
-      val dot = a.zip(b).map { case (x, y) => x * y }.sum
-      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+  /** md5-derived cell directions (the [[annPlanes]] construction with a
+    * `c_` namespace): direction c's component i rebuilds identically in
+    * both engines, so cell assignment — argmax over the 8 direction dot
+    * products — is cross-engine deterministic with no training step. */
+  private lazy val ivfDirs: Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(IvfNList) { c =>
+      Array.tabulate(64) { i =>
+        val hex = md.digest(s"c_${c}_${i}".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+      }
     }
-    val probed = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, cos(c.toArray, queryArr)) }
-      .sortBy { case (i, c) => (-c, i) }
-      .take(nProbe).map(_._1)
+  }
 
-    val query = emb.filter(col("vec_id") === queryVecId)
+  /**
+   * IVF top-k with a DETERMINISTIC coarse quantizer: each vector lands in
+   * cell argmax_c dot(v, dir_c) over the md5-derived [[ivfDirs]] (a fixed
+   * random-projection quantizer — the untrained cousin of KMeans cells;
+   * first index wins dot ties on both engines), the query probes its
+   * `nProbe` best cells by the same score, and probed-cell members rank by
+   * exact cosine (the d19 kernel). Round 9 replaced the seeded-KMeans
+   * version (rows-only checked) with this oracle-gated equivalent — the
+   * TRAINED quantizer lives on in the n42 batched kNN join, where
+   * per-query recall is the gate. Fully distributed: cells assign
+   * map-side, the probed-cell set rides as a broadcast, and the top-k is
+   * TakeOrderedAndProject.
+   *
+   * The double-evaluation bind: the dot-score array is bound to a lambda
+   * variable before argmax/array_position reference it (interpreted HOFs
+   * re-evaluate per reference — the [[Dedup.wordShingles]] pitfall).
+   */
+  def ivfTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+              nProbe: Int = IvfNProbe): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = array(ivfDirs.map(d =>
+      graft.functions.DotProduct(v, array(d.map(lit).toIndexedSeq: _*))): _*)
+    val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
+      posexplode(dots).as(Seq("cell", "dot")))
+    val assigned = emb.select(col("vec_id"), col("label"), col("embedding"),
+      (element_at(transform(array(dots), a =>
+        array_position(a, array_max(a))), 1) - 1).as("cell"))
+    val probedCells = scored.filter(col("vec_id") === queryVecId)
+      .orderBy(desc("dot"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    val q = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("qv"))
     assigned
-      .filter(col("cell").isin(probed: _*) && col("vec_id") =!= queryVecId)
-      .crossJoin(broadcast(query))
+      .join(broadcast(probedCells), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
       .select(col("vec_id"), col("label"),
         cosineCol(col("embedding"), col("qv")).as("score"))
       .orderBy(desc("score"), col("vec_id"))
@@ -205,6 +239,57 @@ object Similarity {
 
   def ivfQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(embeddings(spark, dir))
+
+  /** The n07 twin computation in DuckDB: rebuild [[ivfDirs]] from md5
+    * digit arithmetic, assign every vector to its argmax cell (ties to the
+    * smallest index, matching Spark's `array_position` first-occurrence),
+    * probe the query's top-`IvfNProbe` cells, and rank probed-cell members
+    * with the d19 cosine formulation — scores aggregated over the full
+    * table, the cell filter applied after (the n06 summation-order
+    * lesson). */
+  val ivfOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
+       |      / 2147483648.0 - 1.0 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT vec_id, c, SUM(x * comp) AS dot
+       |  FROM ex JOIN dirs USING (i)
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT c AS cell FROM dots WHERE vec_id = 0
+       |  ORDER BY dot DESC, c LIMIT $IvfNProbe
+       |), q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |ex2 AS (
+       |  SELECT vec_id, label, unnest(CAST(embedding AS DOUBLE[])) AS a,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings WHERE vec_id <> 0
+       |), qx AS (
+       |  SELECT unnest(CAST(qv AS DOUBLE[])) AS b,
+       |    generate_subscripts(qv, 1) AS i
+       |  FROM q
+       |), s AS (
+       |  SELECT vec_id, any_value(label) AS label,
+       |    SUM(a * b) AS dot, SUM(a * a) AS na2, SUM(b * b) AS nb2
+       |  FROM ex2 JOIN qx USING (i) GROUP BY vec_id
+       |)
+       |SELECT s.vec_id, s.label, s.dot / (SQRT(s.na2) * SQRT(s.nb2)) AS score
+       |FROM s
+       |JOIN assigned ON assigned.vec_id = s.vec_id
+       |JOIN probed ON probed.cell = assigned.cell
+       |ORDER BY score DESC, s.vec_id
+       |LIMIT 5""".stripMargin
 
   // ------------------------------------------------- n42 IVF kNN join
 
