@@ -374,16 +374,18 @@ object IncrementalDedup {
   }
 
   /** n41: ingest the documents table as a 4-batch file stream through the
-    * incremental index, then emit the manifest implied by the final state.
-    * Oracle: the batch n38 SQL ([[Dedup.dedupManifestOracle]]) verbatim —
-    * the whole point is that incremental maintenance converges to the
-    * batch answer. */
+    * incremental index, COMPACT the part tables (putting the maintenance
+    * pass inside the driver's oracle gate, as in the n52 twin), then emit
+    * the manifest implied by the final state. Oracle: the batch n38 SQL
+    * ([[Dedup.dedupManifestOracle]]) verbatim — the whole point is that
+    * incremental maintenance converges to the batch answer. */
   def streamingManifestQuery(spark: SparkSession, dir: String,
                              chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n41")
     val index = new IncrementalDedupIndex(base.resolve("state"))
     stageChunks(Tables.documents(spark, dir), base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
+    index.compact(spark)
     index.finalManifest(spark).orderBy("doc_id")
   }
 }

@@ -304,9 +304,12 @@ object IncrementalEmbedDedup {
   }
 
   /** n52: ingest the n37 corpus as a 4-batch file stream through the
-    * incremental index, then emit the cluster table implied by the final
-    * state. Oracle: the batch n37 SQL ([[Dedup.embeddingClustersOracle]])
-    * verbatim — incremental maintenance converges to the batch answer. */
+    * incremental index, COMPACT the part tables (the maintenance pass a
+    * production deployment schedules — running it here puts compaction
+    * inside the driver's oracle gate every round), then emit the cluster
+    * table implied by the final state. Oracle: the batch n37 SQL
+    * ([[Dedup.embeddingClustersOracle]]) verbatim — incremental
+    * maintenance converges to the batch answer. */
   def streamingEmbeddingClustersQuery(spark: SparkSession, dir: String,
                                       chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n52")
@@ -315,6 +318,7 @@ object IncrementalEmbedDedup {
       geometry = geometryFor(full.count()))
     stageChunks(full, base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
+    index.compact(spark)
     index.finalClusters(spark).orderBy("vec_id")
   }
 }
