@@ -22,6 +22,14 @@ final case class DecodedMedia(media_id: Long, kind: String, n_bytes: Long,
 final case class SampledFrame(media_id: Long, n_frames: Long,
                               frame_idx: Long, frame_off: Long)
 
+/** Resize-stage output: source dims plus the target box fit. */
+final case class ResizedMedia(media_id: Long, kind: String, width: Long,
+                              height: Long, out_w: Long, out_h: Long)
+
+/** Feature-extraction output: a fixed-dim embedding per media record. */
+final case class MediaFeatures(media_id: Long, kind: String, f0: Double,
+                               f1: Double, f2: Double, f3: Double)
+
 /**
  * Multimodal-column plumbing (north-star surface): binary payload columns
  * with typed metadata, decoded/feature-extracted in batched per-partition
@@ -124,6 +132,109 @@ object Multimodal {
       |  CAST(((i * n_frames) // k) * (n_bytes // n_frames) AS BIGINT) AS frame_off
       |FROM f
       |ORDER BY media_id, frame_idx""".stripMargin
+
+  /**
+   * Resize stage (n54): every visual record mapped to its target-box fit —
+   * longest side scaled to `box`, aspect preserved, integer floor
+   * arithmetic (`out_w = w·box / max(w, h)`), so both engines agree
+   * exactly. A real resampler replaces the body of the map; the plumbing
+   * it plugs into — typed Dataset in, batched per-partition pass, dims
+   * from the decode stage, no driver materialization — is the tested
+   * part, exactly like [[decodeAll]].
+   */
+  def resizeAll(media: Dataset[MediaRecord], box: Long = 256L,
+                batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    decodeAll(media, batchSize)
+      .filter(col("kind").isin("image", "video")).as[DecodedMedia]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // a real implementation opens one resampler context per batch
+          batch.map { d =>
+            val longest = math.max(d.width, d.height)
+            ResizedMedia(d.media_id, d.kind, d.width, d.height,
+              d.width * box / longest, d.height * box / longest)
+          }
+        }
+      }
+  }
+
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resizeAll(mediaFromDocuments(documents(spark, dir)))
+      .toDF().orderBy("media_id")
+
+  /** The decode-stub dims plus the integer box fit. */
+  val resizeOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), d AS (
+      |  SELECT media_id, kind, 320 + n % 320 AS width, 240 + n % 240 AS height
+      |  FROM m WHERE kind IN ('image', 'video')
+      |)
+      |SELECT media_id, kind,
+      |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+      |  CAST(width * 256 // greatest(width, height) AS BIGINT) AS out_w,
+      |  CAST(height * 256 // greatest(width, height) AS BIGINT) AS out_h
+      |FROM d
+      |ORDER BY media_id""".stripMargin
+
+  /**
+   * Feature-extraction stage (n55): a fixed-dim embedding per media
+   * record, batched per partition — the mapPartitions shape a real vision/
+   * audio encoder plugs into (one model session per batch, fixed-width
+   * array out). The stub "model" derives each of the 4 features from an
+   * 8-hex-char chunk of the payload's md5 via the exact power-of-two map
+   * to [-1, 1) (the n06/n07 construction), so the DuckDB oracle rebuilds
+   * the identical doubles from md5 digit arithmetic alone.
+   */
+  def featureExtract(media: Dataset[MediaRecord],
+                     batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      // one digest instance per partition: the "model session" the batch
+      // loop would reuse in a real encoder
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val hex = md.digest(r.payload).map(b => f"$b%02x").mkString
+          def f(c: Int): Double =
+            java.lang.Long.parseLong(hex.substring(c * 8, c * 8 + 8), 16)
+              .toDouble / 2147483648.0 - 1.0
+          MediaFeatures(r.media_id, r.kind, f(0), f(1), f(2), f(3))
+        }
+      }
+    }
+  }
+
+  def featureQuery(spark: SparkSession, dir: String): DataFrame =
+    featureExtract(mediaFromDocuments(documents(spark, dir)))
+      .toDF().orderBy("media_id")
+
+  /** md5(payload) = md5(text) (the payload IS the UTF-8 text bytes); each
+    * feature from one 8-hex chunk via digit arithmetic and shifts. */
+  val featureOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    md5(text) AS h
+      |  FROM documents
+      |)
+      |SELECT media_id, kind,
+      |  CAST(list_sum([(strpos('0123456789abcdef', substr(h, 0 * 8 + d + 1, 1)) - 1)
+      |    * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE) / 2147483648.0 - 1.0 AS f0,
+      |  CAST(list_sum([(strpos('0123456789abcdef', substr(h, 1 * 8 + d + 1, 1)) - 1)
+      |    * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE) / 2147483648.0 - 1.0 AS f1,
+      |  CAST(list_sum([(strpos('0123456789abcdef', substr(h, 2 * 8 + d + 1, 1)) - 1)
+      |    * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE) / 2147483648.0 - 1.0 AS f2,
+      |  CAST(list_sum([(strpos('0123456789abcdef', substr(h, 3 * 8 + d + 1, 1)) - 1)
+      |    * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE) / 2147483648.0 - 1.0 AS f3
+      |FROM m
+      |ORDER BY media_id""".stripMargin
 
   /** Per-kind metadata rollup over the decoded media — the oracle reproduces
     * the stub's arithmetic from octet lengths. */

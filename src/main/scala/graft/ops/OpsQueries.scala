@@ -69,6 +69,8 @@ object OpsQueries {
     "n52_streaming_embedding_clusters" ->
       ((s, d) => IncrementalEmbedDedup.streamingEmbeddingClustersQuery(s, d)),
     "n53_embedding_dedup_corpus" -> (Dedup.dedupedEmbeddingCorpusQuery _),
+    "n54_media_resize" -> (Multimodal.resizeQuery _),
+    "n55_media_features" -> (Multimodal.featureQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -133,5 +135,7 @@ object OpsQueries {
     // batch oracle applies verbatim (the n41/n48 pattern)
     "n52_streaming_embedding_clusters" -> Dedup.embeddingClustersOracle,
     "n53_embedding_dedup_corpus" -> Dedup.dedupedEmbeddingCorpusOracle,
+    "n54_media_resize" -> Multimodal.resizeOracle,
+    "n55_media_features" -> Multimodal.featureOracle,
   )
 }
