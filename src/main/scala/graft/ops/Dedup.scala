@@ -1099,10 +1099,14 @@ object Dedup {
       .filter(!col("is_canonical")).select("vec_id")
     val kept = corpus.join(losers, Seq("vec_id"), "left_anti")
       .groupBy("label").agg(count(lit(1)).as("n_kept"))
+    // LEFT join, matching the oracle's LEFT JOIN losers: a label whose
+    // members are ALL dropped must surface as (label, n_total, 0, n_total),
+    // not vanish (possible once cross-label cluster merges appear)
     corpus.groupBy("label").agg(count(lit(1)).as("n_total"))
-      .join(kept, "label")
-      .select(col("label"), col("n_total"), col("n_kept"),
-        (col("n_total") - col("n_kept")).as("n_dropped"))
+      .join(kept, Seq("label"), "left")
+      .select(col("label"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
       .orderBy("label")
   }
 

@@ -74,6 +74,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
   private val BandsDdl = "doc_id BIGINT, band INT, bh BIGINT"
   private val LabelsDdl = "doc_id BIGINT, lbl BIGINT"
   private val FpMinDdl = "fp STRING, fp_keep BIGINT"
+  private val ManifestDdl =
+    "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT"
 
   private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
   private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
@@ -86,7 +88,7 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     * snapshots version-rewrite themselves and need none. */
   private val PartTables = Seq(
     "docs" -> DocsDdl, "shingles" -> ShinglesDdl, "bands" -> BandsDdl,
-    "manifest" -> "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT")
+    "manifest" -> ManifestDdl)
 
   /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
     * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
@@ -159,13 +161,21 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     val ids = committedIds("docs", "b", Long.MaxValue, requireMarker = true)
     val prev = compactionWatermark(Long.MaxValue)
     if (ids.size + (if (prev.isDefined) 1 else 0) < 2) return None
-    val w = ids.maxOption.getOrElse(prev.get)
-    PartTables.foreach { case (name, ddl) =>
-      readParts(spark, name, w + 1, ddl, requireMarker = true)
-        .write.mode("overwrite").parquet(compactDir(name, w).toString)
+    // max over parts AND the active watermark: after a post-marker crash
+    // the only parts left can be stale ones BELOW the watermark, and a w
+    // computed from parts alone would regress it
+    val w = (ids ++ prev).max
+    // watermark w already active = a prior run crashed after its marker
+    // but before GC: consolidation is done (re-reading + overwriting the
+    // same compacted dir would throw) — skip to completing the GC
+    if (!prev.contains(w)) {
+      PartTables.foreach { case (name, ddl) =>
+        readParts(spark, name, w + 1, ddl, requireMarker = true)
+          .write.mode("overwrite").parquet(compactDir(name, w).toString)
+      }
+      Files.createDirectories(compactionMarker(w).getParent)
+      if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
     }
-    Files.createDirectories(compactionMarker(w).getParent)
-    if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
     PartTables.foreach { case (name, _) =>
       ids.filter(_ <= w).foreach(id => deleteTree(partDir(name, id)))
       prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
@@ -338,8 +348,7 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     * keeper dethroned by a smaller doc_id, or a bridging merge relabeling
     * a cluster) — `IncrementalDedupSpec` asserts both properties. */
   def arrivalLog(spark: SparkSession): DataFrame =
-    readParts(spark, "manifest",
-      Long.MaxValue, "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT",
+    readParts(spark, "manifest", Long.MaxValue, ManifestDdl,
       requireMarker = true)
 }
 

@@ -141,13 +141,22 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     val ids = committedIds("units", "b", Long.MaxValue, requireMarker = true)
     val prev = compactionWatermark(Long.MaxValue)
     if (ids.size + (if (prev.isDefined) 1 else 0) < 2) return None
-    val w = ids.maxOption.getOrElse(prev.get)
-    readParts(spark, "units", w + 1, UnitsDdl, requireMarker = true)
-      .write.mode("overwrite").parquet(compactDir("units", w).toString)
-    readParts(spark, "bands", w + 1, BandsDdl, requireMarker = true)
-      .write.mode("overwrite").parquet(compactDir("bands", w).toString)
-    Files.createDirectories(compactionMarker(w).getParent)
-    if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
+    // max over parts AND the active watermark: after a post-marker crash
+    // the only parts left on disk can be stale ones BELOW the watermark,
+    // and a w computed from parts alone would regress it
+    val w = (ids ++ prev).max
+    // a crash AFTER the marker but before GC leaves watermark w already
+    // active with its superseded parts still on disk: the consolidation is
+    // done (and reading+overwriting the same compacted dir would throw),
+    // so a re-run skips straight to completing the GC
+    if (!prev.contains(w)) {
+      readParts(spark, "units", w + 1, UnitsDdl, requireMarker = true)
+        .write.mode("overwrite").parquet(compactDir("units", w).toString)
+      readParts(spark, "bands", w + 1, BandsDdl, requireMarker = true)
+        .write.mode("overwrite").parquet(compactDir("bands", w).toString)
+      Files.createDirectories(compactionMarker(w).getParent)
+      if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
+    }
     // superseded trees: parts <= w and any older compaction
     for (name <- Seq("units", "bands")) {
       ids.filter(_ <= w).foreach(id => deleteTree(partDir(name, id)))
@@ -261,9 +270,9 @@ object IncrementalEmbedDedup {
     * itself: planted copies sit at vec_id + 10⁶ (≡ id mod small moduli), so
     * an id-modulo split would co-locate every near-dup pair with its
     * partner and the stream-static cross-batch join path would go untested. */
-  private[ops] def stageChunks(corpus: DataFrame, input: Path, chunks: Int,
-                               from: Int = 0): Unit =
-    (from until chunks).foreach { c =>
+  private[ops] def stageChunks(corpus: DataFrame, input: Path,
+                               chunks: Int): Unit =
+    (0 until chunks).foreach { c =>
       corpus.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === c)
         .coalesce(1).write.mode("append").parquet(input.toString)
     }

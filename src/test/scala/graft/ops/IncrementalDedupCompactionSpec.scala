@@ -77,4 +77,22 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
     assert(index.compact(spark).contains(3L))
     assert(manifest(index) == expected)
   }
+
+  test("a crash after the marker but before GC: re-run completes the GC") {
+    val base = Files.createTempDirectory("graft-n41-gcrash-")
+    val docs = Tables.documents(spark, T.sf0001)
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    (0 to 1).foreach(j => index.processBatch(docs.filter(modIs(j, 2)), j.toLong))
+    val before = manifest(index)
+
+    // post-marker crash state: watermark 1 active, a superseded part back
+    // on disk — the re-run must complete the GC at watermark 1, not
+    // read-and-overwrite its own compacted dirs or regress the watermark
+    assert(index.compact(spark).contains(1L))
+    spark.read.parquet(base.resolve("state/docs/c1").toString).limit(0)
+      .write.mode("overwrite").parquet(base.resolve("state/docs/b0").toString)
+    assert(index.compact(spark).contains(1L))
+    assert(!Files.exists(base.resolve("state/docs/b0")), "stale part survived GC")
+    assert(manifest(index) == before)
+  }
 }

@@ -93,4 +93,33 @@ class IncrementalEmbedCompactionSpec extends AnyFunSuite {
     assert(clusters(index) == expected)
     full.unpersist()
   }
+
+  test("a crash after the marker but before GC: re-run completes the GC") {
+    val base = Files.createTempDirectory("graft-n52-gcrash-")
+    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
+    val index = new IncrementalEmbedIndex(base.resolve("state"),
+      geometry = IncrementalEmbedDedup.geometryFor(full.count()))
+    (0 to 1).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
+    val before = clusters(index)
+
+    // real compaction, then resurrect a superseded part dir to simulate
+    // the crash window between the marker flip and the delete loop: the
+    // exact post-marker state is watermark 1 active + a part <= 1 on disk
+    assert(index.compact(spark).contains(1L))
+    spark.read.parquet(base.resolve("state/units/c1").toString).limit(0)
+      .write.mode("overwrite").parquet(base.resolve("state/units/b0").toString)
+
+    // the re-run must neither read-and-overwrite its own compacted dir nor
+    // regress the watermark below 1 — it completes the GC at watermark 1
+    assert(index.compact(spark).contains(1L))
+    assert(!Files.exists(base.resolve("state/units/b0")), "stale part survived GC")
+    assert(clusters(index) == before)
+
+    (2 to 3).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
+    val expected = Dedup.embeddingClustersQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(clusters(index) == expected)
+    assert(before.subsetOf(expected))
+    full.unpersist()
+  }
 }
