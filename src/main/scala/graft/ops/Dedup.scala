@@ -776,7 +776,9 @@ object Dedup {
     * probability within a few e-folds of the base geometry's
     * (1 − p¹²)⁴⁸ ≈ 2e-20 (ceil-rounding worst case 1.1e-15 at the 32-bit
     * cap — `BandGeometrySpec` pins the envelope) for every corpus size
-    * (12 bits/48 bands at n ≤ 4k, 18/62 at the ×10 probe's 40k, capped at
+    * (12 bits/48 bands at n ≤ 1k — the floor is max(12, ⌈log₂ n⌉ + 2), so
+    * 12 bits holds exactly while ⌈log₂ n⌉ ≤ 10 — 18/62 at the ×10 probe's
+    * 40k, capped at
     * 32/109 where even 10⁹-row corpora stay ≈ linear).
     *
     * The plane pool is band-major with stride [[LshMaxBits]]: band b always
@@ -834,7 +836,7 @@ object Dedup {
     * measured copy-to-original cosine is ≥ 0.992 and the max cross-pair
     * background cosine ≤ 0.62 (sf0.1) — the separation real near-dup
     * corpora have and the uniform-random embeddings table lacks. */
-  private val PlantOffset = 1000000L
+  private[ops] val PlantOffset = 1000000L
   private[ops] def plantedCopies(emb: DataFrame): DataFrame =
     // two selects: with the shift and the re-key in ONE projection, lateral
     // column alias resolution binds the col("vec_id") inside the lambda to

@@ -30,6 +30,10 @@ final case class ResizedMedia(media_id: Long, kind: String, width: Long,
 final case class MediaFeatures(media_id: Long, kind: String, f0: Double,
                                f1: Double, f2: Double, f3: Double)
 
+/** Wide feature-head output (the dedup chain's embedding): 64 dims. */
+final case class MediaFeatureVec(media_id: Long, kind: String,
+                                 fv: Array[Double])
+
 /**
  * Multimodal-column plumbing (north-star surface): binary payload columns
  * with typed metadata, decoded/feature-extracted in batched per-partition
@@ -235,6 +239,210 @@ object Multimodal {
       |    * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE) / 2147483648.0 - 1.0 AS f3
       |FROM m
       |ORDER BY media_id""".stripMargin
+
+  // ------------------------------ media end-to-end dedup (n56)
+
+  /**
+   * Wide feature head for the dedup chain: a 64-dim embedding per media
+   * record from 16 salted digests (4 chunks each), the same batched
+   * mapPartitions shape as [[featureExtract]] — one "model session"
+   * (digest instance) per partition, reused across batches. 64 dims
+   * matches the banded near-dup engine's plane geometry
+   * ([[Dedup.bandedCosinePairs]]), and at that width the random-pair
+   * cosine bulk concentrates at std 1/√64 ≈ 0.125, so a 0.9 threshold is
+   * cleanly separating — the property the 4-dim demo head ([[featureExtract]])
+   * cannot offer (at dim 4 the bulk reaches past any usable threshold and
+   * the qualifying pair set is inherently quadratic).
+   *
+   * The stub "model" is md5 digit arithmetic (exact powers of two into
+   * [-1, 1)), so DuckDB rebuilds bit-identical doubles; a real vision /
+   * audio encoder replaces the digest call and nothing else.
+   */
+  def featureExtractWide(media: Dataset[MediaRecord], salts: Int = 16,
+                         batchSize: Int = 64): Dataset[MediaFeatureVec] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { r =>
+          val fv = new Array[Double](salts * 4)
+          var s = 0
+          while (s < salts) {
+            md.reset()
+            md.update(r.payload)
+            md.update(s"|$s".getBytes("UTF-8"))
+            val hex = md.digest().map(b => f"$b%02x").mkString
+            var c = 0
+            while (c < 4) {
+              fv(s * 4 + c) =
+                java.lang.Long.parseLong(hex.substring(c * 8, c * 8 + 8), 16)
+                  .toDouble / 2147483648.0 - 1.0
+              c += 1
+            }
+            s += 1
+          }
+          MediaFeatureVec(r.media_id, r.kind, fv)
+        }
+      }
+    }
+  }
+
+  /** Deterministically planted re-encode variants: a copy of every feature
+    * vector at media_id + [[Dedup.PlantOffset]], each coordinate i
+    * (1-based) shifted by (1/128)·((media_id·31 + i) mod 7 − 3) — the
+    * [[Dedup.plantedCopies]] construction on the media modality. Stands in
+    * for what a real encoder produces on re-encoded/transcoded copies of
+    * the same asset: near-identical embeddings (measured copy-to-original
+    * cosine ≈ 0.9996 at this feature scale). Exact binary-fraction
+    * arithmetic, so the oracle rebuilds identical doubles.
+    * Two selects — the shift and the re-key in one projection would let
+    * lateral alias resolution rebind media_id (the plantedCopies pitfall). */
+  private[ops] def plantedMediaCopies(feats: DataFrame): DataFrame =
+    feats.select(col("media_id"),
+        transform(col("fv"), (x, i) =>
+          x + lit(0.0078125) *
+            (pmod(col("media_id") * 31 + i + 1, lit(7)) - 3)).as("v"))
+      .select((col("media_id") + lit(Dedup.PlantOffset)).as("vec_id"), col("v"))
+
+  /**
+   * Near-dup pairs over media feature vectors: the corpus (features ∪
+   * planted re-encode variants) through the shared banded candidate engine
+   * — size-adaptive sign-projection banding, band-bucket self-join, exact
+   * codegen DotProduct verify ([[Dedup.bandedCosinePairs]]). One candidate
+   * engine serves text minhash, embeddings, and now media features; the
+   * scale story (candidates linear in rows × bands, constant-width shuffle
+   * keys, no driver materialization) is inherited, not re-implemented.
+   */
+  def mediaNearDupPairs(feats: DataFrame, threshold: Double = 0.9,
+                        maxBandBucket: Int = Int.MaxValue): DataFrame = {
+    val base = feats.select(col("media_id").as("vec_id"), col("fv").as("v"))
+    Dedup.bandedCosinePairs(base.unionByName(plantedMediaCopies(feats)),
+      threshold, maxBandBucket)
+  }
+
+  /**
+   * The media modality's end-to-end dedup (n56) — the one chain text (n38)
+   * and embeddings (n53) already had: decode-stage payloads →
+   * [[featureExtractWide]] 64-dim embeddings → banded near-dup pairs
+   * ([[mediaNearDupPairs]]) → connected components
+   * ([[Dedup.minLabelComponents]]) → a row-level dedup manifest keyed by
+   * media_id, the n38 verdict shape: `exact_dup` (same payload md5, pointer
+   * at the group's min media_id) takes precedence, remaining non-canonical
+   * cluster members are `near_dup` pointing at their cluster canonical,
+   * everything else is `keep`. Planted re-encode variants carry a unique
+   * synthetic fingerprint (`reenc:<id>`), so they can only dedup through
+   * the feature engine — which is the point: byte-level fingerprints
+   * cannot see transcoded copies, embeddings can.
+   *
+   * Scale shape: one shuffle on the 32-hex fingerprint, the banded pair
+   * stage's linear candidate work, O(log diameter) label rounds, and
+   * primary-key hash joins back — no new wide exchange beyond the two
+   * engines it composes.
+   */
+  def mediaDedupManifestQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(documents(spark, dir))
+    val feats = featureExtractWide(media).toDF()
+    val clusters = Dedup.minLabelComponents(
+      mediaNearDupPairs(feats).select("vec_a", "vec_b"),
+      "vec_a", "vec_b", "media_id")
+    val baseFp = media.toDF()
+      .select(col("media_id"), col("kind"), md5(col("payload")).as("fp"))
+    val plantedFp = baseFp
+      .select((col("media_id") + lit(Dedup.PlantOffset)).as("media_id"),
+        col("kind"))
+      .withColumn("fp", concat(lit("reenc:"), col("media_id")))
+    val corpus = baseFp.unionByName(plantedFp.select("media_id", "kind", "fp"))
+    val keepers = corpus.groupBy("fp").agg(min(col("media_id")).as("fp_keep"))
+    corpus.join(keepers, "fp")
+      .join(clusters, Seq("media_id"), "left")
+      .select(col("media_id"), col("kind"),
+        when(col("media_id") =!= col("fp_keep"), lit("exact_dup"))
+          .when(col("cluster_id").isNotNull && !col("is_canonical"),
+            lit("near_dup"))
+          .otherwise(lit("keep")).as("verdict"),
+        when(col("media_id") =!= col("fp_keep"), col("fp_keep"))
+          .when(col("cluster_id").isNotNull && !col("is_canonical"),
+            col("cluster_id"))
+          .otherwise(col("media_id")).as("keep_media"))
+      .orderBy("media_id")
+  }
+
+  /** Exact all-pairs oracle over the same construction: 16 salted md5s →
+    * 64 features via digit arithmetic (s-major, i = s·4 + c + 1), planted
+    * re-encode shift, cosine ≥ 0.9 pairs, recursive closure, fingerprint
+    * groups, the n38 precedence CASE. Cosines never surface in the output;
+    * the 0.9 threshold sits ≥ 0.09 from every actual value (planted
+    * ≈ 0.9996, exact dups 1.0, bulk ≤ ~0.6), so cross-engine summation
+    * order cannot flip a verdict. */
+  val mediaDedupManifestOracle: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    text
+      |  FROM documents
+      |), hs AS (
+      |  SELECT media_id, s, md5(text || '|' || CAST(s AS VARCHAR)) AS h
+      |  FROM m, (SELECT unnest(range(16)) AS s)
+      |), base AS (
+      |  -- column order (vec_id, v, i) must match pl's: the UNION ALL in ex
+      |  -- is positional
+      |  SELECT media_id AS vec_id,
+      |    CAST(list_sum([(strpos('0123456789abcdef', substr(h, c * 8 + d + 1, 1)) - 1)
+      |      * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
+      |      / 2147483648.0 - 1.0 AS v,
+      |    s * 4 + c + 1 AS i
+      |  FROM hs, (SELECT unnest(range(4)) AS c)
+      |), pl AS (
+      |  SELECT vec_id + 1000000 AS vec_id, pv AS v, i FROM
+      |    (SELECT vec_id, v + CAST(0.0078125 AS DOUBLE) * ((vec_id*31 + i) % 7 - 3) AS pv, i FROM base)
+      |), ex AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM pl
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT vec_a, vec_b FROM p WHERE cosine >= 0.9
+      |), edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS vec_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS vec_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.vec_id
+      |), lab AS (
+      |  SELECT vec_id, MIN(r) AS cluster_id FROM reach GROUP BY vec_id
+      |), f AS (
+      |  SELECT media_id, kind, md5(text) AS fp FROM m
+      |), pf AS (
+      |  SELECT media_id + 1000000 AS media_id, kind,
+      |    'reenc:' || CAST(media_id + 1000000 AS VARCHAR) AS fp
+      |  FROM f
+      |), corp AS (
+      |  SELECT * FROM f UNION ALL SELECT * FROM pf
+      |), k AS (
+      |  SELECT fp, MIN(media_id) AS fp_keep FROM corp GROUP BY fp
+      |)
+      |SELECT c.media_id, c.kind,
+      |  CASE WHEN c.media_id <> k.fp_keep THEN 'exact_dup'
+      |       WHEN l.cluster_id IS NOT NULL AND c.media_id <> l.cluster_id
+      |         THEN 'near_dup'
+      |       ELSE 'keep' END AS verdict,
+      |  CASE WHEN c.media_id <> k.fp_keep THEN k.fp_keep
+      |       WHEN l.cluster_id IS NOT NULL AND c.media_id <> l.cluster_id
+      |         THEN l.cluster_id
+      |       ELSE c.media_id END AS keep_media
+      |FROM corp c
+      |JOIN k USING (fp)
+      |LEFT JOIN lab l ON l.vec_id = c.media_id
+      |ORDER BY c.media_id""".stripMargin
 
   /** Per-kind metadata rollup over the decoded media — the oracle reproduces
     * the stub's arithmetic from octet lengths. */

@@ -71,6 +71,7 @@ object OpsQueries {
     "n53_embedding_dedup_corpus" -> (Dedup.dedupedEmbeddingCorpusQuery _),
     "n54_media_resize" -> (Multimodal.resizeQuery _),
     "n55_media_features" -> (Multimodal.featureQuery _),
+    "n56_media_dedup" -> (Multimodal.mediaDedupManifestQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -137,5 +138,6 @@ object OpsQueries {
     "n53_embedding_dedup_corpus" -> Dedup.dedupedEmbeddingCorpusOracle,
     "n54_media_resize" -> Multimodal.resizeOracle,
     "n55_media_features" -> Multimodal.featureOracle,
+    "n56_media_dedup" -> Multimodal.mediaDedupManifestOracle,
   )
 }
