@@ -35,10 +35,14 @@ object Bench {
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+    // threshold from the machine's PHYSICAL core count, not the configured
+    // SPARK_GRAFT_CPUS parallelism (round-9 advice: on a smaller host a
+    // 32-thread config would set the bar at 8 and mask real contention)
+    val hostCores = Runtime.getRuntime.availableProcessors()
     val loadStart = loadAvg()
-    if (loadStart > cpus.toInt / 4.0)
+    if (loadStart > hostCores / 4.0)
       System.err.println(f"[bench] WARNING: loadavg $loadStart%.1f at start " +
-        s"(threshold ${cpus.toInt / 4}) - another workload is active; " +
+        s"(threshold ${hostCores / 4}) - another workload is active; " +
         "timings will be inflated. Re-run on a quiet machine.")
 
     def exec(name: String): Double = {
@@ -67,10 +71,31 @@ object Bench {
 
     // min of two runs per query: single-run local timings carry multi-second
     // GC/compaction noise that would swamp real plan differences
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val a = exec(n)
       val b = exec(n)
-      n -> (if (a < 0 || b < 0) math.max(a, b) else math.min(a, b))
+      n -> (a, b)
+    }
+    // outlier re-run pass (round-9 verdict #5: BENCH_r09 recorded phantom
+    // 5.8x outliers because SUSTAINED early-session contention — a prior
+    // builder JVM shutting down — inflated BOTH back-to-back samples, so
+    // min-of-2 alone could not save the artifact). After the full registry
+    // completes — minutes later, when a transient squeeze has passed — any
+    // non-trivial BATCH query gets one more sample, and any query (replay
+    // included) whose two samples disagreed by over 2x gets one; the
+    // recorded value is the overall min. Replay queries are otherwise
+    // exempt: their cost is a stable per-micro-batch floor and a blanket
+    // third run would add their ~20 s floors to every bench.
+    val replaySet0 = SparkEntry.replayQueries
+    val results = firstPass.map { case (n, (a, b)) =>
+      val v = if (a < 0 || b < 0) math.max(a, b) else math.min(a, b)
+      val unstable = a > 0 && b > 0 && math.max(a, b) > 2 * math.min(a, b)
+      val rerun = v > 0 &&
+        ((!replaySet0(n) && v > 1.0) || (unstable && v > 0.5))
+      n -> (if (rerun) {
+        val c = exec(n)
+        if (c < 0) v else math.min(v, c)
+      } else v)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

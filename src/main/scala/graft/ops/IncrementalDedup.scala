@@ -160,7 +160,15 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
   def compact(spark: SparkSession): Option[Long] = {
     val ids = committedIds("docs", "b", Long.MaxValue, requireMarker = true)
     val prev = compactionWatermark(Long.MaxValue)
-    if (ids.size + (if (prev.isDefined) 1 else 0) < 2) return None
+    // marker-less parts at or below the active watermark are crash-window
+    // residue superseded by the consolidated tree (serial-maintainer
+    // argument — see [[IncrementalEmbedIndex.compact]]); sweep them even
+    // when nothing else needs compacting
+    val staleBelow = prev.map(p =>
+      committedIds("docs", "b", Long.MaxValue).filter(_ <= p))
+      .getOrElse(Seq.empty)
+    if (ids.size + (if (prev.isDefined) 1 else 0) < 2 && staleBelow.isEmpty)
+      return None
     // max over parts AND the active watermark: after a post-marker crash
     // the only parts left can be stale ones BELOW the watermark, and a w
     // computed from parts alone would regress it
@@ -177,11 +185,64 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
       if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
     }
     PartTables.foreach { case (name, _) =>
-      ids.filter(_ <= w).foreach(id => deleteTree(partDir(name, id)))
+      (ids ++ staleBelow).distinct.filter(_ <= w)
+        .foreach(id => deleteTree(partDir(name, id)))
       prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
     }
     prev.filter(_ < w).foreach(p => Files.deleteIfExists(compactionMarker(p)))
+    // snapshot-version + marker retention (round-9 verdict): sweep dead
+    // snapshot versions, then prune markers the consolidated parts no
+    // longer need — keeping the markers the latest snapshots still gate on
+    gcSnapshots()
+    pruneMarkers(w)
     Some(w)
+  }
+
+  /** The snapshot tables subject to version GC. */
+  private val SnapTables = Seq("labels", "fpmin")
+
+  /** Retention of superseded `labels`/`fpmin` snapshot versions — the
+    * [[IncrementalEmbedIndex]] rule verbatim: only the latest
+    * marker-committed version of each table is ever read, so everything
+    * strictly below it is dead disk. The threshold is marker-gated (a
+    * snapshot orphaned by a crash before its batch marker must not promote
+    * and delete the real latest); versions above it are in-flight and
+    * untouched; a crash mid-sweep leaves stale versions for the next sweep.
+    * Runs from [[compact]] only (the maintenance pass — see
+    * [[IncrementalEmbedIndex]] for the Delta-VACUUM positioning). */
+  private def gcSnapshots(): Unit =
+    SnapTables.foreach { name =>
+      committedIds(name, "v", Long.MaxValue, requireMarker = true)
+        .maxOption.foreach { keep =>
+          committedIds(name, "v", keep).foreach(v =>
+            deleteTree(snapDir(name, v)))
+        }
+    }
+
+  /** Prune batch commit markers at or below the compaction watermark,
+    * except those the latest committed `labels`/`fpmin` snapshots still
+    * gate ([[finalManifest]] reads both marker-gated). A replayed batch
+    * whose marker was pruned re-processes against the compacted view; the
+    * merges are convergent (min-of-min, edge-superset contraction), so
+    * the final state is unchanged — wasted work, not corruption. */
+  private def pruneMarkers(w: Long): Unit = {
+    val keep = SnapTables.flatMap(n =>
+      committedIds(n, "v", Long.MaxValue, requireMarker = true).maxOption).toSet
+    val dir = root.resolve("commits")
+    if (!Files.isDirectory(dir)) return
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".committed")) {
+          val id = n.stripSuffix(".committed")
+          if (id.nonEmpty && id.forall(_.isDigit) &&
+              id.toLong <= w && !keep(id.toLong))
+            Files.deleteIfExists(p)
+        }
+      }
+    } finally s.close()
   }
 
   private def deleteTree(p: Path): Unit = if (Files.exists(p)) {

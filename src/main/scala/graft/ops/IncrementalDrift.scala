@@ -123,7 +123,30 @@ final class IncrementalDriftMonitor(root: Path) {
 
       Files.createDirectories(marker(batchId).getParent)
       if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
+      // with this batch committed, every older counts snapshot version is
+      // unreachable (readers take the max committed) — reclaim now. The
+      // round-9 verdict's retention gap: counts/v<k> was append-forever.
+      gcSnapshots()
     } finally bc.unpersist()
+  }
+
+  /** Retention of superseded counts-snapshot versions — the
+    * [[IncrementalEmbedIndex]] rule: threshold is the latest
+    * MARKER-committed version (an orphan from a crash before its marker
+    * must not promote), versions above it are in-flight, a crash mid-sweep
+    * leaves stale versions for the next batch's sweep. */
+  private def gcSnapshots(): Unit =
+    committedIds("counts", "v", Long.MaxValue, requireMarker = true)
+      .maxOption.foreach { keep =>
+        committedIds("counts", "v", keep).foreach(v => deleteTree(snapDir(v)))
+      }
+
+  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
   }
 
   /** The n46 drift table implied by the final count state — hash-matches

@@ -140,7 +140,17 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
   def compact(spark: SparkSession): Option[Long] = {
     val ids = committedIds("units", "b", Long.MaxValue, requireMarker = true)
     val prev = compactionWatermark(Long.MaxValue)
-    if (ids.size + (if (prev.isDefined) 1 else 0) < 2) return None
+    // GC-completion garbage: parts at or below the ACTIVE watermark whose
+    // marker is gone (pruned by a prior compaction) are superseded by the
+    // consolidated tree regardless — under the serial-maintainer
+    // discipline a marker-less part below w can only be crash-window
+    // residue, never an in-flight batch (batches commit in ascending
+    // order, so an interrupted batch has no committed successors)
+    val staleBelow = prev.map(p =>
+      committedIds("units", "b", Long.MaxValue).filter(_ <= p))
+      .getOrElse(Seq.empty)
+    if (ids.size + (if (prev.isDefined) 1 else 0) < 2 && staleBelow.isEmpty)
+      return None
     // max over parts AND the active watermark: after a post-marker crash
     // the only parts left on disk can be stale ones BELOW the watermark,
     // and a w computed from parts alone would regress it
@@ -157,13 +167,70 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       Files.createDirectories(compactionMarker(w).getParent)
       if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
     }
-    // superseded trees: parts <= w and any older compaction
+    // superseded trees: parts <= w (marker-committed or stale) and any
+    // older compaction
     for (name <- Seq("units", "bands")) {
-      ids.filter(_ <= w).foreach(id => deleteTree(partDir(name, id)))
+      (ids ++ staleBelow).distinct.filter(_ <= w)
+        .foreach(id => deleteTree(partDir(name, id)))
       prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
     }
     prev.filter(_ < w).foreach(p => Files.deleteIfExists(compactionMarker(p)))
+    // snapshot-version + marker retention (round-9 verdict: snapshots were
+    // append-forever). gcSnapshots BEFORE pruneMarkers — the sweep reads
+    // marker-committed versions, and pruning keeps only the max's marker.
+    gcSnapshots()
+    pruneMarkers(w)
     Some(w)
+  }
+
+  /** Retention of superseded label-snapshot versions: only the LATEST
+    * marker-committed version is ever read (readers take the max), so
+    * every version strictly below it — committed or abandoned — is dead
+    * disk on a long-lived index. Deletes under the two-phase rule: the
+    * threshold is the latest version whose BATCH MARKER exists (never a
+    * bare `_SUCCESS` — a crash between the snapshot write and its marker
+    * must not promote the orphan and delete the real latest), versions
+    * above the threshold are in-flight and untouched, and a crash
+    * mid-sweep just leaves stale versions for the next sweep (readers
+    * still resolve the max; deletion is idempotent). Runs from
+    * [[compact]] — the maintenance pass, the Delta VACUUM position in the
+    * lifecycle: superseded versions survive until maintenance (a recovery
+    * window, and the crash-window state machine stays exactly the one the
+    * replay/marker specs pin), and disk growth is bounded by the
+    * compaction cadence instead of the stream's lifetime. */
+  private def gcSnapshots(): Unit =
+    committedIds("labels", "v", Long.MaxValue, requireMarker = true)
+      .maxOption.foreach { keep =>
+        committedIds("labels", "v", keep).foreach(v =>
+          deleteTree(snapDir("labels", v)))
+      }
+
+  /** Prune batch commit markers at or below the compaction watermark —
+    * their parts are consolidated, so the markers gate nothing — EXCEPT
+    * the marker of the latest committed label snapshot, which
+    * [[finalClusters]]' marker-gated read still depends on. A replayed
+    * batch whose marker was pruned (checkpoint reset across a compaction)
+    * re-processes against the compacted view; the merge operators are
+    * convergent (edge-superset contraction, min-of-min), so the final
+    * state is unchanged — the cost is wasted work, not corruption. */
+  private def pruneMarkers(w: Long): Unit = {
+    val keep = committedIds("labels", "v", Long.MaxValue, requireMarker = true)
+      .maxOption.toSet
+    val dir = root.resolve("commits")
+    if (!Files.isDirectory(dir)) return
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".committed")) {
+          val id = n.stripSuffix(".committed")
+          if (id.nonEmpty && id.forall(_.isDigit) &&
+              id.toLong <= w && !keep(id.toLong))
+            Files.deleteIfExists(p)
+        }
+      }
+    } finally s.close()
   }
 
   private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
@@ -307,7 +374,7 @@ object IncrementalEmbedDedup {
 
   /** The pinned geometry for a corpus of `n` vectors: what the batch path
     * would choose adaptively ([[Dedup.lshBitsFor]]), frozen up front. */
-  private[ops] def geometryFor(n: Long): (Int, Int) = {
+  private[graft] def geometryFor(n: Long): (Int, Int) = {
     val b = Dedup.lshBitsFor(n)
     (b, Dedup.lshBandsFor(b))
   }

@@ -119,7 +119,20 @@ object Similarity {
     * [[graft.functions.SignBandHashes]] fold; dot-product summation agrees
     * bitwise across engines on this data, the d19-proven property), take
     * band-collision candidates against vec 0, and rank them with the d19
-    * cosine formulation. */
+    * cosine formulation.
+    *
+    * ASSUMPTION (round-9 advice): the hash match requires bitwise-equal
+    * floating-point dot products between Spark's sequential fold and
+    * DuckDB's SUM over a hash join. DuckDB does not CONTRACT summation
+    * order; today its per-group SUM accumulates in join-probe order which
+    * matches on this data (verified every round by the driver gate), but a
+    * DuckDB version bump or parallel aggregation could flip a near-zero
+    * plane sign here (or a near-tied argmax in [[ivfOracle]]) and break
+    * the match spuriously — the engine result would still be correct. If
+    * that happens, re-derive the plane components as scaled INTEGERS
+    * (multiply the [-1,1) map by 2³¹ and keep integer dots until the final
+    * cosine), making cross-engine sums order-independent; the md5
+    * construction already supports it exactly. */
   val annLshOracle: String =
     s"""WITH pl AS (
        |  SELECT p, i,
@@ -316,6 +329,14 @@ object Similarity {
    * query. Compare work is n·(nProbe/nlist)·|index| — the IVF recall/cost
    * dial; KMeans balances cells, and residual cell skew at scale is AQE
    * skew-join territory (the d35 treatment).
+   *
+   * CACHING CONTRACT: the unit-vector frame is `persist()`ed (it feeds the
+   * KMeans fit, the index side, and the query side) and NOT unpersisted
+   * here — the returned plan still references it lazily, so an in-function
+   * unpersist would recompute the projection three times downstream. The
+   * caller owns the release: run `spark.catalog.clearCache()` (or
+   * unpersist the cached ancestor) after the result's terminal action, as
+   * Bench/Verify/PlanAudit do per query.
    */
   def knnJoin(emb: DataFrame, k: Int = 3, nlist: Int = 8,
               nProbe: Int = 4): DataFrame = {

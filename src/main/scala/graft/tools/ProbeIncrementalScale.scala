@@ -1,0 +1,120 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IncrementalDedupIndex, IncrementalEmbedDedup, IncrementalEmbedIndex}
+
+/**
+ * Dev tool: per-batch cost curve for the INCREMENTAL indexes (round-9
+ * verdict #3). The 100 TB claim for n41/n52 is that per-batch work touches
+ * only the batch and its band-collision partners — argued in scaladoc and
+ * convergence-tested, but never measured the way n37's banding fix was.
+ * This probe measures it directly: grow the index to ×1 / ×k rows (the
+ * ScaleCurve amplification constructions, so duplicate structure scales
+ * instead of degenerating), then time ONE additional constant-size batch.
+ * The claim holds iff the extra-batch seconds stay ≈ flat as the index
+ * grows.
+ *
+ * What flat does and does not mean here: the batch's banding/shingling,
+ * the collision-partner verify, and the label contraction are all bounded
+ * by the batch — independent of index size. The stream-static candidate
+ * join, however, SCANS the full band index each batch (locally a columnar
+ * scan streamed against the batch's broadcast side, no index shuffle), so
+ * a mild growth term ∝ index bytes is expected and is the part a
+ * production deployment removes by partitioning the band index on (band,
+ * bh) so the probe reads only collision buckets — the same listing-time
+ * pruning d73 demonstrates. The probe prints both the build total and the
+ * extra-batch time so the two regimes are separately visible.
+ *
+ * Usage: runMain graft.tools.ProbeIncrementalScale [sfDir] [k ...]
+ * (default sf0.1, k ∈ {1, 10}); prints one PERBATCH line per (index, k).
+ */
+object ProbeIncrementalScale {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
+    val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.queries.Tables.scratchDir("incscale")
+
+    for (k <- reps) {
+      // ---- text index (n41 shape) -------------------------------------
+      val docs = ScaleCurve.amplifyDocuments(
+        spark.read.parquet(s"$sfDir/documents.parquet"), k).persist()
+      val n = docs.count()
+      val tIdx = new IncrementalDedupIndex(base.resolve(s"text-x$k"))
+      val tBuild = time {
+        (0 to 3).foreach(j =>
+          tIdx.processBatch(docs.filter(pmod(col("doc_id"), lit(4)) === j), j))
+      }
+      // constant-size fresh batch: word-suffix disjoint from every index
+      // replica (suffixes _1.._9), id range above the replica space
+      val extra = freshDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+        .persist()
+      val nx = extra.count()
+      val tExtraA = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 0), 4L) }
+      val tExtraB = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 1), 5L) }
+      println(f"PERBATCH n41 x$k index_rows=$n build=$tBuild%.2f s " +
+        f"extra_batch_rows=${nx / 2} extra_a=$tExtraA%.2f s extra_b=$tExtraB%.2f s")
+      docs.unpersist(); extra.unpersist(); spark.catalog.clearCache()
+
+      // ---- embedding index (n52 shape) --------------------------------
+      val emb = ScaleCurve.amplifyEmbeddings(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), k)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .persist()
+      val ne = emb.count()
+      // geometry pinned for the FINAL corpus (index + extra), as a real
+      // deployment would size it
+      val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
+      val eIdx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
+        geometry = geom)
+      val eBuild = time {
+        (0 to 3).foreach(j =>
+          eIdx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
+      }
+      val extraE = freshEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"))
+        .persist()
+      val nex = extraE.count()
+      val eExtraA = time { eIdx.processBatch(extraE.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0), 4L) }
+      val eExtraB = time { eIdx.processBatch(extraE.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1), 5L) }
+      println(f"PERBATCH n52 x$k index_rows=$ne bits=${geom._1} bands=${geom._2} " +
+        f"build=$eBuild%.2f s extra_batch_rows=${nex / 2} " +
+        f"extra_a=$eExtraA%.2f s extra_b=$eExtraB%.2f s")
+      emb.unpersist(); extraE.unpersist(); spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** A fresh constant-size arrival slice: replica "x" — word suffix
+    * disjoint from the ×k replicas' `_j` suffixes, ids above their range. */
+  private def freshDocs(docs: DataFrame): DataFrame =
+    docs.select((col("doc_id") + lit(990000000L)).as("doc_id"),
+      concat_ws(" ", transform(split(col("text"), "\\s+"),
+        w => concat(w, lit("_x")))).as("text"),
+      col("lang"), col("source"), col("n_chars"))
+
+  /** A fresh constant-size vector slice under its own sign-flip isometry
+    * (cosines against every index replica fall in the random bulk). */
+  private def freshEmbeddings(emb: DataFrame): DataFrame =
+    emb.select((col("vec_id") + lit(990000000L)).as("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        when(pmod(xxhash64(lit(99), i), lit(2)) === 0, x.cast("double"))
+          .otherwise(-x.cast("double"))).as("embedding"))
+}

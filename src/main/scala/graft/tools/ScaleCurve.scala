@@ -77,7 +77,7 @@ object ScaleCurve {
 
   /** ×k disjoint word-suffixed replicas of the documents table (pair graph
     * = k disjoint copies; see object scaladoc). */
-  private[tools] def amplifyDocuments(docs: DataFrame, k: Int): DataFrame =
+  private[graft] def amplifyDocuments(docs: DataFrame, k: Int): DataFrame =
     (0 until k).map { j =>
       if (j == 0) docs
       else docs.select((col("doc_id") + lit(j * 10000000L)).as("doc_id"),
@@ -88,7 +88,7 @@ object ScaleCurve {
 
   /** ×k sign-flip-isometry replicas of the embeddings table (within-replica
     * cosines exact, cross-replica cosines back in the random bulk). */
-  private[tools] def amplifyEmbeddings(emb: DataFrame, k: Int): DataFrame =
+  private[graft] def amplifyEmbeddings(emb: DataFrame, k: Int): DataFrame =
     (0 until k).map { j =>
       if (j == 0) emb
       else emb.select((col("vec_id") + lit(j * 10000000L)).as("vec_id"),

@@ -26,7 +26,7 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
 
   test("compact preserves manifest and log; later batches still converge") {
-    val base = Files.createTempDirectory("graft-n41-compact-")
+    val base = graft.SparkTestSession.tmpDir("n41-compact")
     val docs = Tables.documents(spark, T.sf0001)
     val index = new IncrementalDedupIndex(base.resolve("state"))
 
@@ -54,7 +54,7 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
   }
 
   test("a half-written consolidation is invisible; later batches still bridge") {
-    val base = Files.createTempDirectory("graft-n41-compactcrash-")
+    val base = graft.SparkTestSession.tmpDir("n41-compactcrash")
     val docs = Tables.documents(spark, T.sf0001)
     val index = new IncrementalDedupIndex(base.resolve("state"))
     (0 to 1).foreach(j => index.processBatch(docs.filter(modIs(j, 4)), j.toLong))
@@ -78,8 +78,81 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
     assert(manifest(index) == expected)
   }
 
+  private def children(dir: java.nio.file.Path, prefix: String): Set[String] = {
+    import scala.jdk.CollectionConverters._
+    if (!Files.isDirectory(dir)) Set.empty
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSet
+      finally s.close()
+    }
+  }
+
+  test("compact GCs superseded labels/fpmin versions and prunes dead markers") {
+    val base = graft.SparkTestSession.tmpDir("n41-gc")
+    val docs = Tables.documents(spark, T.sf0001)
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    (0 to 3).foreach(j => index.processBatch(docs.filter(modIs(j, 4)), j.toLong))
+
+    // round-9 verdict #2: fpmin rewrites every batch (new fingerprints),
+    // so versions accumulate until maintenance runs
+    assert(children(base.resolve("state/fpmin"), "v").size > 1,
+      "fixture no longer exercises accumulation")
+    val expected = Dedup.dedupManifestQuery(spark, T.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(manifest(index) == expected)
+
+    // compact = the maintenance pass: at most the latest committed version
+    // of each snapshot table survives (labels is change-gated and may have
+    // none on a near-dup-free slice), and every marker the consolidated
+    // parts no longer need is pruned — keeping those the marker-gated
+    // labels/fpmin reads depend on
+    assert(index.compact(spark).contains(3L))
+    val labelVs = children(base.resolve("state/labels"), "v")
+    val fpminVs = children(base.resolve("state/fpmin"), "v")
+    assert(labelVs.size <= 1, s"dead label versions survived: $labelVs")
+    assert(fpminVs.size == 1, s"dead fpmin versions survived: $fpminVs")
+    val keep = (labelVs ++ fpminVs).map(v => s"${v.drop(1)}.committed")
+    val markers = children(base.resolve("state/commits"), "")
+    assert(markers == keep,
+      s"markers after compact: $markers (expected $keep)")
+    assert(manifest(index) == expected,
+      "snapshot GC / marker pruning broke a marker-gated read")
+  }
+
+  test("a crash mid-snapshot-GC is invisible and the next compact completes it") {
+    val base = graft.SparkTestSession.tmpDir("n41-snapcrash")
+    val docs = Tables.documents(spark, T.sf0001)
+    val index = new IncrementalDedupIndex(base.resolve("state"))
+    (0 to 1).foreach(j => index.processBatch(docs.filter(modIs(j, 3)), j.toLong))
+    assert(index.compact(spark).contains(1L))
+    val before = manifest(index)
+    val vMax = children(base.resolve("state/fpmin"), "v").map(_.drop(1).toLong).max
+
+    // crash window inside compact's sweep: a superseded committed fpmin
+    // version and its marker back on disk (an EMPTY v0 — reading it would
+    // orphan every doc, so resolving it instead of the max is loud)
+    spark.read.parquet(base.resolve(s"state/fpmin/v$vMax").toString).limit(0)
+      .write.mode("overwrite").parquet(base.resolve("state/fpmin/v0").toString)
+    Files.createDirectories(base.resolve("state/commits"))
+    if (!Files.exists(base.resolve("state/commits/0.committed")))
+      Files.createFile(base.resolve("state/commits/0.committed"))
+    assert(manifest(index) == before,
+      "reader resolved a stale snapshot version instead of the max")
+
+    // later batches + the next maintenance pass reclaim it
+    index.processBatch(docs.filter(modIs(2, 3)), 2L)
+    assert(index.compact(spark).contains(2L))
+    assert(!Files.exists(base.resolve("state/fpmin/v0")),
+      "stale snapshot version survived the next compact")
+    val expected = Dedup.dedupManifestQuery(spark, T.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(manifest(index) == expected)
+  }
+
   test("a crash after the marker but before GC: re-run completes the GC") {
-    val base = Files.createTempDirectory("graft-n41-gcrash-")
+    val base = graft.SparkTestSession.tmpDir("n41-gcrash")
     val docs = Tables.documents(spark, T.sf0001)
     val index = new IncrementalDedupIndex(base.resolve("state"))
     (0 to 1).foreach(j => index.processBatch(docs.filter(modIs(j, 2)), j.toLong))

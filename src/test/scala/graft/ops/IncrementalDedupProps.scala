@@ -42,16 +42,20 @@ object IncrementalDedupProps extends Properties("IncrementalDedup") {
 
   property("finalManifest equals the batch n38 manifest for any batching") =
     forAll(splitGen) { case (batches, salt) =>
-      val index = new IncrementalDedupIndex(
-        Files.createTempDirectory("graft-n41-prop-"))
-      (0 until batches).foreach { j =>
-        index.processBatch(
-          docs.filter(pmod(xxhash64(col("doc_id"), lit(salt)),
-            lit(batches)) === j), j.toLong)
-      }
-      val got = index.finalManifest(spark)
-        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
-          r.getLong(3))).toSet
-      got == expected
+      // shutdown-cleaned scratch + eager per-evaluation delete: repeated
+      // runs must not accumulate state trees (round-9 advice)
+      val root = T.tmpDir("n41-prop")
+      try {
+        val index = new IncrementalDedupIndex(root)
+        (0 until batches).foreach { j =>
+          index.processBatch(
+            docs.filter(pmod(xxhash64(col("doc_id"), lit(salt)),
+              lit(batches)) === j), j.toLong)
+        }
+        val got = index.finalManifest(spark)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSet
+        got == expected
+      } finally T.deleteTree(root)
     }
 }

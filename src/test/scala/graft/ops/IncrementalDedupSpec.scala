@@ -27,7 +27,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("restart with new data resumes the index and still converges") {
-    val base = Files.createTempDirectory("graft-n41-restart-")
+    val base = graft.SparkTestSession.tmpDir("n41-restart")
     val input = base.resolve("input")
     val ckpt = base.resolve("ckpt")
     val index = new IncrementalDedupIndex(base.resolve("state"))
@@ -55,7 +55,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("arrival log: one verdict per doc; only supersession diverges from final") {
-    val base = Files.createTempDirectory("graft-n41-log-")
+    val base = graft.SparkTestSession.tmpDir("n41-log")
     val input = base.resolve("input")
     val ckpt = base.resolve("ckpt")
     val index = new IncrementalDedupIndex(base.resolve("state"))
@@ -83,7 +83,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("replaying a committed batch is a no-op; an uncommitted one recomputes") {
-    val base = Files.createTempDirectory("graft-n41-replay-")
+    val base = graft.SparkTestSession.tmpDir("n41-replay")
     val input = base.resolve("input")
     val index = new IncrementalDedupIndex(base.resolve("state"))
     val docs = Tables.documents(spark, T.sf0001)
@@ -112,7 +112,7 @@ class IncrementalDedupSpec extends AnyFunSuite {
   }
 
   test("public readers hide a half-committed batch until its marker exists") {
-    val base = Files.createTempDirectory("graft-n41-marker-")
+    val base = graft.SparkTestSession.tmpDir("n41-marker")
     val input = base.resolve("input")
     val index = new IncrementalDedupIndex(base.resolve("state"))
     val docs = Tables.documents(spark, T.sf0001)

@@ -29,7 +29,7 @@ class IncrementalDriftSpec extends AnyFunSuite {
   }
 
   test("restart with new data resumes the count state and still converges") {
-    val base = Files.createTempDirectory("graft-n48-restart-")
+    val base = graft.SparkTestSession.tmpDir("n48-restart")
     val input = base.resolve("input")
     val ckpt = base.resolve("ckpt")
     val monitor = new IncrementalDriftMonitor(base.resolve("state"))
@@ -50,10 +50,47 @@ class IncrementalDriftSpec extends AnyFunSuite {
     val before = monitor.finalDrift(spark).collect().toSet
     monitor.processBatch(docs.limit(50), 0L)
     assert(monitor.finalDrift(spark).collect().toSet == before)
+
+    // snapshot-version GC (round-9 verdict #3): superseded counts/v<k>
+    // versions are reclaimed as batches commit — after 4 committed batches
+    // exactly the latest survives, and the state is still the full answer
+    val versions = {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(base.resolve("state/counts"))
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).toSeq
+      finally s.close()
+    }
+    assert(versions.size == 1, s"dead snapshot versions survived: $versions")
+    assert(versions.head == "v3")
+  }
+
+  test("a crash mid-snapshot-GC is invisible and the next batch completes it") {
+    val base = graft.SparkTestSession.tmpDir("n48-gccrash")
+    val monitor = new IncrementalDriftMonitor(base.resolve("state"))
+    val docs = Tables.documents(spark, T.sf0001)
+    monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
+    monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
+    val mid = monitor.finalDrift(spark).collect().toSet
+
+    // crash window: batch 1's marker flipped but its sweep died before
+    // deleting v0 — resurrect exactly that state (a stale committed
+    // version below the max)
+    spark.read.parquet(base.resolve("state/counts/v1").toString).limit(0)
+      .write.mode("overwrite").parquet(base.resolve("state/counts/v0").toString)
+    // readers resolve the max committed version: the stale v0 is invisible
+    assert(monitor.finalDrift(spark).collect().toSet == mid)
+
+    // the next committed batch's sweep reclaims it, and the final state
+    // equals the batch answer over everything ingested
+    monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
+    assert(!Files.exists(base.resolve("state/counts/v0")),
+      "stale snapshot version survived the next sweep")
+    assert(monitor.finalDrift(spark).collect().toSet == batchDrift)
   }
 
   test("the alarm fires on a distribution-shifted arrival slice") {
-    val base = Files.createTempDirectory("graft-n48-alarm-")
+    val base = graft.SparkTestSession.tmpDir("n48-alarm")
     val monitor = new IncrementalDriftMonitor(base.resolve("state"))
     val docs = Tables.documents(spark, T.sf0001)
       .filter(col("source") === "src0")

@@ -41,15 +41,19 @@ object IncrementalEmbedDedupProps extends Properties("IncrementalEmbedDedup") {
 
   property("finalClusters equals the batch n37 table for any batching") =
     forAll(splitGen) { case (batches, salt) =>
-      val index = new IncrementalEmbedIndex(
-        Files.createTempDirectory("graft-n52-prop-"), geometry = geometry)
-      (0 until batches).foreach { j =>
-        index.processBatch(
-          corpus.filter(pmod(xxhash64(col("vec_id"), lit(salt)),
-            lit(batches)) === j), j.toLong)
-      }
-      val got = index.finalClusters(spark)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-      got == expected
+      // shutdown-cleaned scratch + eager per-evaluation delete: repeated
+      // runs must not accumulate state trees (round-9 advice)
+      val root = T.tmpDir("n52-prop")
+      try {
+        val index = new IncrementalEmbedIndex(root, geometry = geometry)
+        (0 until batches).foreach { j =>
+          index.processBatch(
+            corpus.filter(pmod(xxhash64(col("vec_id"), lit(salt)),
+              lit(batches)) === j), j.toLong)
+        }
+        val got = index.finalClusters(spark)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        got == expected
+      } finally T.deleteTree(root)
     }
 }

@@ -34,7 +34,7 @@ class IncrementalEmbedDedupSpec extends AnyFunSuite {
   }
 
   test("restart with new data resumes the index and still converges") {
-    val base = Files.createTempDirectory("graft-n52-restart-")
+    val base = graft.SparkTestSession.tmpDir("n52-restart")
     val input = base.resolve("input")
     val ckpt = base.resolve("ckpt")
     val full = IncrementalEmbedDedup.corpus(spark, T.sf0001)
@@ -58,7 +58,7 @@ class IncrementalEmbedDedupSpec extends AnyFunSuite {
   }
 
   test("replay idempotence and half-committed-batch marker gating") {
-    val base = Files.createTempDirectory("graft-n52-replay-")
+    val base = graft.SparkTestSession.tmpDir("n52-replay")
     val input = base.resolve("input")
     val full = IncrementalEmbedDedup.corpus(spark, T.sf0001)
     val index = new IncrementalEmbedIndex(base.resolve("state"),

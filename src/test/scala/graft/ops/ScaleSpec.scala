@@ -33,6 +33,32 @@ class ScaleSpec extends AnyFunSuite {
     assert(top2.count() > 0)
   }
 
+  test("n42 recall vs exact n39 holds on the x10 amplified corpus") {
+    // round-9 verdict #4: the recall gate ran only at base SF. The x10
+    // corpus uses the sign-flip isometry (ScaleCurve.amplifyEmbeddings):
+    // within-replica cosines are exact, cross-replica cosines fall in the
+    // random bulk — so the TRUE top-3 stays intra-replica while the KMeans
+    // coarse quantizer must now carve 10x the vectors into the same
+    // nlist=8 cells, the regime where IVF recall would degrade first.
+    val dir = graft.SparkTestSession.tmpDir("n42x10")
+    graft.tools.ScaleCurve
+      .amplifyEmbeddings(Tables.embeddings(spark, T.sf0001), 10)
+      .write.mode("overwrite")
+      .parquet(dir.resolve("embeddings.parquet").toString)
+    val exact = Similarity.knnGraphQuery(spark, dir.toString)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.knnJoinQuery(spark, dir.toString)
+      .select("vec_id", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache() // both queries persist unit-vector frames
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    info(f"n42 recall vs exact n39 at x10: $recall%.3f")
+    assert(recall >= 0.6, s"recall $recall (${approx.size} approx, ${exact.size} exact)")
+    assert(approx.map(_._1).size == exact.map(_._1).size,
+      "some query vector lost its full top-k at x10")
+  }
+
   test("bucketed tables sort-merge-join without a shuffle") {
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")

@@ -186,6 +186,20 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = assertNoPairBlowup("n42_knn_join")
     assert(p.contains("TopKPerKey"),
       s"n42 does not plan the bounded-heap top-k operator:\n$p")
+    // centroid scoring at nlist=8 is the DESIGNED shape: an explode of the
+    // plan-literal centroid array (a Generate node — nlist x dim doubles as
+    // a plan constant), never a join against a materialized centroid
+    // table. When nlist reaches the tens of thousands the audited
+    // expectation flips to a BroadcastHashJoin against a centroid frame
+    // (the knnJoin scaladoc's switch); at today's nlist a broadcast here
+    // would mean the literal path silently regressed into an exchange.
+    assert(p.contains("Generate explode"),
+      s"n42 centroid scoring is not the literal-explode shape:\n$p")
+    // the candidate stage must be an equi-join on the int cell id — each
+    // query row moves nProbe times, each index vector once
+    assert("hashpartitioning\\(cell#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n42 candidate join neither shuffles on cell nor broadcasts:\n$p")
   }
 
   test("n40 source overlap: gram self-join shuffles on the md5, no cartesian") {
