@@ -444,6 +444,97 @@ object Multimodal {
       |LEFT JOIN lab l ON l.vec_id = c.media_id
       |ORDER BY c.media_id""".stripMargin
 
+  /**
+   * The consumable end of the media dedup family (n57) — the n36/n53 shape
+   * on the media modality: the feature corpus (media ∪ planted re-encode
+   * variants) with every non-canonical near-dup cluster member dropped,
+   * rolled up per kind. Completes the batch symmetry across all three
+   * modalities: text (pairs n02 → clusters n27 → corpus n36 → manifest
+   * n38), embeddings (n26 → n37 → n53 → manifest-equivalent n52), media
+   * (features n55 → pairs/clusters/manifest n56 → corpus n57).
+   *
+   * Scale shape inherited from n53: the drop set is applied as a LEFT ANTI
+   * hash join on the primary key; the rollup is one partial-aggregated
+   * count per kind — no new wide exchange beyond the banded pair stage.
+   */
+  def mediaDedupCorpusQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(documents(spark, dir))
+    val feats = featureExtractWide(media).toDF()
+    val corpus = feats.select(col("media_id"), col("kind"))
+      .unionByName(feats.select(
+        (col("media_id") + lit(Dedup.PlantOffset)).as("media_id"), col("kind")))
+    val losers = Dedup.minLabelComponents(
+        mediaNearDupPairs(feats).select("vec_a", "vec_b"),
+        "vec_a", "vec_b", "media_id")
+      .filter(!col("is_canonical")).select("media_id")
+    val kept = corpus.join(losers, Seq("media_id"), "left_anti")
+      .groupBy("kind").agg(count(lit(1)).as("n_kept"))
+    // LEFT join (the n53 lesson, e218930): a kind whose members are ALL
+    // dropped must surface as (kind, n_total, 0, n_total), not vanish
+    corpus.groupBy("kind").agg(count(lit(1)).as("n_total"))
+      .join(kept, Seq("kind"), "left")
+      .select(col("kind"), col("n_total"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_total") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"))
+      .orderBy("kind")
+  }
+
+  /** The n56 closure CTEs plus the anti-join and per-kind rollup (the
+    * dedupedEmbeddingCorpusOracle shape on the media modality). */
+  val mediaDedupCorpusOracle: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    text
+      |  FROM documents
+      |), hs AS (
+      |  SELECT media_id, s, md5(text || '|' || CAST(s AS VARCHAR)) AS h
+      |  FROM m, (SELECT unnest(range(16)) AS s)
+      |), base AS (
+      |  SELECT media_id AS vec_id,
+      |    CAST(list_sum([(strpos('0123456789abcdef', substr(h, c * 8 + d + 1, 1)) - 1)
+      |      * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
+      |      / 2147483648.0 - 1.0 AS v,
+      |    s * 4 + c + 1 AS i
+      |  FROM hs, (SELECT unnest(range(4)) AS c)
+      |), pl AS (
+      |  SELECT vec_id + 1000000 AS vec_id, pv AS v, i FROM
+      |    (SELECT vec_id, v + CAST(0.0078125 AS DOUBLE) * ((vec_id*31 + i) % 7 - 3) AS pv, i FROM base)
+      |), ex AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM pl
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT vec_a, vec_b FROM p WHERE cosine >= 0.9
+      |), edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS vec_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS vec_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.vec_id
+      |), losers AS (
+      |  SELECT vec_id FROM reach GROUP BY vec_id HAVING vec_id <> MIN(r)
+      |), corp AS (
+      |  SELECT media_id, kind FROM m
+      |  UNION ALL
+      |  SELECT media_id + 1000000 AS media_id, kind FROM m
+      |)
+      |SELECT c.kind, COUNT(*) AS n_total,
+      |  CAST(COUNT(*) FILTER (l.vec_id IS NULL) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (l.vec_id IS NOT NULL) AS BIGINT) AS n_dropped
+      |FROM corp c LEFT JOIN losers l ON l.vec_id = c.media_id
+      |GROUP BY c.kind
+      |ORDER BY c.kind""".stripMargin
+
   /** Per-kind metadata rollup over the decoded media — the oracle reproduces
     * the stub's arithmetic from octet lengths. */
   def multimodalQuery(spark: SparkSession, dir: String): DataFrame =

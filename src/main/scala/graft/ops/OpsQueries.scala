@@ -72,6 +72,7 @@ object OpsQueries {
     "n54_media_resize" -> (Multimodal.resizeQuery _),
     "n55_media_features" -> (Multimodal.featureQuery _),
     "n56_media_dedup" -> (Multimodal.mediaDedupManifestQuery _),
+    "n57_media_dedup_corpus" -> (Multimodal.mediaDedupCorpusQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -139,5 +140,6 @@ object OpsQueries {
     "n54_media_resize" -> Multimodal.resizeOracle,
     "n55_media_features" -> Multimodal.featureOracle,
     "n56_media_dedup" -> Multimodal.mediaDedupManifestOracle,
+    "n57_media_dedup_corpus" -> Multimodal.mediaDedupCorpusOracle,
   )
 }

@@ -202,6 +202,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n42 candidate join neither shuffles on cell nor broadcasts:\n$p")
   }
 
+  test("n56 media dedup: fingerprint + cluster-label joins are hash joins, no cartesian") {
+    // building this plan runs the banded pair stage + label propagation
+    // first (the n53/n41 precedent — the labels land as a checkpointed
+    // LogicalRDD); the asserted plan is the manifest derivation: the fp
+    // keeper join and the cluster join must stay hash, never a pair space
+    assertNoPairBlowup("n56_media_dedup")
+  }
+
   test("n40 source overlap: gram self-join shuffles on the md5, no cartesian") {
     val p = assertNoPairBlowup("n40_source_overlap")
     assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
