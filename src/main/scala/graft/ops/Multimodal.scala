@@ -535,6 +535,93 @@ object Multimodal {
       |GROUP BY c.kind
       |ORDER BY c.kind""".stripMargin
 
+  /**
+   * Incremental / streaming media dedup (n58): the media feature corpus
+   * ingested as a micro-batch stream through the UNCHANGED
+   * [[IncrementalEmbedIndex]] — the engine is modality-agnostic (any
+   * (vec_id, embedding) frame), so media gets the full n52 machinery for
+   * free: pinned banding geometry, stream-static candidates, contracted
+   * label merge, commit markers, compaction + snapshot GC. Completes the
+   * last symmetry cell: every modality now has features → pairs →
+   * clusters → manifest/corpus → INCREMENTAL (text n41, embeddings n52,
+   * media n58).
+   *
+   * Oracle: the batch n56 closure verbatim (incremental maintenance
+   * converges to the batch cluster table for any batching — the n41/n52
+   * argument, inherited rather than re-proven).
+   */
+  def streamingMediaClustersQuery(spark: SparkSession, dir: String,
+                                  chunks: Int = 4): DataFrame = {
+    val base = graft.queries.Tables.scratchDir("n58")
+    val feats = featureExtractWide(mediaFromDocuments(documents(spark, dir))).toDF()
+    // persisted: the geometry count plus the `chunks` staging passes are
+    // chunks+1 consumers of the feature-extraction pipeline; released
+    // before the stream runs (staging parquet is the stream's input)
+    val corpus = feats
+      .select(col("media_id").as("vec_id"), col("fv").as("embedding"))
+      .unionByName(plantedMediaCopies(feats)
+        .select(col("vec_id"), col("v").as("embedding")))
+      .persist()
+    val index =
+      try {
+        val idx = new IncrementalEmbedIndex(base.resolve("state"),
+          geometry = IncrementalEmbedDedup.geometryFor(corpus.count()))
+        IncrementalEmbedDedup.stageChunks(corpus, base.resolve("input"), chunks)
+        idx
+      } finally corpus.unpersist()
+    IncrementalEmbedDedup.runStream(spark, base.resolve("input"),
+      base.resolve("ckpt"), index)
+    index.compact(spark)
+    index.finalClusters(spark)
+      .withColumnRenamed("vec_id", "media_id").orderBy("media_id")
+  }
+
+  /** The n56 closure emitting the cluster table (every matched media id —
+    * here all of them, since every record has a planted partner). */
+  val streamingMediaClustersOracle: String =
+    """WITH RECURSIVE m AS (
+      |  SELECT doc_id AS media_id, text FROM documents
+      |), hs AS (
+      |  SELECT media_id, s, md5(text || '|' || CAST(s AS VARCHAR)) AS h
+      |  FROM m, (SELECT unnest(range(16)) AS s)
+      |), base AS (
+      |  SELECT media_id AS vec_id,
+      |    CAST(list_sum([(strpos('0123456789abcdef', substr(h, c * 8 + d + 1, 1)) - 1)
+      |      * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
+      |      / 2147483648.0 - 1.0 AS v,
+      |    s * 4 + c + 1 AS i
+      |  FROM hs, (SELECT unnest(range(4)) AS c)
+      |), pl AS (
+      |  SELECT vec_id + 1000000 AS vec_id, pv AS v, i FROM
+      |    (SELECT vec_id, v + CAST(0.0078125 AS DOUBLE) * ((vec_id*31 + i) % 7 - 3) AS pv, i FROM base)
+      |), ex AS (
+      |  SELECT * FROM base UNION ALL SELECT * FROM pl
+      |), n AS (
+      |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM ex GROUP BY vec_id
+      |), u AS (
+      |  SELECT ex.vec_id, v / nrm AS u, i FROM ex JOIN n USING (vec_id)
+      |), p AS (
+      |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.u * b.u) AS cosine
+      |  FROM u a JOIN u b ON a.i = b.i AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT vec_a, vec_b FROM p WHERE cosine >= 0.9
+      |), edges AS (
+      |  SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |  UNION ALL
+      |  SELECT vec_b AS src, vec_a AS dst FROM pairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS vec_id, src AS r FROM edges
+      |  UNION
+      |  SELECT e.dst AS vec_id, reach.r
+      |  FROM reach JOIN edges e ON e.src = reach.vec_id
+      |)
+      |SELECT vec_id AS media_id, MIN(r) AS cluster_id,
+      |  vec_id = MIN(r) AS is_canonical
+      |FROM reach
+      |GROUP BY vec_id
+      |ORDER BY media_id""".stripMargin
+
   /** Per-kind metadata rollup over the decoded media — the oracle reproduces
     * the stub's arithmetic from octet lengths. */
   def multimodalQuery(spark: SparkSession, dir: String): DataFrame =

@@ -73,6 +73,8 @@ object OpsQueries {
     "n55_media_features" -> (Multimodal.featureQuery _),
     "n56_media_dedup" -> (Multimodal.mediaDedupManifestQuery _),
     "n57_media_dedup_corpus" -> (Multimodal.mediaDedupCorpusQuery _),
+    "n58_streaming_media_clusters" ->
+      ((s, d) => Multimodal.streamingMediaClustersQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -141,5 +143,7 @@ object OpsQueries {
     "n55_media_features" -> Multimodal.featureOracle,
     "n56_media_dedup" -> Multimodal.mediaDedupManifestOracle,
     "n57_media_dedup_corpus" -> Multimodal.mediaDedupCorpusOracle,
+    // incremental maintenance converges to the batch n56 closure: same SQL
+    "n58_streaming_media_clusters" -> Multimodal.streamingMediaClustersOracle,
   )
 }

@@ -89,4 +89,22 @@ class MediaDedupSpec extends AnyFunSuite {
       n - docs.select(md5(encode(col("text"), "UTF-8"))).distinct().count()
     assert(base.count(_.getString(2) == "exact_dup") == expectedExact)
   }
+
+  test("n58 streaming media clusters equal the batch chain's cluster table") {
+    // the incremental engine is modality-agnostic: the media feature
+    // corpus through IncrementalEmbedIndex must converge to exactly what
+    // the batch chain (mediaNearDupPairs -> minLabelComponents) produces
+    val streamed = Multimodal.streamingMediaClustersQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val feats = Multimodal.featureExtractWide(
+      Multimodal.mediaFromDocuments(Tables.documents(spark, T.sf0001))).toDF()
+    val batch = Dedup.minLabelComponents(
+        Multimodal.mediaNearDupPairs(feats).select("vec_a", "vec_b"),
+        "vec_a", "vec_b", "media_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"streamed minus batch: ${streamed.diff(batch).take(3)}; " +
+        s"batch minus streamed: ${batch.diff(streamed).take(3)}")
+  }
 }
