@@ -24,6 +24,7 @@ object PlanAudit {
     "d19_cosine_topk" -> "single query vector x table: brute-force baseline, n x 1",
     "d27_band_join" -> "3-row literal band table broadcast: n x 3 range test",
     "n07_ann_ivf" -> "single query vector probes centroid cells: n x 1",
+    "n06_ann_lsh" -> "single query vector scored against band-collision candidates: n x 1",
   )
 
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,11 @@ object ScaleCurve {
     // CDC window hashes disjoint too: model size and attribution indexes
     // scale ×k, rounds n/a
     "n43_bigram_lm", "n45_segment_dedup", "n47_cdc_chunks",
-    "n50_inner_segment_dedup")
+    // media dedup (round 10): word-suffixed replicas produce entirely
+    // fresh md5 feature vectors per replica (cross-replica cosines in the
+    // random bulk), planted variants still pair with their replica base —
+    // the pair graph is k disjoint copies, the same construction argument
+    "n50_inner_segment_dedup", "n56_media_dedup")
   private val EmbQueries = Seq("n37_embedding_clusters")
 
   def main(args: Array[String]): Unit = {
