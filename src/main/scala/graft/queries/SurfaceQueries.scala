@@ -676,6 +676,34 @@ object SurfaceQueries {
       |GROUP BY 1
       |ORDER BY g""".stripMargin
 
+  // ---------------------------------------------------------------- d97
+  /** The DSv2 connector's STREAMING path (round 10): the same sequence
+    * table read as a `MicroBatchStream` — exactly-once offset protocol
+    * (initial/latest/deserialize/commit), `rowsPerBatch` admission via
+    * `SupportsAdmissionControl`, `AvailableNow` drain in
+    * ⌈60000/20000⌉ = 3 micro-batches through the parquet sink's commit
+    * log, then the d60 aggregate over the drained rows. Same oracle as
+    * d60: the streaming protocol must deliver exactly the batch scan's
+    * rows, once each. */
+  def d97Dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.scratchDir("d97")
+    val q = spark.readStream.format("graft-seq")
+      .option("start", "0").option("end", "60000")
+      .option("rowsPerBatch", "20000")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", base.resolve("data").toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(base.resolve("data").toString)
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("sq")).as("sum_sq"))
+      .orderBy("g")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -700,6 +728,7 @@ object SurfaceQueries {
     "d58_lateral" -> (d58Lateral _),
     "d59_regexp_strmap" -> (d59RegexpStrmap _),
     "d60_dsv2_seq" -> (d60Dsv2Seq _),
+    "d97_dsv2_stream" -> (d97Dsv2Stream _),
     "d62_orc_source" -> (d62OrcSource _),
     "d63_cogroup" -> (d63Cogroup _),
   )
@@ -726,6 +755,8 @@ object SurfaceQueries {
     "d58_lateral" -> d58Oracle,
     "d59_regexp_strmap" -> d59Oracle,
     "d60_dsv2_seq" -> d60Oracle,
+    // the streaming protocol must deliver exactly the batch rows, once
+    "d97_dsv2_stream" -> d60Oracle,
     "d62_orc_source" -> d62Oracle,
     "d63_cogroup" -> d63Oracle,
   )

@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -41,7 +42,8 @@ class GraftSeqSource extends TableProvider with DataSourceRegister {
     new GraftSeqTable(
       opts.getLong("start", 0L),
       opts.getLong("end", 1000L),
-      opts.getInt("numPartitions", 8))
+      opts.getInt("numPartitions", 8),
+      opts.getLong("rowsPerBatch", 10000L))
   }
 }
 
@@ -51,18 +53,19 @@ object GraftSeqSource {
     StructField("sq", LongType, nullable = false)))
 }
 
-private[v2] class GraftSeqTable(start: Long, end: Long, numPartitions: Int)
-  extends Table with SupportsRead {
-  require(end >= start && numPartitions > 0)
+private[v2] class GraftSeqTable(start: Long, end: Long, numPartitions: Int,
+                                rowsPerBatch: Long) extends Table with SupportsRead {
+  require(end >= start && numPartitions > 0 && rowsPerBatch > 0)
   override def name(): String = s"graft_seq($start, $end)"
   override def schema(): StructType = GraftSeqSource.fullSchema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftSeqScanBuilder(start, end, numPartitions)
+    new GraftSeqScanBuilder(start, end, numPartitions, rowsPerBatch)
 }
 
-private[v2] class GraftSeqScanBuilder(start: Long, end: Long, numPartitions: Int)
+private[v2] class GraftSeqScanBuilder(start: Long, end: Long, numPartitions: Int,
+                                      rowsPerBatch: Long)
   extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = GraftSeqSource.fullSchema
   override def pruneColumns(requiredSchema: StructType): Unit =
@@ -70,24 +73,95 @@ private[v2] class GraftSeqScanBuilder(start: Long, end: Long, numPartitions: Int
     required =
       if (requiredSchema.isEmpty) StructType(GraftSeqSource.fullSchema.take(1))
       else requiredSchema
-  override def build(): Scan = new GraftSeqScan(start, end, numPartitions, required)
+  override def build(): Scan =
+    new GraftSeqScan(start, end, numPartitions, rowsPerBatch, required)
 }
 
 private[v2] class GraftSeqScan(start: Long, end: Long, numPartitions: Int,
-                               required: StructType) extends Scan with Batch {
+                               rowsPerBatch: Long, required: StructType)
+  extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] = {
-    // BigInt bounds: total * i overflows Long once the range nears 2^63/n
+  override def planInputPartitions(): Array[InputPartition] =
+    GraftSeqScan.splitRange(start, end, numPartitions)
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftSeqReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftSeqMicroBatchStream(start, end, numPartitions, rowsPerBatch,
+      required.fieldNames)
+}
+
+private[v2] object GraftSeqScan {
+  /** Even split of [start, end) across n partitions — shared by the batch
+    * planner and the per-micro-batch planner. BigInt bounds: total * i
+    * overflows Long once the range nears 2^63/n. */
+  def splitRange(start: Long, end: Long, n: Int): Array[InputPartition] = {
     val total = BigInt(end) - BigInt(start)
-    (0 until numPartitions).map { i =>
-      val lo = (BigInt(start) + total * i / numPartitions).toLong
-      val hi = (BigInt(start) + total * (i + 1) / numPartitions).toLong
+    (0 until n).map { i =>
+      val lo = (BigInt(start) + total * i / n).toLong
+      val hi = (BigInt(start) + total * (i + 1) / n).toLong
       GraftSeqPartition(lo, hi): InputPartition
     }.toArray
   }
+}
+
+/**
+ * The STREAMING side of the connector (round 10): a `MicroBatchStream`
+ * over the same sequence table — the full exactly-once offset protocol a
+ * Kafka-class connector implements, runnable without external services.
+ * Offsets are sequence positions; each trigger admits up to
+ * `rowsPerBatch` rows (`SupportsTriggerAvailableNow` ⊂
+ * `SupportsAdmissionControl`, so `latestOffset(start, limit)` sees the
+ * batch's start offset and the engine-supplied read limit — the
+ * admission-control shape, not driver-side state that a restart would
+ * lose). `Trigger.AvailableNow` drains to `end` in
+ * ⌈(end−start)/rowsPerBatch⌉ micro-batches and terminates; restart from
+ * a checkpoint resumes from the committed offset (`deserializeOffset`),
+ * so rows are emitted exactly once across runs — asserted in
+ * `GraftSeqSourceSpec` and oracle-gated as d97.
+ */
+private[v2] class GraftSeqMicroBatchStream(start: Long, end: Long,
+                                           numPartitions: Int, rowsPerBatch: Long,
+                                           fields: Array[String])
+  extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private case class SeqOffset(pos: Long) extends Offset {
+    override def json(): String = pos.toString
+  }
+
+  override def initialOffset(): Offset = SeqOffset(start)
+  override def deserializeOffset(json: String): Offset = SeqOffset(json.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+
+  /** Admission: advance from the batch's start by the read limit, capped
+    * at the table end. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset = {
+    val s = startOffset.asInstanceOf[SeqOffset].pos
+    val step = limit match {
+      case m: ReadMaxRows => m.maxRows()
+      case _ => rowsPerBatch
+    }
+    SeqOffset(math.min(math.addExact(s, step), end))
+  }
+
+  /** The single-arg form is superseded by admission control. */
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is the admission-control entry")
+
+  /** AvailableNow drains to the table end; the bound is static, so there
+    * is nothing to snapshot. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = SeqOffset(end)
+
+  override def planInputPartitions(s: Offset, e: Offset): Array[InputPartition] =
+    GraftSeqScan.splitRange(s.asInstanceOf[SeqOffset].pos,
+      e.asInstanceOf[SeqOffset].pos, numPartitions)
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftSeqReaderFactory(required.fieldNames)
+    new GraftSeqReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[v2] case class GraftSeqPartition(lo: Long, hi: Long) extends InputPartition

@@ -39,4 +39,51 @@ class GraftSeqSourceSpec extends AnyFunSuite {
     assert(seq(7, 7).count() == 0)
     assert(seq(0, 12345).count() == 12345)
   }
+
+  // ------------------------- MicroBatchStream (round 10, d97) ------------
+
+  private def drain(base: java.nio.file.Path, end: Long,
+                    rowsPerBatch: Long): Unit = {
+    val q = spark.readStream.format("graft-seq")
+      .option("start", "0").option("end", end.toString)
+      .option("rowsPerBatch", rowsPerBatch.toString)
+      .load()
+      .writeStream.format("parquet")
+      .option("path", base.resolve("data").toString)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  test("streaming drain delivers the exact sequence once, in rowsPerBatch batches") {
+    val base = graft.SparkTestSession.tmpDir("seq-stream")
+    drain(base, end = 1000, rowsPerBatch = 300)
+    val ids = spark.read.parquet(base.resolve("data").toString)
+      .collect().map(_.getLong(0))
+    assert(ids.length == 1000, s"expected 1000 rows, got ${ids.length}")
+    assert(ids.toSet == (0L until 1000L).toSet, "missing or duplicated ids")
+    // ceil(1000/300) = 4 committed micro-batches in the offset log
+    val commits = java.nio.file.Files.list(base.resolve("ckpt/commits"))
+    try {
+      import scala.jdk.CollectionConverters._
+      val n = commits.iterator().asScala
+        .count(p => p.getFileName.toString.forall(_.isDigit))
+      assert(n == 4, s"expected 4 micro-batch commits, got $n")
+    } finally commits.close()
+  }
+
+  test("restart resumes from the committed offset: new rows only, exactly once") {
+    val base = graft.SparkTestSession.tmpDir("seq-stream-resume")
+    drain(base, end = 500, rowsPerBatch = 250)
+    assert(spark.read.parquet(base.resolve("data").toString).count() == 500)
+    // the table grows (end moves out); the same checkpoint must resume at
+    // offset 500 — deserializeOffset + admission from the committed
+    // position, never a re-read of [0, 500)
+    drain(base, end = 800, rowsPerBatch = 250)
+    val ids = spark.read.parquet(base.resolve("data").toString)
+      .collect().map(_.getLong(0))
+    assert(ids.length == 800, s"expected 800 rows, got ${ids.length}")
+    assert(ids.toSet == (0L until 800L).toSet, "re-delivery or gap on resume")
+  }
 }
