@@ -704,6 +704,33 @@ object SurfaceQueries {
       .orderBy("g")
   }
 
+  // ---------------------------------------------------------------- d98
+  /** The DSv2 STREAMING SINK (round 10): the sequence stream written
+    * through the full connector write protocol — per-partition
+    * `DataWriter`s, `WriterCommitMessage`s, atomic driver-side epoch
+    * manifests, replayed-epoch skip (`sinks.v2.GraftFilesSink`) — then
+    * the committed rows aggregated. Same oracle as d60: the epoch-commit
+    * protocol must surface exactly the source's rows, once. */
+  def d98Dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.scratchDir("d98")
+    val out = base.resolve("out").toString
+    val q = spark.readStream.format("graft-seq")
+      .option("start", "0").option("end", "60000")
+      .option("rowsPerBatch", "20000")
+      .load()
+      .writeStream.format("graft-files")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.sinks.v2.GraftFilesSink.committed(spark, out, "id BIGINT, sq BIGINT")
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("sq")).as("sum_sq"))
+      .orderBy("g")
+  }
+
   // ---------------------------------------------------------------- registry
 
   val queries: Map[String, QueryFn] = Map(
@@ -729,6 +756,7 @@ object SurfaceQueries {
     "d59_regexp_strmap" -> (d59RegexpStrmap _),
     "d60_dsv2_seq" -> (d60Dsv2Seq _),
     "d97_dsv2_stream" -> (d97Dsv2Stream _),
+    "d98_dsv2_stream_sink" -> (d98Dsv2StreamSink _),
     "d62_orc_source" -> (d62OrcSource _),
     "d63_cogroup" -> (d63Cogroup _),
   )
@@ -757,6 +785,8 @@ object SurfaceQueries {
     "d60_dsv2_seq" -> d60Oracle,
     // the streaming protocol must deliver exactly the batch rows, once
     "d97_dsv2_stream" -> d60Oracle,
+    // the sink's epoch-commit protocol must surface them exactly once too
+    "d98_dsv2_stream_sink" -> d60Oracle,
     "d62_orc_source" -> d62Oracle,
     "d63_cogroup" -> d63Oracle,
   )

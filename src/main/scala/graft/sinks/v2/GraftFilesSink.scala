@@ -1,0 +1,155 @@
+package graft.sinks.v2
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardOpenOption}
+import java.util
+import java.util.UUID
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/**
+ * A complete DataSource V2 STREAMING SINK — the write-side half of the
+ * connector protocol (`sources.v2.GraftSeqSource` covers both read
+ * halves): `TableProvider` → `SupportsWrite` → `WriteBuilder` → `Write`
+ * → `StreamingWrite` → `StreamingDataWriterFactory` → per-partition
+ * `DataWriter`, registered under the short name `graft-files`.
+ *
+ * This is the epoch-commit machinery a Delta/Kafka-class sink implements,
+ * runnable offline:
+ *  - executors write each (partition, epoch)'s rows to a UNIQUELY-named
+ *    file under `path/data/` (CSV of the row's long columns — the sink is
+ *    a protocol demonstration over a fixed numeric schema, like the
+ *    sequence source) and return the file name as their
+ *    [[WriterCommitMessage]];
+ *  - the driver's `commit(epochId, messages)` writes the collected file
+ *    list to `path/commits/<epochId>` ATOMICALLY (temp file + move), the
+ *    visibility flip. Data files not named by any commit manifest do not
+ *    exist to readers — the two-phase rule everywhere in this repo;
+ *  - a replayed epoch (sink re-invoked for an epochId whose manifest
+ *    already exists) is SKIPPED: the first manifest stays authoritative,
+ *    the replay attempt's orphan data files stay invisible — that is
+ *    exactly-once in the presence of retries, the `txnAppId/txnVersion`
+ *    guarantee at the connector layer (`IdempotentParquetWriter` is the
+ *    same contract at the foreachBatch layer);
+ *  - `abort` deletes the attempt's files — failed tasks leak nothing
+ *    visible either way.
+ *
+ * [[GraftFilesSink.committed]] is the read side: the union of all commit
+ * manifests' files as a DataFrame (committed rows, exactly once).
+ */
+class GraftFilesSink extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-files"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType() // sink-only: schema comes from the query
+  override def supportsExternalMetadata(): Boolean = true
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    val path = opts.get("path")
+    require(path != null && path.nonEmpty, "graft-files requires option 'path'")
+    new GraftFilesTable(path, schema)
+  }
+}
+
+object GraftFilesSink {
+  /** All rows named by commit manifests under `path`, exactly once. */
+  def committed(spark: SparkSession, path: String, schema: String): DataFrame = {
+    val commits = Paths.get(path, "commits")
+    val files =
+      if (!Files.isDirectory(commits)) Seq.empty[String]
+      else {
+        val s = Files.list(commits)
+        try s.iterator().asScala
+          .filter(_.getFileName.toString.forall(_.isDigit))
+          .flatMap(m => Files.readAllLines(m).asScala)
+          .filter(_.nonEmpty)
+          .map(f => Paths.get(path, "data", f).toString)
+          .toSeq
+        finally s.close()
+      }
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType.fromDDL(schema))
+    else spark.read.schema(StructType.fromDDL(schema)).csv(files: _*)
+  }
+}
+
+private[v2] class GraftFilesTable(path: String, schema: StructType)
+  extends Table with SupportsWrite {
+  override def name(): String = s"graft_files($path)"
+  override def schema(): StructType = schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.STREAMING_WRITE).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toStreaming: StreamingWrite =
+          new GraftFilesStreamingWrite(path, info.schema())
+      }
+    }
+}
+
+private[v2] case class FileCommit(file: String) extends WriterCommitMessage
+
+private[v2] class GraftFilesStreamingWrite(path: String, schema: StructType)
+  extends StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new GraftFilesWriterFactory(path, schema.length)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val commits = Paths.get(path, "commits")
+    Files.createDirectories(commits)
+    val manifest = commits.resolve(epochId.toString)
+    // replayed epoch: the first manifest is authoritative; this attempt's
+    // data files are orphans no reader will ever list
+    if (Files.exists(manifest)) return
+    val tmp = commits.resolve(s".${epochId}.${UUID.randomUUID()}.tmp")
+    Files.write(tmp, messages.collect { case FileCommit(f) => f }
+      .mkString("\n").getBytes(StandardCharsets.UTF_8))
+    try Files.move(tmp, manifest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch { case _: java.nio.file.FileAlreadyExistsException =>
+      Files.deleteIfExists(tmp) // lost a commit race on replay: same outcome
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case FileCommit(f) => Files.deleteIfExists(Paths.get(path, "data", f))
+      case _ => ()
+    }
+}
+
+private[v2] class GraftFilesWriterFactory(path: String, nCols: Int)
+  extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val name = s"e$epochId-p$partitionId-${UUID.randomUUID()}.csv"
+      private val file: Path = {
+        val dir = Paths.get(path, "data")
+        Files.createDirectories(dir)
+        dir.resolve(name)
+      }
+      private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8,
+        StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+      override def write(row: InternalRow): Unit = {
+        out.write((0 until nCols).map(row.getLong).mkString(","))
+        out.write("\n")
+      }
+      override def commit(): WriterCommitMessage = { out.close(); FileCommit(name) }
+      override def abort(): Unit = { out.close(); Files.deleteIfExists(file) }
+      override def close(): Unit = out.close()
+    }
+}

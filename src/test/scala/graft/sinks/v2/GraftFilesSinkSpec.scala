@@ -1,0 +1,85 @@
+package graft.sinks.v2
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+
+/**
+ * The DSv2 streaming-sink commit protocol (round 10, d98): committed
+ * manifests are the only visibility flip — orphan data files don't exist
+ * to readers, a replayed epoch is skipped (exactly-once under retries),
+ * and abort leaves nothing visible.
+ */
+class GraftFilesSinkSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+  private val Schema = "id BIGINT, sq BIGINT"
+
+  test("streamed rows surface exactly once through epoch manifests") {
+    val base = graft.SparkTestSession.tmpDir("files-sink")
+    val out = base.resolve("out").toString
+    val q = spark.readStream.format("graft-seq")
+      .option("start", "0").option("end", "1000").option("rowsPerBatch", "400")
+      .load()
+      .writeStream.format("graft-files")
+      .option("path", out)
+      .option("checkpointLocation", base.resolve("ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ids = GraftFilesSink.committed(spark, out, Schema)
+      .collect().map(_.getLong(0))
+    assert(ids.length == 1000, s"expected 1000 rows, got ${ids.length}")
+    assert(ids.toSet == (0L until 1000L).toSet, "missing or duplicated ids")
+    // ceil(1000/400) = 3 epoch manifests
+    val s = Files.list(Paths.get(out, "commits"))
+    try {
+      import scala.jdk.CollectionConverters._
+      assert(s.iterator().asScala
+        .count(_.getFileName.toString.forall(_.isDigit)) == 3)
+    } finally s.close()
+  }
+
+  test("orphan data files are invisible; replayed epoch commit is skipped") {
+    val base = graft.SparkTestSession.tmpDir("files-sink-replay")
+    val out = base.resolve("out").toString
+    val w = new GraftFilesStreamingWrite(out,
+      org.apache.spark.sql.types.StructType.fromDDL(Schema))
+    val factory = w.createStreamingWriterFactory(null)
+    def writeRows(epoch: Long, lo: Long, hi: Long) = {
+      val dw = factory.createWriter(0, 0L, epoch)
+      (lo until hi).foreach(i => dw.write(
+        org.apache.spark.sql.catalyst.InternalRow(i, i * i)))
+      dw.commit()
+    }
+    // epoch 0 committed with rows [0, 5)
+    w.commit(0L, Array(writeRows(0L, 0, 5)))
+    assert(GraftFilesSink.committed(spark, out, Schema).count() == 5)
+
+    // an orphan writer (task that died after writing, before any driver
+    // commit) leaves a data file no manifest names — invisible
+    writeRows(7L, 100, 110)
+    assert(GraftFilesSink.committed(spark, out, Schema).count() == 5)
+
+    // a REPLAY of epoch 0 (retry after a crash between sink commit and
+    // checkpoint commit) re-writes its rows and re-commits: the first
+    // manifest stays authoritative, no duplicates surface
+    w.commit(0L, Array(writeRows(0L, 0, 5)))
+    val rows = GraftFilesSink.committed(spark, out, Schema)
+      .collect().map(_.getLong(0))
+    assert(rows.length == 5, s"replayed epoch duplicated rows: ${rows.length}")
+    assert(rows.toSet == (0L until 5L).toSet)
+
+    // abort deletes the attempt's files
+    val msg = writeRows(9L, 200, 203)
+    w.abort(9L, Array(msg))
+    assert(GraftFilesSink.committed(spark, out, Schema).count() == 5)
+    val dataFiles = Files.list(Paths.get(out, "data"))
+    try {
+      import scala.jdk.CollectionConverters._
+      val names = dataFiles.iterator().asScala.map(_.getFileName.toString).toSeq
+      assert(!names.exists(_.startsWith("e9-")), s"aborted file survived: $names")
+    } finally dataFiles.close()
+  }
+}
