@@ -318,9 +318,10 @@ object Similarity {
    * Plan: (1) KMeans(nlist) coarse centroids over unit vectors (fixed
    * seed; at corpus scale trained on a sample); (2) every index vector
    * assigned to its cell map-side; (3) every QUERY row scored against the
-   * centroids via an exploded literal centroid table — nlist×dim doubles,
-   * a plan constant (at nlist in the tens of thousands this becomes a
-   * broadcast join against a centroid frame instead) — and cut to its
+   * centroids — at nlist ≤ `centroidLiteralMax` via an exploded literal
+   * centroid table (nlist×dim doubles as a plan constant), above it via a
+   * broadcast centroid frame (round 10: both paths implemented and
+   * result-identical, `OpsSpec` pins parity) — and cut to its
    * nProbe best cells with [[graft.plans.TopKPerKey]] (bounded heap, no
    * global sort); (4) equi-join on cell against the cell-partitioned
    * index — each query moves nProbe times, each index vector once, never
@@ -339,7 +340,9 @@ object Similarity {
    * Bench/Verify/PlanAudit do per query.
    */
   def knnJoin(emb: DataFrame, k: Int = 3, nlist: Int = 8,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4,
+              centroidLiteralMax: Int = 1024): DataFrame = {
+    val spark = emb.sparkSession
     val par = emb.sparkSession.sparkContext.defaultParallelism
     // persisted: consumed by KMeans fit, the index side, and the query
     // side; released by the session-level per-query clearCache policy
@@ -350,15 +353,38 @@ object Similarity {
       .setFeaturesCol("features").setPredictionCol("cell").fit(unit)
     val index = model.transform(unit)
       .select(col("cell"), col("vec_id").as("nbr"), col("u").as("un"))
-    val ctrLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
-      val arr = c.toArray
-      val nrm = math.sqrt(arr.map(x => x * x).sum)
-      struct(lit(i).as("cell"), array(arr.map(x => lit(x / nrm)): _*).as("ctr"))
-    }: _*)
-    val scoredCells = unit
-      .select(col("vec_id"), col("u"), explode(ctrLit).as("c"))
-      .select(col("vec_id"), col("u"), col("c.cell").as("cell"),
-        graft.functions.DotProduct(col("u"), col("c.ctr")).as("ccos"))
+    // centroid scoring: every query row against every centroid (n × nlist
+    // by design — the coarse-quantizer probe). Two physical shapes behind
+    // one semantic:
+    //  - nlist ≤ centroidLiteralMax: the centroids ride as a PLAN LITERAL
+    //    exploded per row (nlist×dim doubles as a plan constant — zero
+    //    join machinery, the audited default shape at nlist=8);
+    //  - larger nlist: a literal that size would bloat every task binary
+    //    and the plan tree, so the centroids become a BROADCAST FRAME and
+    //    the n × nlist pairing is an explicit broadcast cross join (the
+    //    scaladoc'd switch, now implemented; `OpsSpec` pins path parity).
+    val scoredCells = if (nlist <= centroidLiteralMax) {
+      val ctrLit = array(model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        val arr = c.toArray
+        val nrm = math.sqrt(arr.map(x => x * x).sum)
+        struct(lit(i).as("cell"), array(arr.map(x => lit(x / nrm)): _*).as("ctr"))
+      }: _*)
+      unit
+        .select(col("vec_id"), col("u"), explode(ctrLit).as("c"))
+        .select(col("vec_id"), col("u"), col("c.cell").as("cell"),
+          graft.functions.DotProduct(col("u"), col("c.ctr")).as("ccos"))
+    } else {
+      import spark.implicits._
+      val ctrDf = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        val arr = c.toArray
+        val nrm = math.sqrt(arr.map(x => x * x).sum)
+        (i, arr.map(_ / nrm).toSeq)
+      }.toSeq.toDF("cell", "ctr")
+      unit.select(col("vec_id"), col("u"))
+        .crossJoin(broadcast(ctrDf))
+        .select(col("vec_id"), col("u"), col("cell"),
+          graft.functions.DotProduct(col("u"), col("ctr")).as("ccos"))
+    }
     val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
       Seq(col("ccos").desc, col("cell")), nProbe)
     val cands = probed.select(col("vec_id"), col("u"), col("cell"))

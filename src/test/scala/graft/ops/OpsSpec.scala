@@ -284,6 +284,24 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.map(_._1).size == exact.map(_._1).size)
   }
 
+  test("n42 centroid paths: broadcast frame equals the plan-literal explode") {
+    // the large-nlist switch (round 10): forcing centroidLiteralMax = 0
+    // routes centroid scoring through the broadcast frame; same KMeans
+    // seed, same DotProduct kernel, same normalized centroid doubles —
+    // the two physical shapes must produce the identical kNN join
+    val emb = Tables.embeddings(spark, T.sf0001)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("vec_id", "rank", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val literal = rows(Similarity.knnJoin(emb))
+    val frame = rows(Similarity.knnJoin(emb, centroidLiteralMax = 0))
+    spark.catalog.clearCache()
+    assert(literal.nonEmpty)
+    assert(frame == literal,
+      s"frame minus literal: ${frame.diff(literal).take(3)}; " +
+        s"literal minus frame: ${literal.diff(frame).take(3)}")
+  }
+
   test("approx_count_distinct within 10% of exact") {
     val o = Tables.orders(spark, T.sf0001)
     val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
