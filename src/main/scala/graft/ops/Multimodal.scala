@@ -622,6 +622,79 @@ object Multimodal {
       |GROUP BY vec_id
       |ORDER BY media_id""".stripMargin
 
+  /**
+   * Composed media pipeline (n59) — the [[Pipeline.pipelineQuery]] (n33)
+   * shape on the media modality, ONE fused plan end-to-end: decode
+   * metadata + payload fingerprints → exact dedup (keep lowest media_id
+   * per md5, one window over the constant-width fingerprint shuffle) →
+   * quality gate on decode metadata (visual records must fit a minimum
+   * box, audio a minimum sample rate — map-side integer predicates) →
+   * deterministic hash split (the n14 primitive, 80/10/10) → per
+   * (kind, split) shard manifest. No label propagation or any other
+   * materialization barrier in the chain, so Catalyst fuses all five
+   * stages into a single plan (the n33 property, pinned for media in
+   * `PlanShapeSpec`). This completes the final symmetry cell: text has
+   * its fused pipeline (n33); media now too.
+   */
+  def mediaPipelineQuery(spark: SparkSession, dir: String): DataFrame = {
+    val media = mediaFromDocuments(documents(spark, dir))
+    val base = decodeAll(media).toDF()
+      .join(media.toDF().select(col("media_id"), md5(col("payload")).as("fp")),
+        "media_id")
+    val dedupW = org.apache.spark.sql.expressions.Window
+      .partitionBy("fp").orderBy("media_id")
+    val deduped = base.withColumn("rk", row_number().over(dedupW))
+      .filter(col("rk") === 1).drop("rk", "fp")
+    val gated = deduped.filter(
+      (col("kind").isin("image", "video") &&
+        col("width") >= 360 && col("height") >= 270) ||
+      (col("kind") === "audio" && col("sample_rate") >= 16000))
+    val b = Sampling.hashBucket(col("media_id"))
+    gated.withColumn("split",
+        when(b < 80, "train").when(b < 90, "validation").otherwise("test"))
+      .groupBy("kind", "split")
+      .agg(count(lit(1)).as("n_media"), sum(col("n_bytes")).as("total_bytes"))
+      .orderBy("kind", "split")
+  }
+
+  /** Decode-stub metadata from octet lengths + md5 keep-first + the gate
+    * predicates + the n14 hash-bucket split + the rollup. */
+  val mediaPipelineOracle: String =
+    """WITH m AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS kind,
+      |    octet_length(encode(text)) AS n, md5(text) AS fp
+      |  FROM documents
+      |), d AS (
+      |  SELECT media_id, kind, fp, n AS n_bytes,
+      |    CASE WHEN kind IN ('image', 'video') THEN 320 + n % 320 ELSE 0 END AS width,
+      |    CASE WHEN kind IN ('image', 'video') THEN 240 + n % 240 ELSE 0 END AS height,
+      |    CASE WHEN kind = 'audio' THEN 8000 + (n % 3) * 8000 ELSE 0 END AS sample_rate
+      |  FROM m
+      |), dd AS (
+      |  SELECT * FROM (
+      |    SELECT media_id, kind, n_bytes, width, height, sample_rate,
+      |      row_number() OVER (PARTITION BY fp ORDER BY media_id) AS rk
+      |    FROM d) WHERE rk = 1
+      |), q AS (
+      |  SELECT * FROM dd
+      |  WHERE (kind IN ('image', 'video') AND width >= 360 AND height >= 270)
+      |     OR (kind = 'audio' AND sample_rate >= 16000)
+      |), s AS (
+      |  SELECT *, CAST(('0x' || substring(md5('graft:' || CAST(media_id AS VARCHAR)), 1, 8))
+      |                 AS UBIGINT) % 100 AS b
+      |  FROM q
+      |)
+      |SELECT kind,
+      |  CASE WHEN b < 80 THEN 'train'
+      |       WHEN b < 90 THEN 'validation'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n_media,
+      |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+      |FROM s
+      |GROUP BY 1, 2
+      |ORDER BY kind, split""".stripMargin
+
   /** Per-kind metadata rollup over the decoded media — the oracle reproduces
     * the stub's arithmetic from octet lengths. */
   def multimodalQuery(spark: SparkSession, dir: String): DataFrame =

@@ -75,6 +75,7 @@ object OpsQueries {
     "n57_media_dedup_corpus" -> (Multimodal.mediaDedupCorpusQuery _),
     "n58_streaming_media_clusters" ->
       ((s, d) => Multimodal.streamingMediaClustersQuery(s, d)),
+    "n59_media_pipeline" -> (Multimodal.mediaPipelineQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +146,6 @@ object OpsQueries {
     "n57_media_dedup_corpus" -> Multimodal.mediaDedupCorpusOracle,
     // incremental maintenance converges to the batch n56 closure: same SQL
     "n58_streaming_media_clusters" -> Multimodal.streamingMediaClustersOracle,
+    "n59_media_pipeline" -> Multimodal.mediaPipelineOracle,
   )
 }

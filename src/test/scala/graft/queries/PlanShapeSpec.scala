@@ -210,6 +210,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assertNoPairBlowup("n56_media_dedup")
   }
 
+  test("n59 media pipeline: stages fuse into one plan, dedup shuffles on fp") {
+    val p = assertNoPairBlowup("n59_media_pipeline")
+    // the exact-dedup window must shuffle on the constant-width md5
+    // fingerprint; the gate and split predicates are map-side, so the
+    // whole five-stage chain is one fused plan (the n33 property)
+    assert("hashpartitioning\\(fp#\\d+".r.findFirstIn(p).isDefined,
+      s"n59 dedup window does not shuffle on fp:\n$p")
+  }
+
   test("n40 source overlap: gram self-join shuffles on the md5, no cartesian") {
     val p = assertNoPairBlowup("n40_source_overlap")
     assert("hashpartitioning\\(h#\\d+".r.findFirstIn(p).isDefined
