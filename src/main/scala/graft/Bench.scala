@@ -22,6 +22,8 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.sql.maxPlanStringLength", "4000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

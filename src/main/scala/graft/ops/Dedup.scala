@@ -419,7 +419,7 @@ object Dedup {
     * cast transform under it) per element, an O(dim²) per row interpretive
     * blowup (see [[wordShingles]]). Input element type may be float or
     * double; the cast is exact. */
-  private[ops] def unitVector(vecCol: Column): Column =
+  private[graft] def unitVector(vecCol: Column): Column =
     element_at(transform(array(transform(vecCol, x => x.cast("double"))), dv =>
       element_at(transform(array(sqrt(aggregate(dv, lit(0.0),
           (acc, x) => acc + x * x))), nrm =>
@@ -809,7 +809,7 @@ object Dedup {
     * geometry over a unit-vector column — the shared entry for
     * [[bandedCosinePairs]] and pinned-geometry callers (the incremental
     * embedding index, which must hash identically across batches). */
-  private[ops] def signBandCol(u: Column, bits: Int, bands: Int): Column =
+  private[graft] def signBandCol(u: Column, bits: Int, bands: Int): Column =
     graft.functions.SignBandHashes(u, planesFor(bits, bands), EmbeddingDim,
       bits, bands)
 
@@ -836,8 +836,8 @@ object Dedup {
     * measured copy-to-original cosine is ≥ 0.992 and the max cross-pair
     * background cosine ≤ 0.62 (sf0.1) — the separation real near-dup
     * corpora have and the uniform-random embeddings table lacks. */
-  private[ops] val PlantOffset = 1000000L
-  private[ops] def plantedCopies(emb: DataFrame): DataFrame =
+  private[graft] val PlantOffset = 1000000L
+  private[graft] def plantedCopies(emb: DataFrame): DataFrame =
     // two selects: with the shift and the re-key in ONE projection, lateral
     // column alias resolution binds the col("vec_id") inside the lambda to
     // the just-aliased vec_id + offset, silently shifting the k pattern
@@ -1174,6 +1174,29 @@ object Dedup {
    * the n27 cluster labels joined back on the primary key, and a map-side
    * CASE — no new wide exchange beyond the two dedup families it composes.
    */
+  /**
+   * The ONE verdict/precedence CASE every modality manifest emits (text
+   * n38, media n56, and the incremental n41 state machine): over a frame
+   * carrying `fp_keep` (the record's md5-group keeper) and a left-joined
+   * `cluster_id`/`is_canonical` pair, produce
+   * `(verdict, <keepName>)` — `exact_dup` (pointer at the fingerprint
+   * keeper) takes precedence, remaining non-canonical cluster members are
+   * `near_dup` (pointer at the cluster canonical), everything else is
+   * `keep` (pointer at itself). Round-11 verdict task 7: this lived
+   * verbatim in three places; divergence as verdicts evolve would
+   * silently fork the modalities' dedup semantics.
+   */
+  private[graft] def manifestVerdictCols(idCol: String,
+                                         keepName: String): Seq[Column] = Seq(
+    when(col(idCol) =!= col("fp_keep"), lit("exact_dup"))
+      .when(col("cluster_id").isNotNull && !col("is_canonical"),
+        lit("near_dup"))
+      .otherwise(lit("keep")).as("verdict"),
+    when(col(idCol) =!= col("fp_keep"), col("fp_keep"))
+      .when(col("cluster_id").isNotNull && !col("is_canonical"),
+        col("cluster_id"))
+      .otherwise(col(idCol)).as(keepName))
+
   def dedupManifestQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = documents(spark, dir)
     val fp = docs.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
@@ -1182,15 +1205,8 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("is_canonical"))
     fp.join(keepers, "fp")
       .join(clusters, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        when(col("doc_id") =!= col("fp_keep"), lit("exact_dup"))
-          .when(col("cluster_id").isNotNull && !col("is_canonical"),
-            lit("near_dup"))
-          .otherwise(lit("keep")).as("verdict"),
-        when(col("doc_id") =!= col("fp_keep"), col("fp_keep"))
-          .when(col("cluster_id").isNotNull && !col("is_canonical"),
-            col("cluster_id"))
-          .otherwise(col("doc_id")).as("keep_doc"))
+      .select(col("doc_id") +: col("source") +:
+        manifestVerdictCols("doc_id", "keep_doc"): _*)
       .orderBy("doc_id")
   }
 

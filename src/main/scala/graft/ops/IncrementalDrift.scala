@@ -26,7 +26,11 @@ import graft.queries.Tables
  * the same story as n41's label snapshots); `drift/b<k>/` — append-only
  * per-batch alarm rows; `commits/<k>` — the replay-idempotence markers
  * (a committed batch short-circuits; an interrupted one recomputes
- * deterministically and overwrites its own parts).
+ * deterministically and overwrites its own parts). The write path is
+ * strictly ADDITIVE; superseded snapshot versions are reclaimed only by
+ * the explicit [[IncrementalDriftMonitor.maintain]] pass — the shared
+ * crash-surface rule of all three incremental state machines (destructive
+ * GC lives in the maintenance position, never the batch commit).
  *
  * Correctness claim (oracle-gated as n48): count merging is commutative
  * and associative, so after `processAllAvailable` the final count state
@@ -123,18 +127,32 @@ final class IncrementalDriftMonitor(root: Path) {
 
       Files.createDirectories(marker(batchId).getParent)
       if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
-      // with this batch committed, every older counts snapshot version is
-      // unreachable (readers take the max committed) — reclaim now. The
-      // round-9 verdict's retention gap: counts/v<k> was append-forever.
-      gcSnapshots()
     } finally bc.unpersist()
   }
+
+  /**
+   * The maintenance entry point — the [[IncrementalDedupIndex.compact]] /
+   * [[IncrementalEmbedIndex.compact]] position in the lifecycle, and the
+   * ONLY destructive pass this monitor runs: the per-batch write path is
+   * strictly additive (parts, snapshots, markers), so every crash state a
+   * replay can encounter is a prefix of the batch sequence plus at most
+   * one in-flight batch — the shared state-machine rule all three
+   * incremental indexes now follow (round-10 verdict: GC ran inside the
+   * batch commit here, widening the per-batch crash surface and deleting
+   * the stale-version recovery window the other two keep until
+   * maintenance). Reclaims superseded counts-snapshot versions; disk
+   * growth is bounded by the maintenance cadence instead of the stream's
+   * lifetime. The n48 query runs it inside the driver's oracle gate, as
+   * n41/n52 run compact().
+   */
+  def maintain(): Unit = gcSnapshots()
 
   /** Retention of superseded counts-snapshot versions — the
     * [[IncrementalEmbedIndex]] rule: threshold is the latest
     * MARKER-committed version (an orphan from a crash before its marker
     * must not promote), versions above it are in-flight, a crash mid-sweep
-    * leaves stale versions for the next batch's sweep. */
+    * leaves stale versions for the next sweep (deletes are independent and
+    * idempotent; readers always resolve the max committed version). */
   private def gcSnapshots(): Unit =
     committedIds("counts", "v", Long.MaxValue, requireMarker = true)
       .maxOption.foreach { keep =>
@@ -166,9 +184,10 @@ final class IncrementalDriftMonitor(root: Path) {
 object IncrementalDrift {
 
   /** n48: ingest the documents table as a 4-batch file stream through the
-    * incremental monitor, then emit the drift table implied by the final
-    * count state. Oracle: the batch n46 SQL
-    * ([[Corpus.snapshotDriftOracle]]) verbatim. */
+    * incremental monitor, run the MAINTENANCE pass (snapshot-version GC —
+    * inside the driver's oracle gate, as n41/n52 run compact()), then emit
+    * the drift table implied by the final count state. Oracle: the batch
+    * n46 SQL ([[Corpus.snapshotDriftOracle]]) verbatim. */
   def streamingDriftQuery(spark: SparkSession, dir: String,
                           chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n48")
@@ -176,6 +195,7 @@ object IncrementalDrift {
     IncrementalDedup.stageChunks(Tables.documents(spark, dir),
       base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), monitor)
+    monitor.maintain()
     monitor.finalDrift(spark).orderBy("source")
   }
 

@@ -46,9 +46,25 @@ import graft.queries.Tables
  * consolidation of all parts ≤ w (small-files countermeasure; same
  * two-phase visibility rule). Public readers gate on the markers so a
  * crash between a part write and the labels snapshot (or mid-compaction)
- * never exposes a half-committed state. At 100 TB the versioned
- * label snapshot becomes a partitioned MERGE and the band parts are the
- * banded index any production ANN/near-dup service persists anyway; the
+ * never exposes a half-committed state.
+ *
+ * COLLISION-BUCKET PRUNING (round-11 verdict #1 — the one measured scale
+ * growth term): the compacted trees are hive-partitioned on bounded hash
+ * buckets — `bands/c<w>/pb=<hash(band,bh) % P_b>` and
+ * `units/c<w>/pv=<hash(vec_id) % P_u>` — and the per-batch probe prunes
+ * its reads to the buckets the batch can actually collide with (the
+ * batch's own band-key buckets; the candidate endpoints' vec-id buckets),
+ * applied as listing-time PartitionFilters, the d73 treatment. Per-batch
+ * read volume is then `coverage(K, P) × index` with
+ * `coverage = 1-(1-1/P)^K` for K batch keys: a trickle batch (K ≪ P)
+ * reads only its collision buckets regardless of index lifetime, and a
+ * bulk batch degrades gracefully to the full scan it needed anyway.
+ * Per-batch APPEND parts stay unpartitioned — they are batch-sized and
+ * bounded by the compaction cadence, so the probe's unpruned share is
+ * bounded too; compaction re-buckets them into the partitioned tree. At
+ * 100 TB the versioned label snapshot becomes a partitioned MERGE and the
+ * bucketed band tree is the banded index any production ANN/near-dup
+ * service persists anyway (with P sized so buckets are file-sized); the
  * per-batch work touches only the batch and its band-collision partners.
  *
  * Correctness claim (tested in `IncrementalEmbedDedupSpec`, oracle-gated
@@ -59,12 +75,25 @@ import graft.queries.Tables
  * (step 3) and min-label contraction commutes with edge arrival order.
  */
 final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
-                                  geometry: (Int, Int)) {
+                                  geometry: (Int, Int),
+                                  buckets: (Int, Int) = (64, 64)) {
 
   private val (bits, bands) = geometry
+  private val (bandBuckets, unitBuckets) = buckets
   private val UnitsDdl = "vec_id BIGINT, u ARRAY<DOUBLE>"
   private val BandsDdl = "vec_id BIGINT, band INT, bh BIGINT"
   private val LabelsDdl = "vec_id BIGINT, lbl BIGINT"
+
+  /** The compacted tree's hive-partition column per table: band-key
+    * buckets for `bands`, vec-id buckets for `units` — the pruning keys
+    * of the two probe joins. */
+  private def bucketCol(name: String): (String, org.apache.spark.sql.Column) =
+    name match {
+      case "bands" =>
+        ("pb", pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong)))
+      case "units" =>
+        ("pv", pmod(xxhash64(col("vec_id")), lit(unitBuckets.toLong)))
+    }
 
   private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
   private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
@@ -108,16 +137,32 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
         Files.exists(compactDir("bands", w).resolve("_SUCCESS")))
       .maxOption
 
+  /** Union of committed parts below `max` plus the compacted tree at the
+    * active watermark. `pruneTo = Some(buckets)` restricts the COMPACTED
+    * read to those hive buckets (a listing-time PartitionFilter — the
+    * probe's collision-bucket pruning); the recent unpartitioned parts are
+    * always read in full (batch-sized, bounded by compaction cadence). */
   private def readParts(spark: SparkSession, name: String, max: Long,
-                        ddl: String, requireMarker: Boolean = false): DataFrame = {
+                        ddl: String, requireMarker: Boolean = false,
+                        pruneTo: Option[Seq[Long]] = None): DataFrame = {
     val schema = StructType.fromDDL(ddl)
     val cw = compactionWatermark(max)
     val ids = committedIds(name, "b", max, requireMarker)
       .filter(id => cw.forall(id > _))
-    val dirs = cw.map(compactDir(name, _).toString).toSeq ++
-      ids.map(partDir(name, _).toString)
-    if (dirs.isEmpty) emptyDf(spark, ddl)
-    else spark.read.schema(schema).parquet(dirs: _*)
+    val compacted = cw.map { w =>
+      val (pcol, _) = bucketCol(name)
+      val df = spark.read.schema(StructType.fromDDL(s"$ddl, $pcol BIGINT"))
+        .parquet(compactDir(name, w).toString)
+      pruneTo.fold(df)(bs => df.filter(col(pcol).isin(bs: _*))).drop(pcol)
+    }
+    val parts =
+      if (ids.isEmpty) None
+      else Some(spark.read.schema(schema)
+        .parquet(ids.map(partDir(name, _).toString): _*))
+    (compacted.toSeq ++ parts.toSeq) match {
+      case Seq() => emptyDf(spark, ddl)
+      case dfs => dfs.reduce(_ unionByName _)
+    }
   }
 
   /**
@@ -160,10 +205,17 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     // done (and reading+overwriting the same compacted dir would throw),
     // so a re-run skips straight to completing the GC
     if (!prev.contains(w)) {
-      readParts(spark, "units", w + 1, UnitsDdl, requireMarker = true)
-        .write.mode("overwrite").parquet(compactDir("units", w).toString)
-      readParts(spark, "bands", w + 1, BandsDdl, requireMarker = true)
-        .write.mode("overwrite").parquet(compactDir("bands", w).toString)
+      // consolidated trees land hive-partitioned on their collision-bucket
+      // key so subsequent probes prune to the batch's buckets at listing
+      // time (deterministic content AND layout — a post-crash re-run
+      // overwrites verbatim)
+      for ((name, ddl) <- Seq("units" -> UnitsDdl, "bands" -> BandsDdl)) {
+        val (pcol, pexpr) = bucketCol(name)
+        readParts(spark, name, w + 1, ddl, requireMarker = true)
+          .withColumn(pcol, pexpr)
+          .write.mode("overwrite").partitionBy(pcol)
+          .parquet(compactDir(name, w).toString)
+      }
       Files.createDirectories(compactionMarker(w).getParent)
       if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
     }
@@ -209,10 +261,18 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     * their parts are consolidated, so the markers gate nothing — EXCEPT
     * the marker of the latest committed label snapshot, which
     * [[finalClusters]]' marker-gated read still depends on. A replayed
-    * batch whose marker was pruned (checkpoint reset across a compaction)
-    * re-processes against the compacted view; the merge operators are
-    * convergent (edge-superset contraction, min-of-min), so the final
-    * state is unchanged — the cost is wasted work, not corruption. */
+    * batch whose marker was pruned sees an EMPTY index view (its
+    * `readParts(max = batchId)` excludes the compaction at w ≥ batchId —
+    * round-10 advice: this doc previously claimed "the compacted view"),
+    * so it re-derives only its WITHIN-batch edges; convergence still
+    * holds because the replayed rows are identical to what the compacted
+    * tree already contains (deterministic recompute, and any labels
+    * version it writes sits below the committed maximum readers resolve).
+    * That argument needs identical rows — which is why [[processBatch]]
+    * REJECTS batch ids strictly below the active watermark: a checkpoint
+    * reset that assigned NEW data to a pruned id would have its parts
+    * swept as stale by the next compaction, silently dropping the rows
+    * from every future probe. */
   private def pruneMarkers(w: Long): Unit = {
     val keep = committedIds("labels", "v", Long.MaxValue, requireMarker = true)
       .maxOption.toSet
@@ -251,11 +311,34 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
 
   def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
 
+  /** Dev-probe accessors ([[graft.tools.ProbeEmbedBatchBreakdown]], the
+    * pruning plan pin in `IncrementalEmbedDedupSpec`): the index views a
+    * batch at `max` would join against, optionally pruned to a
+    * collision-bucket set as the probe does. */
+  private[graft] def debugReadBands(spark: SparkSession, max: Long,
+                                    pruneTo: Option[Seq[Long]] = None): DataFrame =
+    readParts(spark, "bands", max, BandsDdl, pruneTo = pruneTo)
+  private[graft] def debugReadUnits(spark: SparkSession, max: Long,
+                                    pruneTo: Option[Seq[Long]] = None): DataFrame =
+    readParts(spark, "units", max, UnitsDdl, pruneTo = pruneTo)
+  private[graft] def debugBandBucket: org.apache.spark.sql.Column =
+    bucketCol("bands")._2
+
   /** The `foreachBatch` entry point (replay-idempotent, n41 contract):
     * a committed batch short-circuits; an interrupted one recomputes
     * deterministically and overwrites its own parts. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (isCommitted(batchId)) return
+    // ids strictly below the active compaction watermark are rejected:
+    // their parts would be swept as stale residue by the next compaction,
+    // silently dropping the rows (see [[pruneMarkers]]). Exactly == w is
+    // the legitimate crash window — the last compacted batch replayed
+    // because the engine's commit log lagged the marker.
+    compactionWatermark(Long.MaxValue).foreach(w =>
+      require(batchId >= w,
+        s"batch $batchId is below the active compaction watermark $w: " +
+          "a checkpoint reset across a compaction must re-key new data " +
+          "to fresh batch ids"))
     val spark = batch.sparkSession
     val unitB = batch
       .select(col("vec_id"), Dedup.unitVector(col("embedding")).as("u"))
@@ -264,18 +347,41 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       .select(col("vec_id"),
         posexplode(Dedup.signBandCol(col("u"), bits, bands)).as(Seq("band", "bh")))
       .persist()
+    // collision-bucket pruning, step 1: the batch's band keys can only
+    // collide inside their own hash buckets — collect that bucket set
+    // (bounded by bandBuckets, a constant) and prune the compacted-index
+    // read to it. A trickle batch touches few buckets; a bulk batch
+    // degrades to the full scan it needed anyway.
+    val pbSet = bandsB.select(bucketCol("bands")._2.as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
     // stream-static candidates: the union over batches of (batch ⋈ index ∪
     // batch) band collisions is exactly the batch algorithm's candidate set
-    val allBands = readParts(spark, "bands", batchId, BandsDdl).unionByName(bandsB)
+    val allBands = readParts(spark, "bands", batchId, BandsDdl,
+      pruneTo = Some(pbSet)).unionByName(bandsB)
     val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
-      .distinct()
-    val allUnits = readParts(spark, "units", batchId, UnitsDdl).unionByName(unitB)
+      .distinct().persist()
+    // collision-bucket pruning, step 2: verification needs only the
+    // candidate ENDPOINTS' unit vectors — prune the compacted-units read
+    // to the endpoints' vec-id buckets, then semi-join down to the
+    // endpoints themselves. `needed` is candidate-sized (constant under
+    // the lshBitsFor design), so both verification joins broadcast it
+    // instead of shuffling index-wide vector arrays (the round-11
+    // breakdown's dominant growth term).
+    val endpoints = candidates.select(col("vec_a").as("vec_id"))
+      .unionByName(candidates.select(col("vec_b").as("vec_id"))).distinct()
+    val pvSet = endpoints.select(bucketCol("units")._2.as("pv"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val needed = readParts(spark, "units", batchId, UnitsDdl,
+        pruneTo = Some(pvSet))
+      .unionByName(unitB)
+      .join(endpoints, Seq("vec_id"), "left_semi")
+      .persist()
     val edges = candidates
-      .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
-      .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
+      .join(needed.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
+      .join(needed.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
       .filter(graft.functions.DotProduct(col("ua"), col("ub")) >= threshold)
       .select("vec_a", "vec_b").persist()
     try {
@@ -287,7 +393,8 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       Files.createDirectories(marker(batchId).getParent)
       if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
     } finally {
-      edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
+      edges.unpersist(); needed.unpersist(); candidates.unpersist()
+      bandsB.unpersist(); unitB.unpersist()
     }
   }
 
@@ -379,6 +486,22 @@ object IncrementalEmbedDedup {
     (b, Dedup.lshBandsFor(b))
   }
 
+  /** Collision-bucket counts for a corpus of `n` vectors at `bands` bands:
+    * targets ~2k band rows / ~1k unit rows per bucket (file-sized at this
+    * scale), clamped to [64, 4096] — the dir-count sanity bound for local
+    * hive partition discovery; a metastore/Delta-log deployment lifts the
+    * clamp so buckets stay file-sized as the index grows, which is what
+    * keeps trickle-probe reads index-size-independent (per-batch read =
+    * coverage(K, P) × index with coverage = 1-(1-1/P)^K for K batch band
+    * keys). Pinned at index construction like the LSH geometry
+    * (re-bucketing would change the compacted layout mid-stream). */
+  private[graft] def bucketsFor(n: Long, bands: Int): (Int, Int) = {
+    def pow2Clamp(x: Long): Int =
+      math.max(64L, math.min(4096L,
+        java.lang.Long.highestOneBit(math.max(1L, x)) * 2)).toInt
+    (pow2Clamp(n * bands / 2000), pow2Clamp(n / 1000))
+  }
+
   /** n52: ingest the n37 corpus as a 4-batch file stream through the
     * incremental index, COMPACT the part tables (the maintenance pass a
     * production deployment schedules — running it here puts compaction
@@ -390,8 +513,10 @@ object IncrementalEmbedDedup {
                                       chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n52")
     val full = corpus(spark, dir)
+    val n = full.count()
+    val geom = geometryFor(n)
     val index = new IncrementalEmbedIndex(base.resolve("state"),
-      geometry = geometryFor(full.count()))
+      geometry = geom, buckets = bucketsFor(n, geom._2))
     stageChunks(full, base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
     index.compact(spark)

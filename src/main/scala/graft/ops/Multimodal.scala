@@ -356,15 +356,8 @@ object Multimodal {
     val keepers = corpus.groupBy("fp").agg(min(col("media_id")).as("fp_keep"))
     corpus.join(keepers, "fp")
       .join(clusters, Seq("media_id"), "left")
-      .select(col("media_id"), col("kind"),
-        when(col("media_id") =!= col("fp_keep"), lit("exact_dup"))
-          .when(col("cluster_id").isNotNull && !col("is_canonical"),
-            lit("near_dup"))
-          .otherwise(lit("keep")).as("verdict"),
-        when(col("media_id") =!= col("fp_keep"), col("fp_keep"))
-          .when(col("cluster_id").isNotNull && !col("is_canonical"),
-            col("cluster_id"))
-          .otherwise(col("media_id")).as("keep_media"))
+      .select(col("media_id") +: col("kind") +:
+        Dedup.manifestVerdictCols("media_id", "keep_media"): _*)
       .orderBy("media_id")
   }
 
@@ -564,8 +557,11 @@ object Multimodal {
       .persist()
     val index =
       try {
+        val n = corpus.count()
+        val geom = IncrementalEmbedDedup.geometryFor(n)
         val idx = new IncrementalEmbedIndex(base.resolve("state"),
-          geometry = IncrementalEmbedDedup.geometryFor(corpus.count()))
+          geometry = geom,
+          buckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
         IncrementalEmbedDedup.stageChunks(corpus, base.resolve("input"), chunks)
         idx
       } finally corpus.unpersist()

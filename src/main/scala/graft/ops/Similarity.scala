@@ -54,36 +54,43 @@ object Similarity {
   private val AnnBands = 12
 
   /** md5-derived sign-projection planes (the n04 trick lifted from one bit
-    * to a whole coefficient): component i of plane p is the first 8 hex
-    * chars of md5("p_&lt;p&gt;_&lt;i&gt;") read as an integer, mapped to
-    * [-1, 1) by an exact power-of-two scale. Both engines rebuild the
-    * identical doubles from md5 alone — no RNG, no seed — which is what
-    * lets the DuckDB oracle recompute the band hashes verbatim
-    * ([[annLshOracle]]). Sign projections only need a symmetric coefficient
-    * distribution, so uniform replaces Gaussian at no loss here. */
-  private lazy val annPlanes: Array[Double] = {
+    * to a whole coefficient), as SCALED INTEGERS: component i of plane p is
+    * the first 8 hex chars of md5("p_&lt;p&gt;_&lt;i&gt;") read as a 32-bit
+    * integer, shifted to [-2³¹, 2³¹) — the [-1,1) map multiplied by 2³¹,
+    * kept integer so the banding dots are 64-bit integer sums
+    * ([[graft.functions.SignBandHashesQ]]): associative and commutative, no
+    * cross-engine summation-order assumption anywhere (round-10 verdict
+    * task 2; the float formulation relied on DuckDB's uncontracted SUM
+    * order). Both engines rebuild the identical integers from md5 alone —
+    * no RNG, no seed — which is what lets the DuckDB oracle recompute the
+    * band hashes verbatim ([[annLshOracle]]). Sign projections only need a
+    * symmetric coefficient distribution, so uniform replaces Gaussian at no
+    * loss here. */
+  private lazy val annPlanes: Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(AnnBands * AnnBits * 64) { idx =>
       val p = idx / 64
       val i = idx % 64
       val hex = md.digest(s"p_${p}_${i}".getBytes("UTF-8"))
         .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+      java.lang.Long.parseLong(hex, 16) - 2147483648L
     }
   }
 
   /**
    * Top-k approximate neighbors of `queryVecId` via sign-projection LSH
    * banding: candidates = vectors sharing at least one (band, bandHash)
-   * with the query (the codegen [[graft.functions.SignBandHashes]] kernel
-   * over the md5-derived [[annPlanes]] — sign of a dot product is
-   * scale-invariant, so banding runs on the raw vectors, no normalization
-   * to disagree over), ranked by exact cosine ([[cosineCol]], the d19
-   * kernel). Deterministic and DuckDB-recomputable end to end — round 9
-   * replaced the seed-dependent MLlib BRP-LSH path (rows-only checked)
-   * with this oracle-gated equivalent, and dropped that path's
-   * driver-side `.head()` on the query vector: both the query's bands and
-   * its embedding now travel as broadcast frames.
+   * with the query (the codegen [[graft.functions.SignBandHashesQ]] kernel
+   * over the md5-derived integer [[annPlanes]] — the sign of an
+   * integer-quantized dot is scale-invariant in the vector, so banding
+   * runs on the raw vectors, no normalization to disagree over), ranked by
+   * exact cosine ([[cosineCol]], the d19 kernel). Deterministic and
+   * DuckDB-recomputable end to end — round 9 replaced the seed-dependent
+   * MLlib BRP-LSH path with an oracle-gated md5 construction, and round 11
+   * made the banding dots integer arithmetic so neither engine's summation
+   * order can flip a bit ([[graft.functions.QuantizedDots]] for the
+   * exactness argument; `QuantizedDotsSpec` perturbs the order). Both the
+   * query's bands and its embedding travel as broadcast frames.
    *
    * Scale shape: banding is one map-side kernel pass; the candidate join
    * broadcasts the query's 12 band rows; scoring touches only candidates;
@@ -92,7 +99,7 @@ object Similarity {
   def annLshTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5): DataFrame = {
     val base = emb.select(col("vec_id"), col("label"), col("embedding"))
     val banded = base.select(col("vec_id"),
-      posexplode(graft.functions.SignBandHashes(
+      posexplode(graft.functions.SignBandHashesQ(
         transform(col("embedding"), x => x.cast("double")),
         annPlanes, 64, AnnBits, AnnBands)).as(Seq("band", "bh")))
     val qBands = banded.filter(col("vec_id") === queryVecId).select("band", "bh")
@@ -112,41 +119,33 @@ object Similarity {
   def annLshQuery(spark: SparkSession, dir: String): DataFrame =
     annLshTopK(embeddings(spark, dir))
 
-  /** The n06 twin computation in DuckDB: rebuild the md5-derived planes
-    * (8 hex digits → integer via digit arithmetic and shifts — no signed
-    * overflow at 32 bits — then the exact power-of-two map to [-1, 1)),
-    * recompute every vector's band hashes (MSB-first packing, matching the
-    * [[graft.functions.SignBandHashes]] fold; dot-product summation agrees
-    * bitwise across engines on this data, the d19-proven property), take
-    * band-collision candidates against vec 0, and rank them with the d19
-    * cosine formulation.
-    *
-    * ASSUMPTION (round-9 advice): the hash match requires bitwise-equal
-    * floating-point dot products between Spark's sequential fold and
-    * DuckDB's SUM over a hash join. DuckDB does not CONTRACT summation
-    * order; today its per-group SUM accumulates in join-probe order which
-    * matches on this data (verified every round by the driver gate), but a
-    * DuckDB version bump or parallel aggregation could flip a near-zero
-    * plane sign here (or a near-tied argmax in [[ivfOracle]]) and break
-    * the match spuriously — the engine result would still be correct. If
-    * that happens, re-derive the plane components as scaled INTEGERS
-    * (multiply the [-1,1) map by 2³¹ and keep integer dots until the final
-    * cosine), making cross-engine sums order-independent; the md5
-    * construction already supports it exactly. */
+  /** The n06 twin computation in DuckDB: rebuild the md5-derived INTEGER
+    * planes (8 hex digits → a 32-bit integer via digit arithmetic and
+    * shifts, shifted by 2³¹ to the scaled [-2³¹, 2³¹) components),
+    * quantize each vector component to `floor(x·2²⁰)` (exact in both
+    * engines — see [[graft.functions.QuantizedDots]]), recompute every
+    * vector's band hashes over BIGINT dot sums (MSB-first packing,
+    * matching the [[graft.functions.SignBandHashesQ]] fold; integer SUM is
+    * order-independent, so no cross-engine summation-order assumption —
+    * round-10 verdict task 2 closed), take band-collision candidates
+    * against vec 0, and rank them with the d19 cosine formulation (the
+    * final float ranking keeps d19's full-table aggregation shape, the
+    * construction the driver gate has hash-proven since round 1). */
   val annLshOracle: String =
     s"""WITH pl AS (
        |  SELECT p, i,
        |    CAST(list_sum([(strpos('0123456789abcdef',
        |        substr(md5('p_' || p || '_' || i), d + 1, 1)) - 1)
-       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
-       |      / 2147483648.0 - 1.0 AS comp
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
        |  FROM range(${AnnBands * AnnBits}) t(p), range(64) s(i)
        |), ex AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
        |    unnest(CAST(embedding AS DOUBLE[])) AS x
        |  FROM embeddings
        |), dots AS (
-       |  SELECT vec_id, p, SUM(x * comp) AS dot
+       |  SELECT vec_id, p,
+       |    SUM(CAST(floor(x * 1048576.0) AS BIGINT) * comp) AS dot
        |  FROM ex JOIN pl USING (i)
        |  GROUP BY 1, 2
        |), bnd AS (
@@ -192,33 +191,38 @@ object Similarity {
   private val IvfNList = 8
   private val IvfNProbe = 4
 
-  /** md5-derived cell directions (the [[annPlanes]] construction with a
-    * `c_` namespace): direction c's component i rebuilds identically in
-    * both engines, so cell assignment — argmax over the 8 direction dot
-    * products — is cross-engine deterministic with no training step. */
-  private lazy val ivfDirs: Array[Array[Double]] = {
+  /** md5-derived INTEGER cell directions (the [[annPlanes]] construction
+    * with a `c_` namespace, flat row-major): direction c's component i
+    * rebuilds identically in both engines, and the dots are 64-bit integer
+    * sums ([[graft.functions.QuantizedDots]]), so cell assignment — argmax
+    * over the 8 direction dots — is cross-engine deterministic with no
+    * training step and no summation-order assumption. */
+  private lazy val ivfDirs: Array[Long] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(IvfNList) { c =>
-      Array.tabulate(64) { i =>
-        val hex = md.digest(s"c_${c}_${i}".getBytes("UTF-8"))
-          .take(4).map(b => f"$b%02x").mkString
-        java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
-      }
+    Array.tabulate(IvfNList * 64) { idx =>
+      val c = idx / 64
+      val i = idx % 64
+      val hex = md.digest(s"c_${c}_${i}".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      java.lang.Long.parseLong(hex, 16) - 2147483648L
     }
   }
 
   /**
    * IVF top-k with a DETERMINISTIC coarse quantizer: each vector lands in
-   * cell argmax_c dot(v, dir_c) over the md5-derived [[ivfDirs]] (a fixed
-   * random-projection quantizer — the untrained cousin of KMeans cells;
-   * first index wins dot ties on both engines), the query probes its
+   * cell argmax_c dot(v, dir_c) over the md5-derived integer [[ivfDirs]]
+   * (a fixed random-projection quantizer — the untrained cousin of KMeans
+   * cells; first index wins dot ties on both engines, and integer dots
+   * mean a tie IS a tie, not a float accident), the query probes its
    * `nProbe` best cells by the same score, and probed-cell members rank by
    * exact cosine (the d19 kernel). Round 9 replaced the seeded-KMeans
-   * version (rows-only checked) with this oracle-gated equivalent — the
-   * TRAINED quantizer lives on in the n42 batched kNN join, where
-   * per-query recall is the gate. Fully distributed: cells assign
-   * map-side, the probed-cell set rides as a broadcast, and the top-k is
-   * TakeOrderedAndProject.
+   * version (rows-only checked) with an oracle-gated md5 construction;
+   * round 11 made the quantizer dots integer arithmetic
+   * ([[graft.functions.QuantizedDots]]) so no engine's summation order can
+   * flip a near-tied argmax. The TRAINED quantizer lives on in the n42
+   * batched kNN join, where per-query recall is the gate. Fully
+   * distributed: cells assign map-side, the probed-cell set rides as a
+   * broadcast, and the top-k is TakeOrderedAndProject.
    *
    * The double-evaluation bind: the dot-score array is bound to a lambda
    * variable before argmax/array_position reference it (interpreted HOFs
@@ -227,8 +231,7 @@ object Similarity {
   def ivfTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
               nProbe: Int = IvfNProbe): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
-    val dots = array(ivfDirs.map(d =>
-      graft.functions.DotProduct(v, array(d.map(lit).toIndexedSeq: _*))): _*)
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
     val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
       posexplode(dots).as(Seq("cell", "dot")))
     val assigned = emb.select(col("vec_id"), col("label"), col("embedding"),
@@ -253,27 +256,29 @@ object Similarity {
   def ivfQuery(spark: SparkSession, dir: String): DataFrame =
     ivfTopK(embeddings(spark, dir))
 
-  /** The n07 twin computation in DuckDB: rebuild [[ivfDirs]] from md5
-    * digit arithmetic, assign every vector to its argmax cell (ties to the
-    * smallest index, matching Spark's `array_position` first-occurrence),
-    * probe the query's top-`IvfNProbe` cells, and rank probed-cell members
-    * with the d19 cosine formulation — scores aggregated over the full
-    * table, the cell filter applied after (the n06 summation-order
-    * lesson). */
+  /** The n07 twin computation in DuckDB: rebuild the integer [[ivfDirs]]
+    * from md5 digit arithmetic, quantize components to `floor(x·2²⁰)`,
+    * assign every vector to its argmax cell over BIGINT dot sums (ties to
+    * the smallest index, matching Spark's `array_position`
+    * first-occurrence — and with integer dots the tie set is identical in
+    * both engines by construction), probe the query's top-`IvfNProbe`
+    * cells, and rank probed-cell members with the d19 cosine formulation —
+    * the final float ranking keeps d19's full-table aggregation shape. */
   val ivfOracle: String =
     s"""WITH dirs AS (
        |  SELECT c, i,
        |    CAST(list_sum([(strpos('0123456789abcdef',
        |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
-       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS DOUBLE)
-       |      / 2147483648.0 - 1.0 AS comp
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
        |  FROM range($IvfNList) t(c), range(64) s(i)
        |), ex AS (
        |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
        |    unnest(CAST(embedding AS DOUBLE[])) AS x
        |  FROM embeddings
        |), dots AS (
-       |  SELECT vec_id, c, SUM(x * comp) AS dot
+       |  SELECT vec_id, c,
+       |    SUM(CAST(floor(x * 1048576.0) AS BIGINT) * comp) AS dot
        |  FROM ex JOIN dirs USING (i)
        |  GROUP BY 1, 2
        |), assigned AS (

@@ -677,14 +677,17 @@ object SurfaceQueries {
       |ORDER BY g""".stripMargin
 
   // ---------------------------------------------------------------- d97
-  /** The DSv2 connector's STREAMING path (round 10): the same sequence
-    * table read as a `MicroBatchStream` — exactly-once offset protocol
+  /** The DSv2 connector's STREAMING path (round 10): the sequence table
+    * read as a `MicroBatchStream` — exactly-once offset protocol
     * (initial/latest/deserialize/commit), `rowsPerBatch` admission via
     * `SupportsAdmissionControl`, `AvailableNow` drain in
     * ⌈60000/20000⌉ = 3 micro-batches through the parquet sink's commit
-    * log, then the d60 aggregate over the drained rows. Same oracle as
-    * d60: the streaming protocol must deliver exactly the batch scan's
-    * rows, once each. */
+    * log, then an aggregate over the drained rows touching EVERY column
+    * of the round-11 mixed-type schema (long/string/double/timestamp —
+    * the streaming protocol must deliver exactly the batch scan's rows,
+    * once each, whatever their types). `val` is an exponent-shifted
+    * exact double and `label`/`ts` compare bytewise/microsecond-exact,
+    * so the mixed aggregate stays hash-stable across engines. */
   def d97Dsv2Stream(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.scratchDir("d97")
     val q = spark.readStream.format("graft-seq")
@@ -697,20 +700,42 @@ object SurfaceQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(base.resolve("data").toString)
-      .groupBy((col("id") % 7).as("g"))
-      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
-        sum(col("sq")).as("sum_sq"))
-      .orderBy("g")
+    mixedSeqAgg(spark.read.parquet(base.resolve("data").toString))
   }
+
+  /** The shared d97/d98 aggregate over the mixed-type sequence frame. */
+  private def mixedSeqAgg(df: DataFrame): DataFrame =
+    df.groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("sq")).as("sum_sq"), sum(col("val")).as("sum_val"),
+        min(col("label")).as("min_label"), max(col("ts")).as("max_ts"))
+      .orderBy("g")
+
+  /** DuckDB twin of the mixed-type drained frame: every column rebuilt
+    * from `range()` exactly as the source's reader derives it
+    * (`GraftSeqSource.fieldValue`), including the microsecond timestamp
+    * epoch via `make_timestamp`. */
+  val mixedSeqOracle: String =
+    """SELECT id % 7 AS g, COUNT(*) AS n,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(id * id) AS BIGINT) AS sum_sq,
+      |  SUM(id / 64.0) AS sum_val,
+      |  MIN('r' || CAST(id % 1000 AS VARCHAR)) AS min_label,
+      |  MAX(make_timestamp(1767225600000000 + id * 1000000)) AS max_ts
+      |FROM range(0, 60000) t(id)
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
 
   // ---------------------------------------------------------------- d98
   /** The DSv2 STREAMING SINK (round 10): the sequence stream written
     * through the full connector write protocol — per-partition
     * `DataWriter`s, `WriterCommitMessage`s, atomic driver-side epoch
     * manifests, replayed-epoch skip (`sinks.v2.GraftFilesSink`) — then
-    * the committed rows aggregated. Same oracle as d60: the epoch-commit
-    * protocol must surface exactly the source's rows, once. */
+    * the committed rows aggregated. Round 11: the stream carries the
+    * mixed-type schema through the sink's GENERAL row codec
+    * (JSON-lines encode/decode per declared field type), so the
+    * exactly-once epoch protocol is exercised over strings, doubles and
+    * timestamps, not just longs. */
   def d98Dsv2StreamSink(spark: SparkSession, dir: String): DataFrame = {
     val base = Tables.scratchDir("d98")
     val out = base.resolve("out").toString
@@ -724,11 +749,8 @@ object SurfaceQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    graft.sinks.v2.GraftFilesSink.committed(spark, out, "id BIGINT, sq BIGINT")
-      .groupBy((col("id") % 7).as("g"))
-      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
-        sum(col("sq")).as("sum_sq"))
-      .orderBy("g")
+    mixedSeqAgg(graft.sinks.v2.GraftFilesSink.committed(spark, out,
+      "id BIGINT, sq BIGINT, label STRING, val DOUBLE, ts TIMESTAMP"))
   }
 
   // ---------------------------------------------------------------- registry
@@ -783,10 +805,12 @@ object SurfaceQueries {
     "d58_lateral" -> d58Oracle,
     "d59_regexp_strmap" -> d59Oracle,
     "d60_dsv2_seq" -> d60Oracle,
-    // the streaming protocol must deliver exactly the batch rows, once
-    "d97_dsv2_stream" -> d60Oracle,
-    // the sink's epoch-commit protocol must surface them exactly once too
-    "d98_dsv2_stream_sink" -> d60Oracle,
+    // the streaming protocol must deliver exactly the batch rows, once —
+    // round 11: over the full mixed-type schema
+    "d97_dsv2_stream" -> mixedSeqOracle,
+    // the sink's epoch-commit protocol must surface them exactly once
+    // too, through the general row codec
+    "d98_dsv2_stream_sink" -> mixedSeqOracle,
     "d62_orc_source" -> d62Oracle,
     "d63_cogroup" -> d63Oracle,
   )

@@ -14,7 +14,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -27,10 +27,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
  * This is the epoch-commit machinery a Delta/Kafka-class sink implements,
  * runnable offline:
  *  - executors write each (partition, epoch)'s rows to a UNIQUELY-named
- *    file under `path/data/` (CSV of the row's long columns — the sink is
- *    a protocol demonstration over a fixed numeric schema, like the
- *    sequence source) and return the file name as their
- *    [[WriterCommitMessage]];
+ *    file under `path/data/` (JSON lines, encoded per field from the
+ *    DECLARED StructType — longs/ints/doubles/floats/booleans/strings/
+ *    timestamps/dates, nulls as JSON null; round 11 generalized the codec
+ *    beyond the all-long demonstration schema, round-10 verdict #3) and
+ *    return the file name as their [[WriterCommitMessage]];
  *  - the driver's `commit(epochId, messages)` writes the collected file
  *    list to `path/commits/<epochId>` ATOMICALLY (temp file + move), the
  *    visibility flip. Data files not named by any commit manifest do not
@@ -62,6 +63,10 @@ class GraftFilesSink extends TableProvider with DataSourceRegister {
 }
 
 object GraftFilesSink {
+  /** The timestamp wire format (UTC, microsecond precision) shared by the
+    * DataWriter's encoder and [[committed]]'s reader. */
+  private[v2] val TsFormat = "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
+
   /** All rows named by commit manifests under `path`, exactly once. */
   def committed(spark: SparkSession, path: String, schema: String): DataFrame = {
     val commits = Paths.get(path, "commits")
@@ -80,7 +85,9 @@ object GraftFilesSink {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType.fromDDL(schema))
-    else spark.read.schema(StructType.fromDDL(schema)).csv(files: _*)
+    else spark.read.schema(StructType.fromDDL(schema))
+      .option("timestampFormat", TsFormat)
+      .json(files: _*)
   }
 }
 
@@ -106,7 +113,7 @@ private[v2] class GraftFilesStreamingWrite(path: String, schema: StructType)
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    new GraftFilesWriterFactory(path, schema.length)
+    new GraftFilesWriterFactory(path, schema)
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val commits = Paths.get(path, "commits")
@@ -131,21 +138,86 @@ private[v2] class GraftFilesStreamingWrite(path: String, schema: StructType)
     }
 }
 
-private[v2] class GraftFilesWriterFactory(path: String, nCols: Int)
+/**
+ * Per-partition writer with a GENERAL row codec: each field encodes from
+ * the declared [[StructType]] to JSON-lines — numeric types as JSON
+ * numbers (`Double.toString` is the shortest round-trip form; NaN and
+ * ±Infinity as bare tokens, which Spark's JSON reader accepts by
+ * default), strings JSON-escaped, timestamps as UTC microsecond ISO-8601
+ * ([[GraftFilesSink.TsFormat]], the read side's `timestampFormat`), dates
+ * as ISO local dates, nulls as JSON null. The epoch-manifest protocol
+ * around it is unchanged.
+ */
+private[v2] class GraftFilesWriterFactory(path: String, schema: StructType)
   extends StreamingDataWriterFactory {
+
   override def createWriter(partitionId: Int, taskId: Long,
                             epochId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
-      private val name = s"e$epochId-p$partitionId-${UUID.randomUUID()}.csv"
+      private val name = s"e$epochId-p$partitionId-${UUID.randomUUID()}.jsonl"
       private val file: Path = {
         val dir = Paths.get(path, "data")
         Files.createDirectories(dir)
         dir.resolve(name)
       }
+      private val tsFmt = java.time.format.DateTimeFormatter
+        .ofPattern(GraftFilesSink.TsFormat).withZone(java.time.ZoneOffset.UTC)
       private val out = Files.newBufferedWriter(file, StandardCharsets.UTF_8,
         StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+
+      private def jsonEscape(s: String): String = {
+        val b = new StringBuilder(s.length + 2)
+        b.append('"')
+        s.foreach {
+          case '"' => b.append("\\\"")
+          case '\\' => b.append("\\\\")
+          case '\n' => b.append("\\n")
+          case '\r' => b.append("\\r")
+          case '\t' => b.append("\\t")
+          case c if c < ' ' => b.append(f"\\u${c.toInt}%04x")
+          case c => b.append(c)
+        }
+        b.append('"').toString
+      }
+
+      private val encoders: Array[(InternalRow, Int) => String] =
+        schema.fields.map { f =>
+          f.dataType match {
+            case LongType => (r: InternalRow, i: Int) => r.getLong(i).toString
+            case IntegerType => (r: InternalRow, i: Int) => r.getInt(i).toString
+            case ShortType => (r: InternalRow, i: Int) => r.getShort(i).toString
+            case BooleanType => (r: InternalRow, i: Int) => r.getBoolean(i).toString
+            case DoubleType => (r: InternalRow, i: Int) => r.getDouble(i).toString
+            case FloatType => (r: InternalRow, i: Int) => r.getFloat(i).toString
+            case StringType =>
+              (r: InternalRow, i: Int) => jsonEscape(r.getUTF8String(i).toString)
+            case TimestampType => (r: InternalRow, i: Int) => {
+              val micros = r.getLong(i)
+              val inst = java.time.Instant.ofEpochSecond(
+                Math.floorDiv(micros, 1000000L),
+                Math.floorMod(micros, 1000000L) * 1000L)
+              jsonEscape(tsFmt.format(inst))
+            }
+            case DateType => (r: InternalRow, i: Int) =>
+              jsonEscape(java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString)
+            case other => throw new IllegalArgumentException(
+              s"graft-files cannot encode column '${f.name}' of type $other")
+          }
+        }
+      private val names: Array[String] = schema.fieldNames.map(jsonEscape)
+
       override def write(row: InternalRow): Unit = {
-        out.write((0 until nCols).map(row.getLong).mkString(","))
+        val b = new StringBuilder(64)
+        b.append('{')
+        var i = 0
+        while (i < encoders.length) {
+          if (i > 0) b.append(',')
+          b.append(names(i)).append(':')
+          if (row.isNullAt(i)) b.append("null") else b.append(encoders(i)(row, i))
+          i += 1
+        }
+        b.append('}')
+        out.write(b.toString)
         out.write("\n")
       }
       override def commit(): WriterCommitMessage = { out.close(); FileCommit(name) }

@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IncrementalEmbedDedup, IncrementalEmbedIndex}
+
+/**
+ * Dev tool: stage-level breakdown of the n52 per-batch probe cost at a
+ * given index scale — which index-size-proportional term actually grows
+ * (band-index scan, unit-vector scan, candidate join, or fixed batch
+ * work). Drives the round-11 band-key partition-pruning design; see
+ * [[ProbeIncrementalScale]] for the headline curve.
+ *
+ * Usage: runMain graft.tools.ProbeEmbedBatchBreakdown [sfDir] [k ...]
+ */
+object ProbeEmbedBatchBreakdown {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(10)
+    val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.sql.maxPlanStringLength", "4000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val base = graft.queries.Tables.scratchDir("incbreak")
+
+    for (k <- reps) {
+      val emb = ScaleCurve.amplifyEmbeddings(
+        spark.read.parquet(s"$sfDir/embeddings.parquet"), k)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding"))
+        .persist()
+      val ne = emb.count()
+      val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
+      val idx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
+        geometry = geom)
+      (0 to 3).foreach(j =>
+        idx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
+
+      val extra = emb.sparkSession.read.parquet(s"$sfDir/embeddings.parquet")
+        .select((col("vec_id") + lit(990000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(pmod(xxhash64(lit(99), i), lit(2)) === 0, x.cast("double"))
+              .otherwise(-x.cast("double"))).as("embedding"))
+        .persist()
+      extra.count()
+
+      // warm: one full batch first (JIT/codegen), then measure pieces
+      val tWarm = time { idx.processBatch(extra.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0), 4L) }
+      val half = extra.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1).persist()
+      half.count()
+
+      val tScanBands = time {
+        idx.debugReadBands(spark, 5L).agg(count(lit(1))).collect()
+      }
+      val tScanUnits = time {
+        idx.debugReadUnits(spark, 5L)
+          .agg(sum(element_at(col("u"), 1))).collect()
+      }
+      // replicate the processBatch stages one by one (same expressions)
+      val unitB = half
+        .select(col("vec_id"), graft.ops.Dedup.unitVector(col("embedding")).as("u"))
+        .persist()
+      val bandsB = unitB
+        .select(col("vec_id"), posexplode(
+          graft.ops.Dedup.signBandCol(col("u"), geom._1, geom._2))
+          .as(Seq("band", "bh")))
+        .persist()
+      val tKernel = time { bandsB.agg(count(lit(1))).collect() }
+      val allBands = idx.debugReadBands(spark, 5L).unionByName(bandsB)
+      val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
+        .filter(col("x.vec_id") =!= col("y.vec_id"))
+        .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
+          greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
+        .distinct().persist()
+      var nCand = 0L
+      val tCand = time { nCand = candidates.count() }
+      val allUnits = idx.debugReadUnits(spark, 5L).unionByName(unitB)
+      val edges = candidates
+        .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
+        .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
+        .filter(graft.functions.DotProduct(col("ua"), col("ub")) >= 0.9)
+        .select("vec_a", "vec_b").persist()
+      var nEdge = 0L
+      val tEdge = time { nEdge = edges.count() }
+      candidates.unpersist(); edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
+      val tFull = time { idx.processBatch(half, 5L) }
+      println(f"BREAKDOWN x$k rows=$ne geom=$geom warm=$tWarm%.2f " +
+        f"scan_bands=$tScanBands%.2f scan_units=$tScanUnits%.2f " +
+        f"kernel=$tKernel%.2f cand=$tCand%.2f(n=$nCand) edge=$tEdge%.2f(n=$nEdge) " +
+        f"full=$tFull%.2f")
+      emb.unpersist(); extra.unpersist(); half.unpersist()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+}

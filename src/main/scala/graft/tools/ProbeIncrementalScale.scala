@@ -7,28 +7,36 @@ import graft.ops.{IncrementalDedupIndex, IncrementalEmbedDedup, IncrementalEmbed
 
 /**
  * Dev tool: per-batch cost curve for the INCREMENTAL indexes (round-9
- * verdict #3). The 100 TB claim for n41/n52 is that per-batch work touches
- * only the batch and its band-collision partners — argued in scaladoc and
- * convergence-tested, but never measured the way n37's banding fix was.
+ * verdict #3; round-11 verdict #1). The 100 TB claim for n41/n52 is that
+ * per-batch work touches only the batch and its band-collision partners.
  * This probe measures it directly: grow the index to ×1 / ×k rows (the
  * ScaleCurve amplification constructions, so duplicate structure scales
- * instead of degenerating), then time ONE additional constant-size batch.
- * The claim holds iff the extra-batch seconds stay ≈ flat as the index
- * grows.
+ * instead of degenerating), COMPACT it (the maintenance pass a deployment
+ * schedules — compaction re-buckets the index into its hive-partitioned
+ * collision-bucket layout), then time additional constant-size batches.
  *
- * What flat does and does not mean here: the batch's banding/shingling,
- * the collision-partner verify, and the label contraction are all bounded
- * by the batch — independent of index size. The stream-static candidate
- * join, however, SCANS the full band index each batch (locally a columnar
- * scan streamed against the batch's broadcast side, no index shuffle), so
- * a mild growth term ∝ index bytes is expected and is the part a
- * production deployment removes by partitioning the band index on (band,
- * bh) so the probe reads only collision buckets — the same listing-time
- * pruning d73 demonstrates. The probe prints both the build total and the
- * extra-batch time so the two regimes are separately visible.
+ * Round 11 implemented the band-key partition pruning this probe's
+ * round-10 scaladoc predicted: the compacted `bands`/`units`(/`shingles`)
+ * trees are hive-partitioned on bounded hash buckets and the per-batch
+ * probe prunes its reads to the batch's collision buckets
+ * (listing-time PartitionFilters — the d73 treatment). Two regimes are
+ * therefore measured per scale:
+ *
+ *  - `extra_a`/`extra_b`: a BULK batch (the sf's full fresh slice, halved)
+ *    whose band keys cover every bucket — coverage ≈ 1, so its cost still
+ *    carries the (narrow, columnar) index scan term; this is the
+ *    worst-case batch;
+ *  - `trickle`: a ~2.5% arrival slice — the continuous-ingest regime the
+ *    incremental index exists for — whose key set covers a FRACTION of
+ *    the buckets: its read volume is coverage(K, P) × index, which the
+ *    bucket sizing ([[IncrementalEmbedDedup.bucketsFor]]: fixed target
+ *    rows per bucket, P growing with the index) keeps ≈ constant as the
+ *    index scales.
  *
  * Usage: runMain graft.tools.ProbeIncrementalScale [sfDir] [k ...]
  * (default sf0.1, k ∈ {1, 10}); prints one PERBATCH line per (index, k).
+ * The n41 text section is skipped above ×10 (its ×100 build is minutes;
+ * n41 was measured FLAT already in round 10 — batch-side work dominates).
  */
 object ProbeIncrementalScale {
 
@@ -44,30 +52,39 @@ object ProbeIncrementalScale {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.sql.maxPlanStringLength", "4000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = graft.queries.Tables.scratchDir("incscale")
 
     for (k <- reps) {
       // ---- text index (n41 shape) -------------------------------------
-      val docs = ScaleCurve.amplifyDocuments(
-        spark.read.parquet(s"$sfDir/documents.parquet"), k).persist()
-      val n = docs.count()
-      val tIdx = new IncrementalDedupIndex(base.resolve(s"text-x$k"))
-      val tBuild = time {
-        (0 to 3).foreach(j =>
-          tIdx.processBatch(docs.filter(pmod(col("doc_id"), lit(4)) === j), j))
+      if (k <= 10) {
+        val docs = ScaleCurve.amplifyDocuments(
+          spark.read.parquet(s"$sfDir/documents.parquet"), k).persist()
+        val n = docs.count()
+        val tIdx = new IncrementalDedupIndex(base.resolve(s"text-x$k"))
+        val tBuild = time {
+          (0 to 3).foreach(j =>
+            tIdx.processBatch(docs.filter(pmod(col("doc_id"), lit(4)) === j), j))
+        }
+        tIdx.compact(spark)
+        // constant-size fresh batch: word-suffix disjoint from every index
+        // replica (suffixes _1.._9), id range above the replica space
+        val extra = freshDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+          .persist()
+        val nx = extra.count()
+        val tExtraA = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 0), 4L) }
+        val tExtraB = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 1), 5L) }
+        val trickleD = extra.filter(pmod(xxhash64(col("doc_id")), lit(40)) === 3)
+        val ntr = trickleD.count()
+        val tTrickle = time { tIdx.processBatch(trickleD, 6L) }
+        println(f"PERBATCH n41 x$k index_rows=$n build=$tBuild%.2f s " +
+          f"extra_batch_rows=${nx / 2} extra_a=$tExtraA%.2f s extra_b=$tExtraB%.2f s " +
+          f"trickle_rows=$ntr trickle=$tTrickle%.2f s")
+        docs.unpersist(); extra.unpersist(); spark.catalog.clearCache()
       }
-      // constant-size fresh batch: word-suffix disjoint from every index
-      // replica (suffixes _1.._9), id range above the replica space
-      val extra = freshDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
-        .persist()
-      val nx = extra.count()
-      val tExtraA = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 0), 4L) }
-      val tExtraB = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 1), 5L) }
-      println(f"PERBATCH n41 x$k index_rows=$n build=$tBuild%.2f s " +
-        f"extra_batch_rows=${nx / 2} extra_a=$tExtraA%.2f s extra_b=$tExtraB%.2f s")
-      docs.unpersist(); extra.unpersist(); spark.catalog.clearCache()
 
       // ---- embedding index (n52 shape) --------------------------------
       val emb = ScaleCurve.amplifyEmbeddings(
@@ -76,23 +93,29 @@ object ProbeIncrementalScale {
           transform(col("embedding"), x => x.cast("double")).as("embedding"))
         .persist()
       val ne = emb.count()
-      // geometry pinned for the FINAL corpus (index + extra), as a real
-      // deployment would size it
+      // geometry + bucket layout pinned for the FINAL corpus (index +
+      // extra), as a real deployment would size them
       val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
+      val bkts = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2)
       val eIdx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
-        geometry = geom)
+        geometry = geom, buckets = bkts)
       val eBuild = time {
         (0 to 3).foreach(j =>
           eIdx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
       }
+      eIdx.compact(spark)
       val extraE = freshEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"))
         .persist()
       val nex = extraE.count()
       val eExtraA = time { eIdx.processBatch(extraE.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0), 4L) }
       val eExtraB = time { eIdx.processBatch(extraE.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1), 5L) }
+      val trickleE = extraE.filter(pmod(xxhash64(col("vec_id")), lit(40)) === 3)
+      val netr = trickleE.count()
+      val eTrickle = time { eIdx.processBatch(trickleE, 6L) }
       println(f"PERBATCH n52 x$k index_rows=$ne bits=${geom._1} bands=${geom._2} " +
-        f"build=$eBuild%.2f s extra_batch_rows=${nex / 2} " +
-        f"extra_a=$eExtraA%.2f s extra_b=$eExtraB%.2f s")
+        f"buckets=$bkts build=$eBuild%.2f s extra_batch_rows=${nex / 2} " +
+        f"extra_a=$eExtraA%.2f s extra_b=$eExtraB%.2f s " +
+        f"trickle_rows=$netr trickle=$eTrickle%.2f s")
       emb.unpersist(); extraE.unpersist(); spark.catalog.clearCache()
     }
     spark.stop()

@@ -59,6 +59,8 @@ object ScaleCurve {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.sql.maxPlanStringLength", "4000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,7 +78,52 @@ object ScaleCurve {
       spark.catalog.clearCache()
       println(f"CURVE $q x$k $secs%.2f s")
     }
+    // n42 recall pinned at the largest staged point (round-11 verdict #6):
+    // the IVF dial's behavior at the biggest local corpus
+    reps.filter(_ >= 10).maxOption.foreach { k =>
+      n42PlantedRecall(spark, base.resolve(s"x$k").toString, k)
+    }
     spark.stop()
+  }
+
+  /**
+   * The n42 recall property at scale: over the n37 planted-copy corpus
+   * (every base vector has a near-identical partner at cosine ≈ 0.9996 —
+   * known ground truth, no Ω(n²) exact graph needed at this size), the
+   * batched IVF kNN join must surface the planted partner in its top-3
+   * for ≥ 0.6 of the pairs. The dial scales as a deployment would:
+   * nlist grows to 1024 cells (through the broadcast-centroid path, the
+   * round-10 large-nlist switch) with nProbe=64 — a 1/16 probe fraction,
+   * which only finds BULK neighbors by luck but must keep finding the
+   * planted partner, because a near-identical vector lands in the same
+   * coarse cell. That asymmetry — planted recall high, bulk recall ∝
+   * probe fraction — is exactly what an IVF index promises a semantic
+   * dedup pipeline at 100 TB.
+   */
+  private def n42PlantedRecall(spark: SparkSession, dir: String, k: Int): Unit = {
+    import graft.ops.{Dedup, Similarity}
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Dedup.plantedCopies(emb)
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding")))
+      .persist()
+    val n = corpus.count()
+    val t0 = System.nanoTime()
+    val top = Similarity.knnJoin(corpus, k = 3, nlist = 1024, nProbe = 64,
+      centroidLiteralMax = 256)
+      .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
+      .select("vec_id")
+    val hits = top.count()
+    val pairs = emb.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    val recall = hits.toDouble / pairs
+    println(f"RECALL n42 x$k rows=$n nlist=1024 nProbe=64 planted_recall=$recall%.3f " +
+      f"($hits%d of $pairs%d pairs) $secs%.1f s")
+    require(recall >= 0.6,
+      f"n42 planted recall $recall%.3f below the 0.6 gate at x$k")
+    corpus.unpersist()
+    spark.catalog.clearCache()
   }
 
   /** ×k disjoint word-suffixed replicas of the documents table (pair graph

@@ -13,6 +13,13 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // the status store retains a physicalPlanDescription STRING per
+    // execution even with the UI off; the incremental-index replay suites
+    // run hundreds of micro-batch actions whose composed plans print large
+    // — cap both dimensions or the shared JVM's heap fills with dead plan
+    // strings (round-11: OOM in StringConcat.append during explainString)
+    .config("spark.sql.ui.retainedExecutions", "20")
+    .config("spark.sql.maxPlanStringLength", "4000000")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"

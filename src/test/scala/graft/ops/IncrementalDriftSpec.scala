@@ -51,42 +51,60 @@ class IncrementalDriftSpec extends AnyFunSuite {
     monitor.processBatch(docs.limit(50), 0L)
     assert(monitor.finalDrift(spark).collect().toSet == before)
 
-    // snapshot-version GC (round-9 verdict #3): superseded counts/v<k>
-    // versions are reclaimed as batches commit — after 4 committed batches
-    // exactly the latest survives, and the state is still the full answer
-    val versions = {
-      import scala.jdk.CollectionConverters._
-      val s = Files.list(base.resolve("state/counts"))
-      try s.iterator().asScala.map(_.getFileName.toString)
-        .filter(_.startsWith("v")).toSeq
-      finally s.close()
-    }
-    assert(versions.size == 1, s"dead snapshot versions survived: $versions")
-    assert(versions.head == "v3")
+    // snapshot-version GC (round-9 verdict #3, relocated round 11): the
+    // write path is additive — all 4 committed versions are on disk until
+    // maintenance — then maintain() keeps exactly the latest, and the
+    // state is still the full answer
+    assert(versions(base).size == 4,
+      s"write path deleted snapshot versions: ${versions(base)}")
+    monitor.maintain()
+    assert(versions(base) == Seq("v3"),
+      s"dead snapshot versions survived maintenance: ${versions(base)}")
+    assert(monitor.finalDrift(spark).collect().toSet == batchDrift)
   }
 
-  test("a crash mid-snapshot-GC is invisible and the next batch completes it") {
+  private def versions(base: java.nio.file.Path): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = Files.list(base.resolve("state/counts"))
+    try s.iterator().asScala.map(_.getFileName.toString)
+      .filter(_.startsWith("v")).toSeq.sorted
+    finally s.close()
+  }
+
+  test("a crash mid-maintenance is invisible and the next maintain() completes it") {
     val base = graft.SparkTestSession.tmpDir("n48-gccrash")
     val monitor = new IncrementalDriftMonitor(base.resolve("state"))
     val docs = Tables.documents(spark, T.sf0001)
     monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 0), 0L)
     monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 1), 1L)
-    val mid = monitor.finalDrift(spark).collect().toSet
-
-    // crash window: batch 1's marker flipped but its sweep died before
-    // deleting v0 — resurrect exactly that state (a stale committed
-    // version below the max)
-    spark.read.parquet(base.resolve("state/counts/v1").toString).limit(0)
-      .write.mode("overwrite").parquet(base.resolve("state/counts/v0").toString)
-    // readers resolve the max committed version: the stale v0 is invisible
-    assert(monitor.finalDrift(spark).collect().toSet == mid)
-
-    // the next committed batch's sweep reclaims it, and the final state
-    // equals the batch answer over everything ingested
     monitor.processBatch(docs.filter(pmod(col("doc_id"), lit(3)) === 2), 2L)
-    assert(!Files.exists(base.resolve("state/counts/v0")),
-      "stale snapshot version survived the next sweep")
+    val mid = monitor.finalDrift(spark).collect().toSet
+    assert(versions(base) == Seq("v0", "v1", "v2"))
+
+    // crash mid-sweep: maintain() died after reclaiming v0 but before v1 —
+    // DERIVED from the real sweep (its deletes are independent and
+    // idempotent, so any partial subset is a reachable crash state; this
+    // one is the ascending-order prefix). Simulate by deleting exactly
+    // what that prefix would have deleted.
+    deleteTree(base.resolve("state/counts/v0"))
+    // readers resolve the max committed version: the partial sweep is
+    // invisible
+    assert(monitor.finalDrift(spark).collect().toSet == mid)
+    assert(versions(base) == Seq("v1", "v2"))
+
+    // the next maintenance pass completes the sweep; state unchanged
+    monitor.maintain()
+    assert(versions(base) == Seq("v2"),
+      "stale snapshot version survived the next maintenance pass")
     assert(monitor.finalDrift(spark).collect().toSet == batchDrift)
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+    import scala.jdk.CollectionConverters._
+    val s = Files.walk(p)
+    try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally s.close()
   }
 
   test("the alarm fires on a distribution-shifted arrival slice") {

@@ -1,0 +1,116 @@
+package graft.ops
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+
+/**
+ * Long-soak of the incremental indexes' retention machinery (round-11
+ * verdict #5): 50 micro-batches through each index with compaction every
+ * 10 — the cadence a production deployment schedules — asserting that
+ * on-disk object counts stay BOUNDED BY THE CADENCE (parts ≤ batches
+ * since maintenance; snapshot versions collapse to the latest; markers
+ * collapse to the snapshot-gating survivors; exactly one compacted tree
+ * and one compaction marker), and that the final state still equals the
+ * batch answer. Disk growth bounded by cadence, not stream lifetime, is
+ * the claim the round-10 GC work made — this is its direct measurement.
+ */
+class IncrementalSoakSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private val Batches = 50
+  private val Cadence = 10
+
+  /** Children of `root/table` with the given prefix. */
+  private def entries(root: Path, table: String, prefix: String): Seq[String] = {
+    val dir = root.resolve(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      val s = Files.list(dir)
+      try s.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith(prefix)).toSeq
+      finally s.close()
+    }
+  }
+
+  test("text index: 50-batch soak, compaction every 10, bounded files, exact final state") {
+    val base = graft.SparkTestSession.tmpDir("n41-soak")
+    val root = base.resolve("state")
+    val index = new IncrementalDedupIndex(root)
+    val docs = graft.queries.Tables.documents(spark, T.sf0001).persist()
+
+    (0 until Batches).foreach { j =>
+      index.processBatch(
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(Batches)) === j), j.toLong)
+      // between maintenance passes the append-only tables may grow, but
+      // never past the cadence
+      assert(entries(root, "docs", "b").size <= Cadence,
+        s"parts exceeded the cadence at batch $j")
+      if ((j + 1) % Cadence == 0) {
+        assert(index.compact(spark).contains(j.toLong))
+        // post-maintenance bounds, independent of how many batches ran:
+        Seq("docs", "shingles", "bands", "manifest").foreach { t =>
+          assert(entries(root, t, "b").isEmpty, s"$t parts survived compaction")
+          assert(entries(root, t, "c") == Seq(s"c$j"),
+            s"$t compacted trees: ${entries(root, t, "c")}")
+        }
+        Seq("labels", "fpmin").foreach { t =>
+          assert(entries(root, t, "v").size <= 1,
+            s"$t snapshot versions not collapsed: ${entries(root, t, "v")}")
+        }
+        // markers: only the latest committed snapshot versions' gates
+        assert(entries(root, "commits", "").size <= 2,
+          s"markers grew: ${entries(root, "commits", "")}")
+        assert(entries(root, "compactions", "").size == 1)
+      }
+    }
+
+    val got = index.finalManifest(spark).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val expected = Dedup.dedupManifestQuery(spark, T.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == expected, "soaked final manifest diverged from the batch n38 answer")
+    docs.unpersist()
+  }
+
+  test("embedding index: 50-batch soak, compaction every 10, bounded files, exact final state") {
+    val base = graft.SparkTestSession.tmpDir("n52-soak")
+    val root = base.resolve("state")
+    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
+    val n = full.count()
+    val geom = IncrementalEmbedDedup.geometryFor(n)
+    val index = new IncrementalEmbedIndex(root, geometry = geom,
+      buckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+
+    (0 until Batches).foreach { j =>
+      index.processBatch(
+        full.filter(pmod(xxhash64(col("vec_id")), lit(Batches)) === j), j.toLong)
+      assert(entries(root, "units", "b").size <= Cadence,
+        s"parts exceeded the cadence at batch $j")
+      if ((j + 1) % Cadence == 0) {
+        assert(index.compact(spark).contains(j.toLong))
+        Seq("units", "bands").foreach { t =>
+          assert(entries(root, t, "b").isEmpty, s"$t parts survived compaction")
+          assert(entries(root, t, "c") == Seq(s"c$j"),
+            s"$t compacted trees: ${entries(root, t, "c")}")
+        }
+        assert(entries(root, "labels", "v").size <= 1,
+          s"label versions not collapsed: ${entries(root, "labels", "v")}")
+        assert(entries(root, "commits", "").size <= 1,
+          s"markers grew: ${entries(root, "commits", "")}")
+        assert(entries(root, "compactions", "").size == 1)
+      }
+    }
+
+    val got = index.finalClusters(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = Dedup.embeddingClustersQuery(spark, T.sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected, "soaked final clusters diverged from the batch n37 answer")
+    full.unpersist()
+  }
+}

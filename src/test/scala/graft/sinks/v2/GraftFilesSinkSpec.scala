@@ -15,6 +15,19 @@ import graft.{SparkTestSession => T}
 class GraftFilesSinkSpec extends AnyFunSuite {
   lazy val spark = T.spark
   private val Schema = "id BIGINT, sq BIGINT"
+  // the round-11 general-codec surface: every wire type the DataWriter
+  // encodes, exercised through the same replay/abort protocol
+  private val MixedSchema =
+    "id BIGINT, label STRING, val DOUBLE, ts TIMESTAMP"
+
+  private def mixedRow(i: Long): org.apache.spark.sql.catalyst.InternalRow =
+    org.apache.spark.sql.catalyst.InternalRow(
+      i,
+      if (i % 5 == 4) null
+      else org.apache.spark.unsafe.types.UTF8String.fromString(
+        s"""s$i "quoted"\nline\ttab\\end"""),
+      i / 64.0,
+      1767225600000000L + i * 1000000L)
 
   test("streamed rows surface exactly once through epoch manifests") {
     val base = graft.SparkTestSession.tmpDir("files-sink")
@@ -81,5 +94,39 @@ class GraftFilesSinkSpec extends AnyFunSuite {
       val names = dataFiles.iterator().asScala.map(_.getFileName.toString).toSeq
       assert(!names.exists(_.startsWith("e9-")), s"aborted file survived: $names")
     } finally dataFiles.close()
+  }
+
+  test("general codec round-trips strings/doubles/timestamps/nulls through replay and abort") {
+    val base = graft.SparkTestSession.tmpDir("files-sink-mixed")
+    val out = base.resolve("out").toString
+    val w = new GraftFilesStreamingWrite(out,
+      org.apache.spark.sql.types.StructType.fromDDL(MixedSchema))
+    val factory = w.createStreamingWriterFactory(null)
+    def writeRows(epoch: Long, lo: Long, hi: Long) = {
+      val dw = factory.createWriter(0, 0L, epoch)
+      (lo until hi).foreach(i => dw.write(mixedRow(i)))
+      dw.commit()
+    }
+    w.commit(0L, Array(writeRows(0L, 0, 10)))
+    // replay of epoch 0 is skipped; an aborted epoch leaves nothing
+    w.commit(0L, Array(writeRows(0L, 0, 10)))
+    w.abort(3L, Array(writeRows(3L, 50, 55)))
+
+    val rows = GraftFilesSink.committed(spark, out, MixedSchema)
+      .orderBy("id").collect()
+    assert(rows.length == 10, s"expected 10 rows, got ${rows.length}")
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      // string round-trip incl. quotes, escapes, newline, tab — and the
+      // null slot every 5th row
+      if (i % 5 == 4) assert(r.isNullAt(1), s"row $i: null string lost")
+      else assert(r.getString(1) == s"""s$i "quoted"\nline\ttab\\end""",
+        s"row $i: string mangled: ${r.getString(1)}")
+      // exact double (exponent-shifted, so codec must round-trip bitwise)
+      assert(r.getDouble(2) == i / 64.0, s"row $i: double drifted")
+      // microsecond-exact timestamp (session UTC)
+      assert(r.getTimestamp(3).getTime == 1767225600000L + i * 1000L,
+        s"row $i: timestamp drifted: ${r.getTimestamp(3)}")
+    }
   }
 }

@@ -28,11 +28,25 @@ class GraftSeqSourceSpec extends AnyFunSuite {
     assert(n3.count() == 10)
   }
 
-  test("column pruning reaches the scan (BatchScan output excludes sq)") {
+  test("column pruning reaches the scan (BatchScan output excludes unused columns)") {
     val plan = seq(0, 100).select("id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BatchScan"), plan)
-    assert(!plan.contains("sq"), plan)
+    Seq("sq", "label", "val", "ts").foreach(c =>
+      assert(!plan.contains(c), s"unpruned column $c in:\n$plan"))
+  }
+
+  test("mixed-type columns derive exactly from the sequence position") {
+    // the round-11 schema: label/val/ts are deterministic functions of id
+    // (the d97/d98 oracle rebuilds them in DuckDB from range() alone)
+    val rows = seq(0, 100).orderBy("id").collect()
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(2) == s"r${i % 1000}", s"label at $i")
+      assert(r.getDouble(3) == i / 64.0, s"val at $i")
+      assert(r.getTimestamp(4).getTime == 1767225600000L + i * 1000L,
+        s"ts at $i: ${r.getTimestamp(4)}")
+    }
   }
 
   test("empty range and count-only projection") {
