@@ -20,6 +20,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.maxPlanStringLength", "4000000")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

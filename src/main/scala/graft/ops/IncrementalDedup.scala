@@ -68,9 +68,8 @@ import graft.queries.Tables
  * (step 3) and min-label contraction commutes with edge arrival order.
  */
 final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
-                                  buckets: (Int, Int) = (64, 64)) {
+                                  bandBuckets: Int = 64) {
 
-  private val (bandBuckets, docBuckets) = buckets
   private val DocsDdl = "doc_id BIGINT, source STRING, fp STRING"
   private val ShinglesDdl = "doc_id BIGINT, sh_hashes ARRAY<BIGINT>"
   private val BandsDdl = "doc_id BIGINT, band INT, bh BIGINT"
@@ -92,19 +91,16 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     "docs" -> DocsDdl, "shingles" -> ShinglesDdl, "bands" -> BandsDdl,
     "manifest" -> ManifestDdl)
 
-  /** Collision-bucket hive-partition column for the compacted trees the
-    * per-batch probe joins against — band-key buckets for `bands`, doc-id
-    * buckets for `shingles` (the [[IncrementalEmbedIndex]] treatment;
-    * round-11 verdict #1). `docs`/`manifest` are only read corpus-wide
-    * (finalManifest/arrivalLog), so they compact unpartitioned. */
-  private def bucketCol(name: String): Option[(String, org.apache.spark.sql.Column)] =
-    name match {
-      case "bands" =>
-        Some(("pb", pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))))
-      case "shingles" =>
-        Some(("pd", pmod(xxhash64(col("doc_id")), lit(docBuckets.toLong))))
-      case _ => None
-    }
+  /** Collision-bucket hive-partition column for the compacted BAND tree
+    * the per-batch candidate probe joins against (the
+    * [[IncrementalEmbedIndex]] treatment; round-11 verdict #1). The other
+    * tables compact flat: `docs`/`manifest` are only read corpus-wide
+    * (finalManifest/arrivalLog), and `shingles` verification is
+    * endpoint-driven — a semi-join on ids discovered mid-batch, where a
+    * bucket layout would buy a driver round-trip per batch, not a
+    * cheaper plan. */
+  private def bandBucketCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
 
   /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
     * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
@@ -163,15 +159,28 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     val cw = compactionWatermark(max)
     val ids = committedIds(name, "b", max, requireMarker)
       .filter(id => cw.forall(id > _))
-    val compacted = cw.map { w =>
-      bucketCol(name) match {
-        case Some((pcol, _)) =>
-          val df = spark.read.schema(StructType.fromDDL(s"$ddl, $pcol BIGINT"))
-            .parquet(compactDir(name, w).toString)
-          pruneTo.fold(df)(bs => df.filter(col(pcol).isin(bs: _*))).drop(pcol)
-        case None =>
-          spark.read.schema(StructType.fromDDL(ddl))
-            .parquet(compactDir(name, w).toString)
+    val compacted = cw.flatMap { w =>
+      val root = compactDir(name, w)
+      pruneTo match {
+        case Some(bs) if name == "bands" =>
+          // prune at OUR listing: the index knows its layout, so hand
+          // Spark the selected leaf dirs + basePath — cost ∝ selected
+          // buckets, never a full-tree discovery; the redundant isin
+          // lands as the scan's PartitionFilters (the d73 shape)
+          val withPart = StructType.fromDDL(s"$ddl, pb BIGINT")
+          val leaves = bs.distinct.map(v => root.resolve(s"pb=$v"))
+            .filter(Files.isDirectory(_)).map(_.toString)
+          if (leaves.isEmpty) None
+          else Some(spark.read.schema(withPart)
+            .option("basePath", root.toString)
+            .parquet(leaves: _*)
+            .filter(col("pb").isin(bs: _*))
+            .drop("pb"))
+        case _ if name == "bands" =>
+          Some(spark.read.schema(StructType.fromDDL(s"$ddl, pb BIGINT"))
+            .parquet(root.toString).drop("pb"))
+        case _ =>
+          Some(spark.read.schema(StructType.fromDDL(ddl)).parquet(root.toString))
       }
     }
     val parts =
@@ -215,17 +224,18 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     if (!prev.contains(w)) {
       PartTables.foreach { case (name, ddl) =>
         val base = readParts(spark, name, w + 1, ddl, requireMarker = true)
-        // probe-joined trees land hive-partitioned on their collision-
-        // bucket key (deterministic content AND layout — a post-crash
-        // re-run overwrites verbatim); corpus-read trees stay flat
-        bucketCol(name) match {
-          case Some((pcol, pexpr)) =>
-            base.withColumn(pcol, pexpr)
-              .write.mode("overwrite").partitionBy(pcol)
-              .parquet(compactDir(name, w).toString)
-          case None =>
-            base.write.mode("overwrite").parquet(compactDir(name, w).toString)
-        }
+        // the probe-joined BAND tree lands hive-partitioned on its
+        // collision-bucket key (deterministic content AND layout — a
+        // post-crash re-run overwrites verbatim); the others stay flat.
+        // The repartition ON the bucket column is load-bearing: without
+        // it partitionBy fans out tasks×buckets tiny files.
+        if (name == "bands")
+          base.withColumn("pb", bandBucketCol)
+            .repartition(col("pb"))
+            .write.mode("overwrite").partitionBy("pb")
+            .parquet(compactDir(name, w).toString)
+        else
+          base.write.mode("overwrite").parquet(compactDir(name, w).toString)
       }
       Files.createDirectories(compactionMarker(w).getParent)
       if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
@@ -348,21 +358,14 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
     // collision-bucket pruning (the [[IncrementalEmbedIndex]] probe shape):
-    // the compacted band read prunes to the batch's band-key buckets, the
-    // compacted shingle read to the candidate endpoints' doc-id buckets,
-    // and verification joins a candidate-sized endpoint frame instead of
-    // shuffling corpus-wide shingle arrays
-    val candidates = candidatePairs(spark, bandsB, batchId).persist()
-    val endpoints = candidates.select(col("doc_a").as("doc_id"))
-      .unionByName(candidates.select(col("doc_b").as("doc_id"))).distinct()
-    val pdSet = endpoints.select(bucketCol("shingles").get._2.as("pd"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val needed = readParts(spark, "shingles", batchId, ShinglesDdl,
-        pruneTo = Some(pdSet))
-      .unionByName(sh)
-      .join(endpoints, Seq("doc_id"), "left_semi")
-      .persist()
-    val edges = Dedup.verifyJaccard(candidates, needed, threshold)
+    // the compacted band read prunes to the batch's band-key buckets;
+    // verification keeps the broadcast-candidate double scan of the
+    // shingle table (see the embed index's verification note — an
+    // endpoint semi-join's barriers measured costlier than the second
+    // columnar scan)
+    val edges = Dedup.verifyJaccard(candidatePairs(spark, bandsB, batchId),
+        readParts(spark, "shingles", batchId, ShinglesDdl).unionByName(sh),
+        threshold)
       .select("doc_a", "doc_b").persist()
     try {
       val docsB = b.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
@@ -401,8 +404,7 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       Files.createDirectories(marker(batchId).getParent)
       if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
     } finally {
-      edges.unpersist(); needed.unpersist(); candidates.unpersist()
-      bandsB.unpersist(); sh.unpersist(); b.unpersist()
+      edges.unpersist(); bandsB.unpersist(); sh.unpersist(); b.unpersist()
     }
   }
 
@@ -416,10 +418,16 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     * only collide inside its own bucket). */
   private def candidatePairs(spark: SparkSession, bandsB: DataFrame,
                              batchId: Long): DataFrame = {
-    val pbSet = bandsB.select(bucketCol("bands").get._2.as("pb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // the bucket-set collect only pays when a compacted tree exists to
+    // prune, and the leaf-dir read only engages when the batch covers at
+    // most half the buckets — a bulk batch reads the root in one listing
+    val pbSet =
+      if (compactionWatermark(batchId).isEmpty) None
+      else Some(bandsB.select(bandBucketCol.as("pb"))
+          .distinct().collect().map(_.getLong(0)).toSeq)
+        .filter(_.size <= bandBuckets / 2)
     val all = readParts(spark, "bands", batchId, BandsDdl,
-      pruneTo = Some(pbSet)).unionByName(bandsB)
+      pruneTo = pbSet).unionByName(bandsB)
     bandsB.as("x").join(all.as("y"), Seq("band", "bh"))
       .filter(col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),

@@ -49,22 +49,27 @@ import graft.queries.Tables
  * never exposes a half-committed state.
  *
  * COLLISION-BUCKET PRUNING (round-11 verdict #1 — the one measured scale
- * growth term): the compacted trees are hive-partitioned on bounded hash
- * buckets — `bands/c<w>/pb=<hash(band,bh) % P_b>` and
- * `units/c<w>/pv=<hash(vec_id) % P_u>` — and the per-batch probe prunes
- * its reads to the buckets the batch can actually collide with (the
- * batch's own band-key buckets; the candidate endpoints' vec-id buckets),
- * applied as listing-time PartitionFilters, the d73 treatment. Per-batch
- * read volume is then `coverage(K, P) × index` with
- * `coverage = 1-(1-1/P)^K` for K batch keys: a trickle batch (K ≪ P)
- * reads only its collision buckets regardless of index lifetime, and a
- * bulk batch degrades gracefully to the full scan it needed anyway.
- * Per-batch APPEND parts stay unpartitioned — they are batch-sized and
- * bounded by the compaction cadence, so the probe's unpruned share is
- * bounded too; compaction re-buckets them into the partitioned tree. At
- * 100 TB the versioned label snapshot becomes a partitioned MERGE and the
- * bucketed band tree is the banded index any production ANN/near-dup
- * service persists anyway (with P sized so buckets are file-sized); the
+ * growth term): the compacted BAND tree is hive-partitioned on bounded
+ * hash buckets — `bands/c<w>/pb=<hash(band,bh) % P_b>` — and the
+ * per-batch candidate probe prunes its read to the buckets the batch can
+ * collide with, selected at OUR listing (explicit leaf dirs + basePath:
+ * cost ∝ selected buckets, never a full-tree discovery) with the isin
+ * surfacing as the scan's PartitionFilters, the d73 treatment. Per-batch
+ * read volume is then `coverage(K, P_b) × index` with
+ * `coverage = 1-(1-1/P_b)^K` for K batch band keys: a trickle batch
+ * (K ≪ P_b) reads only its collision buckets regardless of index
+ * lifetime, and a bulk batch covering more than half the buckets falls
+ * back to the one-listing full scan it needed anyway. The units
+ * verification stays a broadcast-candidate double scan: the candidate
+ * frame is constant-sized (the lshBitsFor design), so the unit table is
+ * scanned columnar and never shuffled — measured cheaper than an
+ * endpoint semi-join at every local scale (the barriers cost more than
+ * the second scan; see the inline note at the verification join).
+ * Per-batch APPEND parts stay unpartitioned — batch-sized, bounded
+ * by the compaction cadence; compaction re-buckets them. At 100 TB the
+ * versioned label snapshot becomes a partitioned MERGE and the bucketed
+ * band tree is the banded index any production ANN/near-dup service
+ * persists anyway (with P_b sized so buckets are file-sized); the
  * per-batch work touches only the batch and its band-collision partners.
  *
  * Correctness claim (tested in `IncrementalEmbedDedupSpec`, oracle-gated
@@ -76,24 +81,22 @@ import graft.queries.Tables
  */
 final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
                                   geometry: (Int, Int),
-                                  buckets: (Int, Int) = (64, 64)) {
+                                  bandBuckets: Int = 64) {
 
   private val (bits, bands) = geometry
-  private val (bandBuckets, unitBuckets) = buckets
   private val UnitsDdl = "vec_id BIGINT, u ARRAY<DOUBLE>"
   private val BandsDdl = "vec_id BIGINT, band INT, bh BIGINT"
   private val LabelsDdl = "vec_id BIGINT, lbl BIGINT"
 
-  /** The compacted tree's hive-partition column per table: band-key
-    * buckets for `bands`, vec-id buckets for `units` — the pruning keys
-    * of the two probe joins. */
-  private def bucketCol(name: String): (String, org.apache.spark.sql.Column) =
-    name match {
-      case "bands" =>
-        ("pb", pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong)))
-      case "units" =>
-        ("pv", pmod(xxhash64(col("vec_id")), lit(unitBuckets.toLong)))
-    }
+  /** The compacted band tree's hive-partition column: bounded hash
+    * buckets of the band key — the pruning key of the candidate probe.
+    * Only `bands` is bucketed: it is the one index-sized table every
+    * batch joins on a KEY the batch knows up front; the units
+    * verification is endpoint-driven (a semi-join on ids discovered
+    * mid-batch), where a second driver round-trip to collect bucket sets
+    * measured as pure overhead at every local scale. */
+  private def bandBucketCol: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
 
   private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
   private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
@@ -139,9 +142,15 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
 
   /** Union of committed parts below `max` plus the compacted tree at the
     * active watermark. `pruneTo = Some(buckets)` restricts the COMPACTED
-    * read to those hive buckets (a listing-time PartitionFilter — the
-    * probe's collision-bucket pruning); the recent unpartitioned parts are
-    * always read in full (batch-sized, bounded by compaction cadence). */
+    * read to those hive buckets, and the selection happens at OUR listing:
+    * the index knows its own layout, so the pruned read hands Spark the
+    * selected `<pcol>=<v>` leaf dirs directly (plus `basePath`, so the
+    * bucket column still resolves) — cost ∝ selected buckets, never a
+    * full-tree partition discovery. The redundant isin filter on top lands
+    * as the scan's PartitionFilters (the d73 shape, pinned in
+    * `IncrementalPruningSpec`) and costs nothing. Recent unpartitioned
+    * parts are always read in full (batch-sized, bounded by the
+    * compaction cadence). */
   private def readParts(spark: SparkSession, name: String, max: Long,
                         ddl: String, requireMarker: Boolean = false,
                         pruneTo: Option[Seq[Long]] = None): DataFrame = {
@@ -149,11 +158,25 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     val cw = compactionWatermark(max)
     val ids = committedIds(name, "b", max, requireMarker)
       .filter(id => cw.forall(id > _))
-    val compacted = cw.map { w =>
-      val (pcol, _) = bucketCol(name)
-      val df = spark.read.schema(StructType.fromDDL(s"$ddl, $pcol BIGINT"))
-        .parquet(compactDir(name, w).toString)
-      pruneTo.fold(df)(bs => df.filter(col(pcol).isin(bs: _*))).drop(pcol)
+    val compacted = cw.flatMap { w =>
+      val root = compactDir(name, w)
+      pruneTo match {
+        case Some(bs) if name == "bands" =>
+          val withPart = StructType.fromDDL(s"$ddl, pb BIGINT")
+          val leaves = bs.distinct.map(v => root.resolve(s"pb=$v"))
+            .filter(Files.isDirectory(_)).map(_.toString)
+          if (leaves.isEmpty) None
+          else Some(spark.read.schema(withPart)
+            .option("basePath", root.toString)
+            .parquet(leaves: _*)
+            .filter(col("pb").isin(bs: _*))
+            .drop("pb"))
+        case _ if name == "bands" =>
+          Some(spark.read.schema(StructType.fromDDL(s"$ddl, pb BIGINT"))
+            .parquet(root.toString).drop("pb"))
+        case _ =>
+          Some(spark.read.schema(schema).parquet(root.toString))
+      }
     }
     val parts =
       if (ids.isEmpty) None
@@ -205,17 +228,21 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     // done (and reading+overwriting the same compacted dir would throw),
     // so a re-run skips straight to completing the GC
     if (!prev.contains(w)) {
-      // consolidated trees land hive-partitioned on their collision-bucket
-      // key so subsequent probes prune to the batch's buckets at listing
-      // time (deterministic content AND layout — a post-crash re-run
-      // overwrites verbatim)
-      for ((name, ddl) <- Seq("units" -> UnitsDdl, "bands" -> BandsDdl)) {
-        val (pcol, pexpr) = bucketCol(name)
-        readParts(spark, name, w + 1, ddl, requireMarker = true)
-          .withColumn(pcol, pexpr)
-          .write.mode("overwrite").partitionBy(pcol)
-          .parquet(compactDir(name, w).toString)
-      }
+      // the consolidated BAND tree lands hive-partitioned on its
+      // collision-bucket key so subsequent probes prune to the batch's
+      // buckets at listing time (deterministic content AND layout — a
+      // post-crash re-run overwrites verbatim). The repartition ON the
+      // bucket column is load-bearing: without it every write task holds
+      // rows of ~every bucket and partitionBy fans out tasks×buckets tiny
+      // files — one shuffle buys one file per bucket. Units compact flat:
+      // their verification read is endpoint-driven, not key-driven.
+      readParts(spark, "units", w + 1, UnitsDdl, requireMarker = true)
+        .write.mode("overwrite").parquet(compactDir("units", w).toString)
+      readParts(spark, "bands", w + 1, BandsDdl, requireMarker = true)
+        .withColumn("pb", bandBucketCol)
+        .repartition(col("pb"))
+        .write.mode("overwrite").partitionBy("pb")
+        .parquet(compactDir("bands", w).toString)
       Files.createDirectories(compactionMarker(w).getParent)
       if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
     }
@@ -312,17 +339,16 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
   def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
 
   /** Dev-probe accessors ([[graft.tools.ProbeEmbedBatchBreakdown]], the
-    * pruning plan pin in `IncrementalEmbedDedupSpec`): the index views a
-    * batch at `max` would join against, optionally pruned to a
-    * collision-bucket set as the probe does. */
+    * pruning plan pin in `IncrementalPruningSpec`): the index views a
+    * batch at `max` would join against; the band view optionally pruned
+    * to a collision-bucket set as the probe does. */
   private[graft] def debugReadBands(spark: SparkSession, max: Long,
                                     pruneTo: Option[Seq[Long]] = None): DataFrame =
     readParts(spark, "bands", max, BandsDdl, pruneTo = pruneTo)
-  private[graft] def debugReadUnits(spark: SparkSession, max: Long,
-                                    pruneTo: Option[Seq[Long]] = None): DataFrame =
-    readParts(spark, "units", max, UnitsDdl, pruneTo = pruneTo)
+  private[graft] def debugReadUnits(spark: SparkSession, max: Long): DataFrame =
+    readParts(spark, "units", max, UnitsDdl)
   private[graft] def debugBandBucket: org.apache.spark.sql.Column =
-    bucketCol("bands")._2
+    bandBucketCol
 
   /** The `foreachBatch` entry point (replay-idempotent, n41 contract):
     * a committed batch short-circuits; an interrupted one recomputes
@@ -347,41 +373,41 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       .select(col("vec_id"),
         posexplode(Dedup.signBandCol(col("u"), bits, bands)).as(Seq("band", "bh")))
       .persist()
-    // collision-bucket pruning, step 1: the batch's band keys can only
-    // collide inside their own hash buckets — collect that bucket set
-    // (bounded by bandBuckets, a constant) and prune the compacted-index
-    // read to it. A trickle batch touches few buckets; a bulk batch
-    // degrades to the full scan it needed anyway.
-    val pbSet = bandsB.select(bucketCol("bands")._2.as("pb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    // collision-bucket pruning: the batch's band keys can only collide
+    // inside their own hash buckets — collect that bucket set (bounded by
+    // bandBuckets) and prune the compacted-index read to it. The collect
+    // only pays when a compacted tree exists to prune (pre-compaction
+    // parts are batch-sized), and the pruned leaf-dir read only engages
+    // when the batch covers at most half the buckets — a bulk batch
+    // covering everything reads the root in one listing instead, the
+    // full scan it needed anyway.
+    val hasCompaction = compactionWatermark(batchId).isDefined
+    val pbSet =
+      if (!hasCompaction) None
+      else Some(bandsB.select(bandBucketCol.as("pb"))
+          .distinct().collect().map(_.getLong(0)).toSeq)
+        .filter(_.size <= bandBuckets / 2)
     // stream-static candidates: the union over batches of (batch ⋈ index ∪
     // batch) band collisions is exactly the batch algorithm's candidate set
     val allBands = readParts(spark, "bands", batchId, BandsDdl,
-      pruneTo = Some(pbSet)).unionByName(bandsB)
+      pruneTo = pbSet).unionByName(bandsB)
     val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
-      .distinct().persist()
-    // collision-bucket pruning, step 2: verification needs only the
-    // candidate ENDPOINTS' unit vectors — prune the compacted-units read
-    // to the endpoints' vec-id buckets, then semi-join down to the
-    // endpoints themselves. `needed` is candidate-sized (constant under
-    // the lshBitsFor design), so both verification joins broadcast it
-    // instead of shuffling index-wide vector arrays (the round-11
-    // breakdown's dominant growth term).
-    val endpoints = candidates.select(col("vec_a").as("vec_id"))
-      .unionByName(candidates.select(col("vec_b").as("vec_id"))).distinct()
-    val pvSet = endpoints.select(bucketCol("units")._2.as("pv"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val needed = readParts(spark, "units", batchId, UnitsDdl,
-        pruneTo = Some(pvSet))
-      .unionByName(unitB)
-      .join(endpoints, Seq("vec_id"), "left_semi")
-      .persist()
+      .distinct()
+    // verification joins the distinct'd candidate frame (small — constant
+    // under the lshBitsFor design) against the unit table twice; the
+    // candidate side broadcasts, so the units are SCANNED, never shuffled.
+    // A round-11 experiment replaced this with an endpoint semi-join
+    // (scan units once, then two joins against the endpoint frame): the
+    // extra distinct + semi-join barriers defeated the limit-short-circuit
+    // and doubled the gated n52 replay — two cheap columnar scans beat one
+    // scan plus three shuffles at every scale we can measure.
+    val allUnits = readParts(spark, "units", batchId, UnitsDdl).unionByName(unitB)
     val edges = candidates
-      .join(needed.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
-      .join(needed.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
+      .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
+      .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
       .filter(graft.functions.DotProduct(col("ua"), col("ub")) >= threshold)
       .select("vec_a", "vec_b").persist()
     try {
@@ -393,8 +419,7 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       Files.createDirectories(marker(batchId).getParent)
       if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
     } finally {
-      edges.unpersist(); needed.unpersist(); candidates.unpersist()
-      bandsB.unpersist(); unitB.unpersist()
+      edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
     }
   }
 
@@ -486,21 +511,18 @@ object IncrementalEmbedDedup {
     (b, Dedup.lshBandsFor(b))
   }
 
-  /** Collision-bucket counts for a corpus of `n` vectors at `bands` bands:
-    * targets ~2k band rows / ~1k unit rows per bucket (file-sized at this
-    * scale), clamped to [64, 4096] — the dir-count sanity bound for local
-    * hive partition discovery; a metastore/Delta-log deployment lifts the
-    * clamp so buckets stay file-sized as the index grows, which is what
-    * keeps trickle-probe reads index-size-independent (per-batch read =
-    * coverage(K, P) × index with coverage = 1-(1-1/P)^K for K batch band
-    * keys). Pinned at index construction like the LSH geometry
-    * (re-bucketing would change the compacted layout mid-stream). */
-  private[graft] def bucketsFor(n: Long, bands: Int): (Int, Int) = {
-    def pow2Clamp(x: Long): Int =
-      math.max(64L, math.min(4096L,
-        java.lang.Long.highestOneBit(math.max(1L, x)) * 2)).toInt
-    (pow2Clamp(n * bands / 2000), pow2Clamp(n / 1000))
-  }
+  /** Collision-bucket count for a corpus of `n` vectors at `bands` bands:
+    * targets ~2k band rows per bucket (file-sized at this scale), clamped
+    * to [64, 4096] — the dir-count sanity bound for local hive layouts; a
+    * metastore/Delta-log deployment lifts the clamp so buckets stay
+    * file-sized as the index grows, which is what keeps trickle-probe
+    * reads index-size-independent (per-batch read = coverage(K, P) ×
+    * index with coverage = 1-(1-1/P)^K for K batch band keys). Pinned at
+    * index construction like the LSH geometry (re-bucketing would change
+    * the compacted layout mid-stream). */
+  private[graft] def bucketsFor(n: Long, bands: Int): Int =
+    math.max(64L, math.min(4096L,
+      java.lang.Long.highestOneBit(math.max(1L, n * bands / 2000)) * 2)).toInt
 
   /** n52: ingest the n37 corpus as a 4-batch file stream through the
     * incremental index, COMPACT the part tables (the maintenance pass a
@@ -516,7 +538,7 @@ object IncrementalEmbedDedup {
     val n = full.count()
     val geom = geometryFor(n)
     val index = new IncrementalEmbedIndex(base.resolve("state"),
-      geometry = geom, buckets = bucketsFor(n, geom._2))
+      geometry = geom, bandBuckets = bucketsFor(n, geom._2))
     stageChunks(full, base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
     index.compact(spark)

@@ -561,7 +561,7 @@ object Multimodal {
         val geom = IncrementalEmbedDedup.geometryFor(n)
         val idx = new IncrementalEmbedIndex(base.resolve("state"),
           geometry = geom,
-          buckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+          bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
         IncrementalEmbedDedup.stageChunks(corpus, base.resolve("input"), chunks)
         idx
       } finally corpus.unpersist()

@@ -16,17 +16,19 @@ import graft.ops.{IncrementalDedupIndex, IncrementalEmbedDedup, IncrementalEmbed
  * collision-bucket layout), then time additional constant-size batches.
  *
  * Round 11 implemented the band-key partition pruning this probe's
- * round-10 scaladoc predicted: the compacted `bands`/`units`(/`shingles`)
- * trees are hive-partitioned on bounded hash buckets and the per-batch
- * probe prunes its reads to the batch's collision buckets
- * (listing-time PartitionFilters — the d73 treatment). Two regimes are
+ * round-10 scaladoc predicted: the compacted `bands` trees are
+ * hive-partitioned on bounded hash buckets and the per-batch candidate
+ * probe prunes its read to the batch's collision buckets (explicit leaf
+ * dirs — listing cost ∝ selected buckets — with the isin surfacing as
+ * PartitionFilters, the d73 treatment); the units/shingles verification
+ * is endpoint-semi-joined instead of index-shuffled. Two regimes are
  * therefore measured per scale:
  *
  *  - `extra_a`/`extra_b`: a BULK batch (the sf's full fresh slice, halved)
- *    whose band keys cover every bucket — coverage ≈ 1, so its cost still
- *    carries the (narrow, columnar) index scan term; this is the
- *    worst-case batch;
- *  - `trickle`: a ~2.5% arrival slice — the continuous-ingest regime the
+ *    whose band keys cover every bucket — the coverage guard reads the
+ *    full tree in one listing, so its cost still carries the (narrow,
+ *    columnar) index scan term; this is the worst-case batch;
+ *  - `trickle`: a ~0.8% arrival slice — the continuous-ingest regime the
  *    incremental index exists for — whose key set covers a FRACTION of
  *    the buckets: its read volume is coverage(K, P) × index, which the
  *    bucket sizing ([[IncrementalEmbedDedup.bucketsFor]]: fixed target
@@ -54,6 +56,9 @@ object ProbeIncrementalScale {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.maxPlanStringLength", "4000000")
+      // the bucketed compacted trees hold thousands of partition dirs: local
+      // FS listing is faster driver-side than as a 4096-task Spark job
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = graft.queries.Tables.scratchDir("incscale")
@@ -64,7 +69,8 @@ object ProbeIncrementalScale {
         val docs = ScaleCurve.amplifyDocuments(
           spark.read.parquet(s"$sfDir/documents.parquet"), k).persist()
         val n = docs.count()
-        val tIdx = new IncrementalDedupIndex(base.resolve(s"text-x$k"))
+        val tIdx = new IncrementalDedupIndex(base.resolve(s"text-x$k"),
+          bandBuckets = IncrementalEmbedDedup.bucketsFor(n, 16))
         val tBuild = time {
           (0 to 3).foreach(j =>
             tIdx.processBatch(docs.filter(pmod(col("doc_id"), lit(4)) === j), j))
@@ -77,7 +83,7 @@ object ProbeIncrementalScale {
         val nx = extra.count()
         val tExtraA = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 0), 4L) }
         val tExtraB = time { tIdx.processBatch(extra.filter(pmod(col("doc_id"), lit(2)) === 1), 5L) }
-        val trickleD = extra.filter(pmod(xxhash64(col("doc_id")), lit(40)) === 3)
+        val trickleD = extra.filter(pmod(xxhash64(col("doc_id")), lit(128)) === 3)
         val ntr = trickleD.count()
         val tTrickle = time { tIdx.processBatch(trickleD, 6L) }
         println(f"PERBATCH n41 x$k index_rows=$n build=$tBuild%.2f s " +
@@ -98,7 +104,7 @@ object ProbeIncrementalScale {
       val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
       val bkts = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2)
       val eIdx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
-        geometry = geom, buckets = bkts)
+        geometry = geom, bandBuckets = bkts)
       val eBuild = time {
         (0 to 3).foreach(j =>
           eIdx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
@@ -109,7 +115,7 @@ object ProbeIncrementalScale {
       val nex = extraE.count()
       val eExtraA = time { eIdx.processBatch(extraE.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0), 4L) }
       val eExtraB = time { eIdx.processBatch(extraE.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1), 5L) }
-      val trickleE = extraE.filter(pmod(xxhash64(col("vec_id")), lit(40)) === 3)
+      val trickleE = extraE.filter(pmod(xxhash64(col("vec_id")), lit(128)) === 3)
       val netr = trickleE.count()
       val eTrickle = time { eIdx.processBatch(trickleE, 6L) }
       println(f"PERBATCH n52 x$k index_rows=$ne bits=${geom._1} bands=${geom._2} " +

@@ -61,6 +61,7 @@ object ScaleCurve {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.maxPlanStringLength", "4000000")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

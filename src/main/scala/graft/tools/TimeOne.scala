@@ -19,6 +19,7 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.maxPlanStringLength", "4000000")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     args.drop(1).foreach { n =>

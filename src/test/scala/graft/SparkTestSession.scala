@@ -20,6 +20,7 @@ object SparkTestSession {
     // strings (round-11: OOM in StringConcat.append during explainString)
     .config("spark.sql.ui.retainedExecutions", "20")
     .config("spark.sql.maxPlanStringLength", "4000000")
+    .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     .getOrCreate()
 
   val sf0001 = "/root/testdata/sf0.001"

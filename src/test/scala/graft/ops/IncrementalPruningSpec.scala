@@ -26,7 +26,7 @@ class IncrementalPruningSpec extends AnyFunSuite {
     val n = full.count()
     val geom = IncrementalEmbedDedup.geometryFor(n)
     val index = new IncrementalEmbedIndex(base.resolve("state"),
-      geometry = geom, buckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+      geometry = geom, bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
     (0 to 1).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
     assert(index.compact(spark).contains(1L))
 
@@ -64,7 +64,7 @@ class IncrementalPruningSpec extends AnyFunSuite {
     val n = full.count()
     val geom = IncrementalEmbedDedup.geometryFor(n)
     val index = new IncrementalEmbedIndex(base.resolve("state"),
-      geometry = geom, buckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+      geometry = geom, bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
     (0 to 2).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
     assert(index.compact(spark).contains(2L))
     // the final batch joins against the pruned compacted view; the spec's

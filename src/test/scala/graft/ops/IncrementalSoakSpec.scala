@@ -84,7 +84,7 @@ class IncrementalSoakSpec extends AnyFunSuite {
     val n = full.count()
     val geom = IncrementalEmbedDedup.geometryFor(n)
     val index = new IncrementalEmbedIndex(root, geometry = geom,
-      buckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+      bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
 
     (0 until Batches).foreach { j =>
       index.processBatch(
