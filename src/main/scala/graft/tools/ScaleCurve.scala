@@ -48,8 +48,12 @@ object ScaleCurve {
   private val EmbQueries = Seq("n37_embedding_clusters")
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
+    // "recall-only" skips the CURVE sweep and runs just the n42 recall row
+    // (the sweep at ×100 is a separate, much longer session)
+    val recallOnly = args.contains("recall-only")
+    val rest = args.filterNot(_ == "recall-only")
+    val sfDir = rest.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (rest.length > 1) rest.drop(1).map(_.toInt).toSeq else Seq(1, 3, 10)
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
@@ -68,7 +72,7 @@ object ScaleCurve {
     val base = graft.queries.Tables.scratchDir("scalecurve")
     reps.foreach { k => stage(spark, sfDir, base.resolve(s"x$k").toString, k) }
 
-    for (q <- DocQueries ++ EmbQueries; k <- reps) {
+    for (q <- DocQueries ++ EmbQueries; k <- reps; if !recallOnly) {
       val dir = base.resolve(s"x$k").toString
       val secs = (1 to 2).map { _ =>
         spark.catalog.clearCache()
@@ -88,38 +92,43 @@ object ScaleCurve {
   }
 
   /**
-   * The n42 recall property at scale: over the n37 planted-copy corpus
-   * (every base vector has a near-identical partner at cosine ≈ 0.9996 —
-   * known ground truth, no Ω(n²) exact graph needed at this size), the
-   * batched IVF kNN join must surface the planted partner in its top-3
-   * for ≥ 0.6 of the pairs. The dial scales as a deployment would:
-   * nlist grows to 1024 cells (through the broadcast-centroid path, the
-   * round-10 large-nlist switch) with nProbe=64 — a 1/16 probe fraction,
-   * which only finds BULK neighbors by luck but must keep finding the
-   * planted partner, because a near-identical vector lands in the same
-   * coarse cell. That asymmetry — planted recall high, bulk recall ∝
-   * probe fraction — is exactly what an IVF index promises a semantic
-   * dedup pipeline at 100 TB.
+   * The n42 recall property at scale: a 5% hash-sample of the amplified
+   * corpus gets planted near-identical partners (cosine ≈ 0.9996 — known
+   * ground truth, no Ω(n²) exact graph needed at this size), and the
+   * batched IVF kNN join over the FULL corpus must surface the planted
+   * partner in its top-3 for ≥ 0.6 of the pairs. The dial scales as a
+   * deployment would: nlist grows to 1024 cells (through the
+   * broadcast-centroid path, the round-10 large-nlist switch) with
+   * nProbe=8 — a 1/128 probe fraction, which finds BULK neighbors only
+   * by luck but must keep finding the planted partner, because a
+   * near-identical vector lands in the same coarse cell. That asymmetry
+   * — planted recall high, bulk recall ∝ probe fraction — is exactly
+   * what an IVF index promises a semantic dedup pipeline at 100 TB. The
+   * probe fraction also keeps compare work n·(nProbe/nlist)·|index| ≈
+   * 3×10⁸ dots at ×100 — the first attempt probed 1/16 of a 400k-vector
+   * all-planted corpus (10¹⁰ pairs) and OOM'd an executor, which is the
+   * IVF cost dial demonstrating itself.
    */
   private def n42PlantedRecall(spark: SparkSession, dir: String, k: Int): Unit = {
     import graft.ops.{Dedup, Similarity}
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(20)) === 0)
     val corpus = emb.select(col("vec_id"), col("embedding"))
-      .unionByName(Dedup.plantedCopies(emb)
+      .unionByName(Dedup.plantedCopies(sample)
         .select(col("vec_id"),
           transform(col("v"), x => x.cast("float")).as("embedding")))
       .persist()
     val n = corpus.count()
     val t0 = System.nanoTime()
-    val top = Similarity.knnJoin(corpus, k = 3, nlist = 1024, nProbe = 64,
+    val top = Similarity.knnJoin(corpus, k = 3, nlist = 1024, nProbe = 8,
       centroidLiteralMax = 256)
       .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
       .select("vec_id")
     val hits = top.count()
-    val pairs = emb.count()
+    val pairs = sample.count()
     val secs = (System.nanoTime() - t0) / 1e9
     val recall = hits.toDouble / pairs
-    println(f"RECALL n42 x$k rows=$n nlist=1024 nProbe=64 planted_recall=$recall%.3f " +
+    println(f"RECALL n42 x$k rows=$n nlist=1024 nProbe=8 planted_recall=$recall%.3f " +
       f"($hits%d of $pairs%d pairs) $secs%.1f s")
     require(recall >= 0.6,
       f"n42 planted recall $recall%.3f below the 0.6 gate at x$k")
