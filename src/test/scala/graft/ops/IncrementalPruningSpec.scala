@@ -52,6 +52,30 @@ class IncrementalPruningSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == expected, "pruned view diverged from the bucket restriction")
     assert(got.nonEmpty, "fixture produced no rows in the probed buckets")
+
+    // layout regression guard: compaction repartition()s on the bucket
+    // column before partitionBy, so each pb=<v> leaf holds exactly ONE
+    // data file — without it every write task fans a file into ~every
+    // bucket (tasks×buckets tiny files, the round-11 probe's 3–4×
+    // slowdown)
+    val bandsRoot = base.resolve("state/bands/c1")
+    import scala.jdk.CollectionConverters._
+    val leaves = {
+      val s = java.nio.file.Files.list(bandsRoot)
+      try s.iterator().asScala.filter(p =>
+        p.getFileName.toString.startsWith("pb=")).toList
+      finally s.close()
+    }
+    assert(leaves.nonEmpty, "no hive bucket dirs under the compacted band tree")
+    leaves.foreach { leaf =>
+      val files = {
+        val s = java.nio.file.Files.list(leaf)
+        try s.iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+        finally s.close()
+      }
+      assert(files == 1, s"bucket ${leaf.getFileName} holds $files data files")
+    }
     full.unpersist()
   }
 
