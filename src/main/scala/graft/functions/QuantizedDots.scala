@@ -139,6 +139,21 @@ case class QuantizedDotsExpr(child: Expression, planes: Array[Long],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
+  // `planes` is an Array, whose case-class equals is reference identity —
+  // two semantically identical kernels built from distinct array instances
+  // must still compare equal or plan canonicalization / common-subexpression
+  // elimination silently never reuses them (round-11 advice)
+  override def equals(other: Any): Boolean = other match {
+    case o: QuantizedDotsExpr =>
+      child == o.child && dim == o.dim && nOut == o.nOut &&
+        java.util.Arrays.equals(planes, o.planes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dim), Int.box(nOut),
+      Int.box(java.util.Arrays.hashCode(planes)))
+
   override def prettyName: String = "quantized_dots"
 }
 
@@ -261,6 +276,18 @@ case class SignBandHashesQ(child: Expression, planes: Array[Long],
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+
+  // content-based equality for the Array field (see [[QuantizedDotsExpr]])
+  override def equals(other: Any): Boolean = other match {
+    case o: SignBandHashesQ =>
+      child == o.child && dim == o.dim && bits == o.bits && bands == o.bands &&
+        java.util.Arrays.equals(planes, o.planes)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(dim), Int.box(bits), Int.box(bands),
+      Int.box(java.util.Arrays.hashCode(planes)))
 
   override def prettyName: String = "sign_band_hashes_q"
 }

@@ -538,8 +538,14 @@ object IncrementalDedup {
   def streamingManifestQuery(spark: SparkSession, dir: String,
                              chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n41")
-    val index = new IncrementalDedupIndex(base.resolve("state"))
-    stageChunks(Tables.documents(spark, dir), base.resolve("input"), chunks)
+    val docs = Tables.documents(spark, dir)
+    // size the collision buckets with corpus size exactly as the n52/n58
+    // embed/media paths do (round-11 advice: a fixed default here would
+    // undercut the fixed-rows-per-bucket argument pruning rests on);
+    // the text index bands with the lshBands default of 16 bands/doc
+    val index = new IncrementalDedupIndex(base.resolve("state"),
+      bandBuckets = IncrementalEmbedDedup.bucketsFor(docs.count(), 16))
+    stageChunks(docs, base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
     index.compact(spark)
     index.finalManifest(spark).orderBy("doc_id")

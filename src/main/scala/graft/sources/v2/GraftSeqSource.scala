@@ -71,7 +71,9 @@ object GraftSeqSource {
   private[v2] def fieldValue(name: String, cur: Long): Any = name match {
     case "id" => cur
     case "sq" => cur * cur
-    case "label" => UTF8String.fromString("r" + java.lang.Long.remainderUnsigned(cur, 1000L))
+    // plain % (sign follows the dividend, as DuckDB's % does): the scaladoc,
+    // the d97 oracle, and a negative `start` range all agree on id % 1000
+    case "label" => UTF8String.fromString("r" + cur % 1000L)
     case "val" => cur / 64.0
     case "ts" => TsBaseMicros + cur * 1000000L
   }
