@@ -1,11 +1,10 @@
 package graft.ops
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
 
 import graft.queries.Tables
 
@@ -15,7 +14,11 @@ import graft.queries.Tables
  * scratch. This is the composition a production corpus pipeline actually
  * runs — the reference's flagship path is a streaming source→sink lifecycle
  * (`/root/reference/tests/test_delta_end_to_end.py:72-90`) and the dedup
- * family (n01→n38) is what the micro-batches must maintain.
+ * family (n01→n38) is what the micro-batches must maintain. All
+ * state-machine machinery (parts + markers, versioned snapshots, tiered
+ * compaction levels, collision-bucket layouts, retention GC, crash
+ * consistency) lives in [[IncrementalStateMachine]]; this class keeps the
+ * text domain logic.
  *
  * Per micro-batch (`foreachBatch`, the d61 idempotent-write shape):
  *   1. compute the batch's shingle hashes, MinHash band hashes, and md5
@@ -46,12 +49,15 @@ import graft.queries.Tables
  *      snapshot and append arrival-time verdicts for the batch's documents
  *      to the manifest log.
  *
- * State layout under `root/`: `docs|shingles|bands|manifest/b<k>/`
- * (append-only parts), `labels|fpmin/v<k>/` (versioned snapshots; a batch
- * writes a new version only when it changes the table), `commits/<k>`,
- * plus `<table>/c<w>/` + `compactions/<w>` — the [[IncrementalDedupIndex.compact]]
- * part consolidation (small-files countermeasure, two-phase visibility;
- * the [[IncrementalEmbedIndex.compact]] contract).
+ * COLLISION-BUCKET PRUNING (the [[IncrementalEmbedIndex]] treatment):
+ * `bands` levels are hive-bucketed on `hash(band, bh) % P` and the
+ * candidate probe prunes to the batch's band-key buckets (round 11);
+ * `shingles` levels are bucketed on `hash(doc_id) % P` and the exact
+ * Jaccard verification prunes to the candidate endpoints' id buckets
+ * (round 12 — listing-time pruning of the broadcast-candidate double
+ * scan, not the rejected endpoint semi-join). `docs`/`manifest` compact
+ * flat: they are only read corpus-wide (finalManifest / arrivalLog).
+ *
  * The versioned-snapshot rewrite is the offline stand-in for a Delta
  * `MERGE` / RocksDB state store: per batch it costs one read+write of the
  * label and fp tables (each bounded by matched docs / distinct
@@ -68,7 +74,10 @@ import graft.queries.Tables
  * (step 3) and min-label contraction commutes with edge arrival order.
  */
 final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
-                                  bandBuckets: Int = 64) {
+                                  bandBuckets: Int = 64,
+                                  override protected val maxLevels: Int = 4,
+                                  bucketMaxDirs: Int = 4096)
+  extends IncrementalStateMachine(root) {
 
   private val DocsDdl = "doc_id BIGINT, source STRING, fp STRING"
   private val ShinglesDdl = "doc_id BIGINT, sh_hashes ARRAY<BIGINT>"
@@ -78,255 +87,36 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
   private val ManifestDdl =
     "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT"
 
-  private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
-  private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
-  private def compactDir(name: String, w: Long) = root.resolve(name).resolve(s"c$w")
-  private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
-  private def compactionMarker(w: Long) =
-    root.resolve("compactions").resolve(s"$w.committed")
-
-  /** The append-only part tables subject to [[compact]]; label/fpmin
-    * snapshots version-rewrite themselves and need none. */
-  private val PartTables = Seq(
-    "docs" -> DocsDdl, "shingles" -> ShinglesDdl, "bands" -> BandsDdl,
-    "manifest" -> ManifestDdl)
-
-  /** Collision-bucket hive-partition column for the compacted BAND tree
-    * the per-batch candidate probe joins against (the
-    * [[IncrementalEmbedIndex]] treatment; round-11 verdict #1). The other
-    * tables compact flat: `docs`/`manifest` are only read corpus-wide
-    * (finalManifest/arrivalLog), and `shingles` verification is
-    * endpoint-driven — a semi-join on ids discovered mid-batch, where a
-    * bucket layout would buy a driver round-trip per batch, not a
-    * cheaper plan. */
-  private def bandBucketCol: org.apache.spark.sql.Column =
+  /** The band tree's hive-bucket column — the candidate probe's pruning
+    * key. */
+  private def bandBucketCol: Column =
     pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
 
-  /** Committed ids of `name`'s `b<k>`/`v<k>` children strictly below `max`
-    * (a dir counts once its `_SUCCESS` exists — an interrupted overwrite
-    * has none and is re-written verbatim on replay). With `requireMarker`
-    * the id must ALSO have its `commits/<id>` batch marker: `_SUCCESS` is
-    * per-directory, so a crash between the docs part and the fpmin/labels
-    * snapshots leaves a half-written batch whose parts individually look
-    * complete — an external reader joining them would silently drop
-    * new-fingerprint docs until the stream replays the batch. Public
-    * readers therefore gate on the marker; intra-batch reads (processBatch
-    * reading the snapshot it just wrote, before its own marker exists)
-    * must not. */
-  private def committedIds(name: String, prefix: String, max: Long,
-                           requireMarker: Boolean = false): Seq[Long] = {
-    val dir = root.resolve(name)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
-            Files.exists(p.resolve("_SUCCESS")))
-          Some(n.drop(prefix.length).toLong)
-            .filter(id => id < max && (!requireMarker || isCommitted(id)))
-        else None
-      }.toSeq
-    } finally s.close()
-  }
+  /** The shingle table's hive-bucket column over a doc_id column — the
+    * verification read's pruning key. */
+  private def idBucketCol(c: Column): Column =
+    pmod(xxhash64(c), lit(bandBuckets.toLong))
 
-  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+  override protected def partTables: Seq[PartTable] = Seq(
+    PartTable("docs", DocsDdl),
+    PartTable("shingles", ShinglesDdl,
+      Some(Bucketing(idBucketCol(col("doc_id")), bandBuckets, bucketMaxDirs))),
+    PartTable("bands", BandsDdl,
+      Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))),
+    PartTable("manifest", ManifestDdl))
 
-  /** Highest fully committed compaction watermark strictly below `max`:
-    * every [[PartTables]] consolidated dir has `_SUCCESS` AND the
-    * compaction marker exists — the batch-commit two-phase rule, so a
-    * crash mid-compaction leaves readers on the uncompacted view
-    * (the [[IncrementalEmbedIndex]] contract). */
-  private def compactionWatermark(max: Long): Option[Long] =
-    committedIds("docs", "c", max)
-      .filter(w => Files.exists(compactionMarker(w)) &&
-        PartTables.forall { case (n, _) =>
-          Files.exists(compactDir(n, w).resolve("_SUCCESS")) })
-      .maxOption
+  override protected def snapTables: Seq[(String, String)] =
+    Seq("labels" -> LabelsDdl, "fpmin" -> FpMinDdl)
 
-  /** Union of all committed append parts of `name` below batch `max`,
-    * reading the consolidated tree for everything at or below the active
-    * compaction watermark. `pruneTo = Some(buckets)` restricts the
-    * COMPACTED read to those hive buckets (listing-time PartitionFilters —
-    * the probe's collision-bucket pruning; only valid for tables with a
-    * [[bucketCol]]); recent unpartitioned parts are always read in full
-    * (batch-sized, bounded by the compaction cadence). */
-  private def readParts(spark: SparkSession, name: String, max: Long,
-                        ddl: String, requireMarker: Boolean = false,
-                        pruneTo: Option[Seq[Long]] = None): DataFrame = {
-    val cw = compactionWatermark(max)
-    val ids = committedIds(name, "b", max, requireMarker)
-      .filter(id => cw.forall(id > _))
-    val compacted = cw.flatMap { w =>
-      val root = compactDir(name, w)
-      pruneTo match {
-        case Some(bs) if name == "bands" =>
-          // prune at OUR listing: the index knows its layout, so hand
-          // Spark the selected leaf dirs + basePath — cost ∝ selected
-          // buckets, never a full-tree discovery; the redundant isin
-          // lands as the scan's PartitionFilters (the d73 shape)
-          val withPart = StructType.fromDDL(s"$ddl, pb BIGINT")
-          val leaves = bs.distinct.map(v => root.resolve(s"pb=$v"))
-            .filter(Files.isDirectory(_)).map(_.toString)
-          if (leaves.isEmpty) None
-          else Some(spark.read.schema(withPart)
-            .option("basePath", root.toString)
-            .parquet(leaves: _*)
-            .filter(col("pb").isin(bs: _*))
-            .drop("pb"))
-        case _ if name == "bands" =>
-          Some(spark.read.schema(StructType.fromDDL(s"$ddl, pb BIGINT"))
-            .parquet(root.toString).drop("pb"))
-        case _ =>
-          Some(spark.read.schema(StructType.fromDDL(ddl)).parquet(root.toString))
-      }
-    }
-    val parts =
-      if (ids.isEmpty) None
-      else Some(spark.read.schema(StructType.fromDDL(ddl))
-        .parquet(ids.map(partDir(name, _).toString): _*))
-    (compacted.toSeq ++ parts.toSeq) match {
-      case Seq() => emptyDf(spark, ddl)
-      case dfs => dfs.reduce(_ unionByName _)
-    }
-  }
-
-  /**
-   * Consolidate every committed append part at or below the high-water
-   * batch into one tree per [[PartTables]] table — the text twin of
-   * [[IncrementalEmbedIndex.compact]] (see its scaladoc for the
-   * small-files rationale and the two-phase crash story): consolidated
-   * trees first (deterministic, overwrite-idempotent), the
-   * `compactions/<w>` marker flips visibility, then superseded parts and
-   * older compactions are deleted. Serial-maintainer discipline assumed.
-   */
-  def compact(spark: SparkSession): Option[Long] = {
-    val ids = committedIds("docs", "b", Long.MaxValue, requireMarker = true)
-    val prev = compactionWatermark(Long.MaxValue)
-    // marker-less parts at or below the active watermark are crash-window
-    // residue superseded by the consolidated tree (serial-maintainer
-    // argument — see [[IncrementalEmbedIndex.compact]]); sweep them even
-    // when nothing else needs compacting
-    val staleBelow = prev.map(p =>
-      committedIds("docs", "b", Long.MaxValue).filter(_ <= p))
-      .getOrElse(Seq.empty)
-    if (ids.size + (if (prev.isDefined) 1 else 0) < 2 && staleBelow.isEmpty)
-      return None
-    // max over parts AND the active watermark: after a post-marker crash
-    // the only parts left can be stale ones BELOW the watermark, and a w
-    // computed from parts alone would regress it
-    val w = (ids ++ prev).max
-    // watermark w already active = a prior run crashed after its marker
-    // but before GC: consolidation is done (re-reading + overwriting the
-    // same compacted dir would throw) — skip to completing the GC
-    if (!prev.contains(w)) {
-      PartTables.foreach { case (name, ddl) =>
-        val base = readParts(spark, name, w + 1, ddl, requireMarker = true)
-        // the probe-joined BAND tree lands hive-partitioned on its
-        // collision-bucket key (deterministic content AND layout — a
-        // post-crash re-run overwrites verbatim); the others stay flat.
-        // The repartition ON the bucket column is load-bearing: without
-        // it partitionBy fans out tasks×buckets tiny files.
-        if (name == "bands")
-          base.withColumn("pb", bandBucketCol)
-            .repartition(col("pb"))
-            .write.mode("overwrite").partitionBy("pb")
-            .parquet(compactDir(name, w).toString)
-        else
-          base.write.mode("overwrite").parquet(compactDir(name, w).toString)
-      }
-      Files.createDirectories(compactionMarker(w).getParent)
-      if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
-    }
-    PartTables.foreach { case (name, _) =>
-      (ids ++ staleBelow).distinct.filter(_ <= w)
-        .foreach(id => deleteTree(partDir(name, id)))
-      prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
-    }
-    prev.filter(_ < w).foreach(p => Files.deleteIfExists(compactionMarker(p)))
-    // snapshot-version + marker retention (round-9 verdict): sweep dead
-    // snapshot versions, then prune markers the consolidated parts no
-    // longer need — keeping the markers the latest snapshots still gate on
-    gcSnapshots()
-    pruneMarkers(w)
-    Some(w)
-  }
-
-  /** The snapshot tables subject to version GC. */
-  private val SnapTables = Seq("labels", "fpmin")
-
-  /** Retention of superseded `labels`/`fpmin` snapshot versions — the
-    * [[IncrementalEmbedIndex]] rule verbatim: only the latest
-    * marker-committed version of each table is ever read, so everything
-    * strictly below it is dead disk. The threshold is marker-gated (a
-    * snapshot orphaned by a crash before its batch marker must not promote
-    * and delete the real latest); versions above it are in-flight and
-    * untouched; a crash mid-sweep leaves stale versions for the next sweep.
-    * Runs from [[compact]] only (the maintenance pass — see
-    * [[IncrementalEmbedIndex]] for the Delta-VACUUM positioning). */
-  private def gcSnapshots(): Unit =
-    SnapTables.foreach { name =>
-      committedIds(name, "v", Long.MaxValue, requireMarker = true)
-        .maxOption.foreach { keep =>
-          committedIds(name, "v", keep).foreach(v =>
-            deleteTree(snapDir(name, v)))
-        }
-    }
-
-  /** Prune batch commit markers at or below the compaction watermark,
-    * except those the latest committed `labels`/`fpmin` snapshots still
-    * gate ([[finalManifest]] reads both marker-gated). A replayed batch
-    * whose marker was pruned sees an EMPTY index view (its
-    * `readParts(max = batchId)` excludes the compaction at w ≥ batchId —
-    * round-10 advice: this doc previously claimed "the compacted view"),
-    * so it re-derives only its WITHIN-batch edges; convergence still
-    * holds because the replayed rows are identical to what the compacted
-    * tree already contains (deterministic recompute; any snapshot version
-    * it writes sits below the committed maximum readers resolve). That
-    * argument needs identical rows — which is why [[processBatch]]
-    * REJECTS batch ids strictly below the active watermark: a checkpoint
-    * reset that assigned NEW data to a pruned id would have its parts
-    * swept as stale by the next compaction, silently dropping the rows. */
-  private def pruneMarkers(w: Long): Unit = {
-    val keep = SnapTables.flatMap(n =>
-      committedIds(n, "v", Long.MaxValue, requireMarker = true).maxOption).toSet
-    val dir = root.resolve("commits")
-    if (!Files.isDirectory(dir)) return
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.endsWith(".committed")) {
-          val id = n.stripSuffix(".committed")
-          if (id.nonEmpty && id.forall(_.isDigit) &&
-              id.toLong <= w && !keep(id.toLong))
-            Files.deleteIfExists(p)
-        }
-      }
-    } finally s.close()
-  }
-
-  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
-
-  /** Latest committed snapshot of `name` below batch `max`. */
-  private def readSnapshot(spark: SparkSession, name: String, max: Long,
-                           ddl: String, requireMarker: Boolean = false): DataFrame =
-    committedIds(name, "v", max, requireMarker).maxOption match {
-      case Some(v) => spark.read.schema(StructType.fromDDL(ddl))
-        .parquet(snapDir(name, v).toString)
-      case None => emptyDf(spark, ddl)
-    }
-
-  def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
+  /** Dev/spec accessors (the text analogue of the embed probes). */
+  private[graft] def debugReadBands(spark: SparkSession, max: Long,
+                                    pruneTo: Option[Seq[Long]] = None): DataFrame =
+    readParts(spark, "bands", max, BandsDdl, pruneTo = pruneTo)
+  private[graft] def debugReadShingles(spark: SparkSession, max: Long,
+                                       pruneTo: Option[Seq[Long]] = None): DataFrame =
+    readParts(spark, "shingles", max, ShinglesDdl, pruneTo = pruneTo)
+  private[graft] def debugBandBucket: Column = bandBucketCol
+  private[graft] def debugIdBucket(c: Column): Column = idBucketCol(c)
 
   /** The `foreachBatch` entry point. Replay-idempotent: a committed batch
     * short-circuits; an interrupted one recomputes deterministically and
@@ -334,16 +124,7 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     * [[graft.sinks.IdempotentParquetWriter]] contract). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (isCommitted(batchId)) return
-    // ids strictly below the active compaction watermark are rejected:
-    // their parts would be swept as stale residue by the next compaction,
-    // silently dropping the rows (see [[pruneMarkers]]). Exactly == w is
-    // the legitimate crash window — the last compacted batch replayed
-    // because the engine's commit log lagged the marker.
-    compactionWatermark(Long.MaxValue).foreach(w =>
-      require(batchId >= w,
-        s"batch $batchId is below the active compaction watermark $w: " +
-          "a checkpoint reset across a compaction must re-key new data " +
-          "to fresh batch ids"))
+    rejectBelowWatermark(batchId)
     val spark = batch.sparkSession
     val b = batch.persist()
     val sh = b
@@ -357,14 +138,20 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
         explode(Dedup.lshBands(Dedup.minHashSignature(col("sh_hashes")))).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
       .persist()
-    // collision-bucket pruning (the [[IncrementalEmbedIndex]] probe shape):
-    // the compacted band read prunes to the batch's band-key buckets;
-    // verification keeps the broadcast-candidate double scan of the
-    // shingle table (see the embed index's verification note — an
-    // endpoint semi-join's barriers measured costlier than the second
-    // columnar scan)
-    val edges = Dedup.verifyJaccard(candidatePairs(spark, bandsB, batchId),
-        readParts(spark, "shingles", batchId, ShinglesDdl).unionByName(sh),
+    // candidate probe pruned to the batch's band-key buckets; exact
+    // verification pruned to the candidate endpoints' id buckets (see the
+    // class doc — same broadcast-candidate join shape, fewer leaf dirs;
+    // the endpoint-bucket collect is bounded by bandBuckets and only pays
+    // once a compacted level exists)
+    val hasLevels = activeWatermark(batchId).isDefined
+    val candidates0 = candidatePairs(spark, bandsB, batchId)
+    val candidates = if (hasLevels) candidates0.persist() else candidates0
+    val shSet = pruneSet(candidates,
+      explode(array(idBucketCol(col("doc_a")), idBucketCol(col("doc_b")))),
+      batchId, bandBuckets)
+    val edges = Dedup.verifyJaccard(candidates,
+        readParts(spark, "shingles", batchId, ShinglesDdl, pruneTo = shSet)
+          .unionByName(sh),
         threshold)
       .select("doc_a", "doc_b").persist()
     try {
@@ -401,10 +188,11 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
           readSnapshot(spark, "labels", batchId + 1, LabelsDdl))
         .write.mode("overwrite").parquet(partDir("manifest", batchId).toString)
 
-      Files.createDirectories(marker(batchId).getParent)
-      if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
+      commitBatch(batchId)
     } finally {
-      edges.unpersist(); bandsB.unpersist(); sh.unpersist(); b.unpersist()
+      edges.unpersist()
+      if (hasLevels) candidates.unpersist()
+      bandsB.unpersist(); sh.unpersist(); b.unpersist()
     }
   }
 
@@ -413,19 +201,12 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     * normalized unordered pair. Every pair with a shared band has at least
     * one endpoint in SOME batch's `bandsB`, and the older endpoint is in
     * that batch's index view — so the union over batches of these candidate
-    * sets is exactly the batch algorithm's candidate set. The compacted-
-    * index read prunes to the batch's band-key buckets (a batch key can
-    * only collide inside its own bucket). */
+    * sets is exactly the batch algorithm's candidate set. The level read
+    * prunes to the batch's band-key buckets (a batch key can only collide
+    * inside its own bucket). */
   private def candidatePairs(spark: SparkSession, bandsB: DataFrame,
                              batchId: Long): DataFrame = {
-    // the bucket-set collect only pays when a compacted tree exists to
-    // prune, and the leaf-dir read only engages when the batch covers at
-    // most half the buckets — a bulk batch reads the root in one listing
-    val pbSet =
-      if (compactionWatermark(batchId).isEmpty) None
-      else Some(bandsB.select(bandBucketCol.as("pb"))
-          .distinct().collect().map(_.getLong(0)).toSeq)
-        .filter(_.size <= bandBuckets / 2)
+    val pbSet = pruneSet(bandsB, bandBucketCol, batchId, bandBuckets)
     val all = readParts(spark, "bands", batchId, BandsDdl,
       pruneTo = pbSet).unionByName(bandsB)
     bandsB.as("x").join(all.as("y"), Seq("band", "bh"))

@@ -1,10 +1,9 @@
 package graft.ops
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
 
 import graft.queries.Tables
 
@@ -19,18 +18,18 @@ import graft.queries.Tables
  * "this crawl slice looks different" alarm, available the moment the
  * batch commits.
  *
- * State layout under `root/` (the n41 conventions exactly):
- * `counts/v<k>/` — versioned snapshots of the (source, w, ca, cb) table
- * (vocabulary-sized, NOT corpus-sized: the rewrite per batch costs the
- * vocab, which at 100 TB becomes a partitioned MERGE on the word key,
- * the same story as n41's label snapshots); `drift/b<k>/` — append-only
- * per-batch alarm rows; `commits/<k>` — the replay-idempotence markers
- * (a committed batch short-circuits; an interrupted one recomputes
- * deterministically and overwrites its own parts). The write path is
- * strictly ADDITIVE; superseded snapshot versions are reclaimed only by
- * the explicit [[IncrementalDriftMonitor.maintain]] pass — the shared
- * crash-surface rule of all three incremental state machines (destructive
- * GC lives in the maintenance position, never the batch commit).
+ * Since round 12 the monitor is the third subclass of
+ * [[IncrementalStateMachine]] (with the two dedup indexes): `drift/b<k>/`
+ * append-only alarm parts, `counts/v<k>/` versioned count snapshots
+ * (vocabulary-sized, NOT corpus-sized — at 100 TB the rewrite becomes a
+ * partitioned MERGE on the word key), `commits/<k>` replay-idempotence
+ * markers. The write path is strictly ADDITIVE; [[maintain]] — the shared
+ * maintenance position — runs the base compaction: superseded count
+ * versions are reclaimed, the alarm log consolidates into tiered levels,
+ * and batch markers at or below the watermark are pruned, so marker and
+ * part counts are bounded by the maintenance cadence instead of the
+ * stream's lifetime (previously the markers grew one per batch forever —
+ * the round-12 drift-soak gap).
  *
  * Correctness claim (oracle-gated as n48): count merging is commutative
  * and associative, so after `processAllAvailable` the final count state
@@ -42,58 +41,28 @@ import graft.queries.Tables
  * `IncrementalDriftSpec` plants a distribution-shifted final slice and
  * asserts the alarm fires on exactly that batch.
  */
-final class IncrementalDriftMonitor(root: Path) {
+final class IncrementalDriftMonitor(root: Path,
+                                    override protected val maxLevels: Int = 4)
+  extends IncrementalStateMachine(root) {
 
   private val CountsDdl = "source STRING, w STRING, ca BIGINT, cb BIGINT"
   private val DriftDdl =
     "batch_id BIGINT, source STRING, batch_words BIGINT, prior_words BIGINT, tv DOUBLE"
 
-  private def snapDir(k: Long) = root.resolve("counts").resolve(s"v$k")
-  private def driftDir(k: Long) = root.resolve("drift").resolve(s"b$k")
-  private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
+  override protected def partTables: Seq[PartTable] =
+    Seq(PartTable("drift", DriftDdl))
 
-  /** `requireMarker` gates ids on the `commits/<id>` batch marker in
-    * addition to per-directory `_SUCCESS` — the public-reader contract
-    * shared with [[IncrementalDedupIndex]]: a crash between the drift part
-    * and the counts snapshot must not expose the half-committed batch. */
-  private def committedIds(name: String, prefix: String, max: Long,
-                           requireMarker: Boolean = false): Seq[Long] = {
-    val dir = root.resolve(name)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
-            Files.exists(p.resolve("_SUCCESS")))
-          Some(n.drop(prefix.length).toLong)
-            .filter(id => id < max && (!requireMarker || isCommitted(id)))
-        else None
-      }.toSeq
-    } finally s.close()
-  }
-
-  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
-
-  private def readCounts(spark: SparkSession, max: Long,
-                         requireMarker: Boolean = false): DataFrame =
-    committedIds("counts", "v", max, requireMarker).maxOption match {
-      case Some(v) => spark.read.schema(StructType.fromDDL(CountsDdl))
-        .parquet(snapDir(v).toString)
-      case None => emptyDf(spark, CountsDdl)
-    }
-
-  def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
+  override protected def snapTables: Seq[(String, String)] =
+    Seq("counts" -> CountsDdl)
 
   /** The `foreachBatch` entry point (replay-idempotent, n41 contract). */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (isCommitted(batchId)) return
+    rejectBelowWatermark(batchId)
     val spark = batch.sparkSession
     val bc = Corpus.snapshotCounts(batch, Corpus.defaultSnapA).persist()
     try {
-      val prior = readCounts(spark, batchId)
+      val prior = readSnapshot(spark, "counts", batchId, CountsDdl)
       // alarm row per source: TV(batch distribution, prior distribution)
       // over COMBINED counts (ca+cb — the snapshot axis is n46's concern,
       // the alarm compares arrival slices), same integer cross-product
@@ -118,76 +87,49 @@ final class IncrementalDriftMonitor(root: Path) {
             col("sum_diff").cast("double") /
               (lit(2.0) * col("batch_words").cast("double") *
                 col("prior_words").cast("double"))).as("tv"))
-      alarm.write.mode("overwrite").parquet(driftDir(batchId).toString)
+      alarm.write.mode("overwrite").parquet(partDir("drift", batchId).toString)
 
       val merged = prior.unionByName(bc)
         .groupBy("source", "w")
         .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-      merged.write.mode("overwrite").parquet(snapDir(batchId).toString)
+      merged.write.mode("overwrite").parquet(snapDir("counts", batchId).toString)
 
-      Files.createDirectories(marker(batchId).getParent)
-      if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
+      commitBatch(batchId)
     } finally bc.unpersist()
   }
 
   /**
-   * The maintenance entry point — the [[IncrementalDedupIndex.compact]] /
-   * [[IncrementalEmbedIndex.compact]] position in the lifecycle, and the
-   * ONLY destructive pass this monitor runs: the per-batch write path is
-   * strictly additive (parts, snapshots, markers), so every crash state a
-   * replay can encounter is a prefix of the batch sequence plus at most
-   * one in-flight batch — the shared state-machine rule all three
-   * incremental indexes now follow (round-10 verdict: GC ran inside the
-   * batch commit here, widening the per-batch crash surface and deleting
-   * the stale-version recovery window the other two keep until
-   * maintenance). Reclaims superseded counts-snapshot versions; disk
-   * growth is bounded by the maintenance cadence instead of the stream's
-   * lifetime. The n48 query runs it inside the driver's oracle gate, as
-   * n41/n52 run compact().
+   * The maintenance entry point — the ONLY destructive pass this monitor
+   * runs (the per-batch write path is strictly additive, so every crash
+   * state a replay can encounter is a prefix of the batch sequence plus
+   * at most one in-flight batch). Delegates to the base
+   * [[IncrementalStateMachine.compact]]: superseded count versions
+   * reclaimed, alarm parts consolidated into tiered levels, dead batch
+   * markers pruned. The n48 query runs it inside the driver's oracle
+   * gate, as n41/n52 run compact().
    */
-  def maintain(): Unit = gcSnapshots()
-
-  /** Retention of superseded counts-snapshot versions — the
-    * [[IncrementalEmbedIndex]] rule: threshold is the latest
-    * MARKER-committed version (an orphan from a crash before its marker
-    * must not promote), versions above it are in-flight, a crash mid-sweep
-    * leaves stale versions for the next sweep (deletes are independent and
-    * idempotent; readers always resolve the max committed version). */
-  private def gcSnapshots(): Unit =
-    committedIds("counts", "v", Long.MaxValue, requireMarker = true)
-      .maxOption.foreach { keep =>
-        committedIds("counts", "v", keep).foreach(v => deleteTree(snapDir(v)))
-      }
-
-  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
+  def maintain(spark: SparkSession): Unit = { compact(spark); () }
 
   /** The n46 drift table implied by the final count state — hash-matches
     * the batch oracle for any batching (count merging commutes). */
   def finalDrift(spark: SparkSession): DataFrame =
-    Corpus.driftFromCounts(readCounts(spark, Long.MaxValue, requireMarker = true))
+    Corpus.driftFromCounts(
+      readSnapshot(spark, "counts", Long.MaxValue, CountsDdl,
+        requireMarker = true))
 
   /** The append-only per-batch alarm log (batching-dependent by design). */
-  def driftLog(spark: SparkSession): DataFrame = {
-    val ids = committedIds("drift", "b", Long.MaxValue, requireMarker = true)
-    if (ids.isEmpty) emptyDf(spark, DriftDdl)
-    else spark.read.schema(StructType.fromDDL(DriftDdl))
-      .parquet(ids.map(driftDir(_).toString): _*)
-  }
+  def driftLog(spark: SparkSession): DataFrame =
+    readParts(spark, "drift", Long.MaxValue, DriftDdl, requireMarker = true)
 }
 
 object IncrementalDrift {
 
   /** n48: ingest the documents table as a 4-batch file stream through the
-    * incremental monitor, run the MAINTENANCE pass (snapshot-version GC —
-    * inside the driver's oracle gate, as n41/n52 run compact()), then emit
-    * the drift table implied by the final count state. Oracle: the batch
-    * n46 SQL ([[Corpus.snapshotDriftOracle]]) verbatim. */
+    * incremental monitor, run the MAINTENANCE pass (snapshot-version GC +
+    * alarm-log compaction — inside the driver's oracle gate, as n41/n52
+    * run compact()), then emit the drift table implied by the final count
+    * state. Oracle: the batch n46 SQL ([[Corpus.snapshotDriftOracle]])
+    * verbatim. */
   def streamingDriftQuery(spark: SparkSession, dir: String,
                           chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n48")
@@ -195,7 +137,7 @@ object IncrementalDrift {
     IncrementalDedup.stageChunks(Tables.documents(spark, dir),
       base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), monitor)
-    monitor.maintain()
+    monitor.maintain(spark)
     monitor.finalDrift(spark).orderBy("source")
   }
 

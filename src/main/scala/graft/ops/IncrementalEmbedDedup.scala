@@ -1,11 +1,10 @@
 package graft.ops
 
-import java.nio.file.{Files, Path}
+import java.nio.file.Path
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.StructType
 
 import graft.queries.Tables
 
@@ -14,6 +13,10 @@ import graft.queries.Tables
  * cluster table maintained continuously as vectors arrive — the embedding
  * twin of [[IncrementalDedup]] (n41), completing the round-7/8 advice
  * ("n41 proved the pattern for text; the embedding twin is missing").
+ * All state-machine machinery (per-batch parts + markers, versioned
+ * snapshots, tiered compaction levels, collision-bucket layouts,
+ * retention GC, crash consistency) lives in [[IncrementalStateMachine]];
+ * this class keeps only the embedding domain logic.
  *
  * Per micro-batch (`foreachBatch`):
  *   1. unit-normalize the batch's vectors and compute their sign-projection
@@ -39,37 +42,28 @@ import graft.queries.Tables
  *      vec_ids, so contraction preserves the global fixpoint including
  *      bridging merges across batches.
  *
- * State layout under `root/` (the n41 conventions): `units|bands/b<k>/`
- * (append-only parts), `labels/v<k>/` (versioned snapshots, written only
- * by batches that change them), `commits/<k>` (markers), plus
- * `units|bands/c<w>/` + `compactions/<w>` — the [[IncrementalEmbedIndex.compact]]
- * consolidation of all parts ≤ w (small-files countermeasure; same
- * two-phase visibility rule). Public readers gate on the markers so a
- * crash between a part write and the labels snapshot (or mid-compaction)
- * never exposes a half-committed state.
+ * COLLISION-BUCKET PRUNING: both index-sized tables the per-batch work
+ * joins against are hive-bucketed in their compacted levels and pruned at
+ * OUR listing (the [[IncrementalStateMachine]] layout/pruning contract):
  *
- * COLLISION-BUCKET PRUNING (round-11 verdict #1 — the one measured scale
- * growth term): the compacted BAND tree is hive-partitioned on bounded
- * hash buckets — `bands/c<w>/pb=<hash(band,bh) % P_b>` — and the
- * per-batch candidate probe prunes its read to the buckets the batch can
- * collide with, selected at OUR listing (explicit leaf dirs + basePath:
- * cost ∝ selected buckets, never a full-tree discovery) with the isin
- * surfacing as the scan's PartitionFilters, the d73 treatment. Per-batch
- * read volume is then `coverage(K, P_b) × index` with
- * `coverage = 1-(1-1/P_b)^K` for K batch band keys: a trickle batch
- * (K ≪ P_b) reads only its collision buckets regardless of index
- * lifetime, and a bulk batch covering more than half the buckets falls
- * back to the one-listing full scan it needed anyway. The units
- * verification stays a broadcast-candidate double scan: the candidate
- * frame is constant-sized (the lshBitsFor design), so the unit table is
- * scanned columnar and never shuffled — measured cheaper than an
- * endpoint semi-join at every local scale (the barriers cost more than
- * the second scan; see the inline note at the verification join).
- * Per-batch APPEND parts stay unpartitioned — batch-sized, bounded
- * by the compaction cadence; compaction re-buckets them. At 100 TB the
- * versioned label snapshot becomes a partitioned MERGE and the bucketed
- * band tree is the banded index any production ANN/near-dup service
- * persists anyway (with P_b sized so buckets are file-sized); the
+ *  - `bands` on `hash(band, bh) % P` (round 11): the candidate probe
+ *    reads only the buckets the batch's band keys can collide with —
+ *    per-batch read volume `coverage(K, P) × index` with
+ *    `coverage = 1-(1-1/P)^K` for K batch band keys, so a trickle batch
+ *    (K ≪ P) reads a constant fraction regardless of index lifetime and
+ *    a bulk batch covering more than half the buckets falls back to the
+ *    one-listing full scan it needed anyway;
+ *  - `units` on `hash(vec_id) % P` (round 12 — the last per-batch growth
+ *    term): the exact-verify join reads only the buckets holding the
+ *    candidate ENDPOINTS, collected from the (constant-sized, persisted)
+ *    candidate frame. This is listing-time pruning of the same
+ *    broadcast-candidate double scan — NOT the round-11-rejected endpoint
+ *    semi-join, which added shuffles and doubled the gated replay; the
+ *    join shape is unchanged, the scan just reads fewer leaf dirs.
+ *
+ * At 100 TB the versioned label snapshot becomes a partitioned MERGE and
+ * the bucketed trees are the banded index any production ANN/near-dup
+ * service persists anyway (with P sized so buckets stay file-sized); the
  * per-batch work touches only the batch and its band-collision partners.
  *
  * Correctness claim (tested in `IncrementalEmbedDedupSpec`, oracle-gated
@@ -81,290 +75,55 @@ import graft.queries.Tables
  */
 final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
                                   geometry: (Int, Int),
-                                  bandBuckets: Int = 64) {
+                                  bandBuckets: Int = 64,
+                                  override protected val maxLevels: Int = 4,
+                                  bucketMaxDirs: Int = 4096)
+  extends IncrementalStateMachine(root) {
 
   private val (bits, bands) = geometry
   private val UnitsDdl = "vec_id BIGINT, u ARRAY<DOUBLE>"
   private val BandsDdl = "vec_id BIGINT, band INT, bh BIGINT"
   private val LabelsDdl = "vec_id BIGINT, lbl BIGINT"
 
-  /** The compacted band tree's hive-partition column: bounded hash
-    * buckets of the band key — the pruning key of the candidate probe.
-    * Only `bands` is bucketed: it is the one index-sized table every
-    * batch joins on a KEY the batch knows up front; the units
-    * verification is endpoint-driven (a semi-join on ids discovered
-    * mid-batch), where a second driver round-trip to collect bucket sets
-    * measured as pure overhead at every local scale. */
-  private def bandBucketCol: org.apache.spark.sql.Column =
+  /** The band tree's hive-bucket column — the candidate probe's pruning
+    * key (a batch band key can only collide inside its own bucket). */
+  private def bandBucketCol: Column =
     pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
 
-  private def partDir(name: String, k: Long) = root.resolve(name).resolve(s"b$k")
-  private def snapDir(name: String, k: Long) = root.resolve(name).resolve(s"v$k")
-  private def compactDir(name: String, w: Long) = root.resolve(name).resolve(s"c$w")
-  private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
-  private def compactionMarker(w: Long) =
-    root.resolve("compactions").resolve(s"$w.committed")
+  /** The unit table's hive-bucket column over a vec_id column — the
+    * verification read's pruning key (a candidate endpoint's unit row
+    * lives in its id-hash bucket). */
+  private def idBucketCol(c: Column): Column =
+    pmod(xxhash64(c), lit(bandBuckets.toLong))
 
-  /** `_SUCCESS`-complete children of `name` strictly below `max`;
-    * `requireMarker` additionally gates on the batch commit marker — the
-    * public-reader crash-consistency contract shared with
-    * [[IncrementalDedupIndex]] / [[IncrementalDriftMonitor]]. */
-  private def committedIds(name: String, prefix: String, max: Long,
-                           requireMarker: Boolean = false): Seq[Long] = {
-    val dir = root.resolve(name)
-    if (!Files.isDirectory(dir)) return Seq.empty
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.flatMap { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith(prefix) && n.drop(prefix.length).forall(_.isDigit) &&
-            Files.exists(p.resolve("_SUCCESS")))
-          Some(n.drop(prefix.length).toLong)
-            .filter(id => id < max && (!requireMarker || isCommitted(id)))
-        else None
-      }.toSeq
-    } finally s.close()
-  }
+  override protected def partTables: Seq[PartTable] = Seq(
+    PartTable("units", UnitsDdl,
+      Some(Bucketing(idBucketCol(col("vec_id")), bandBuckets, bucketMaxDirs))),
+    PartTable("bands", BandsDdl,
+      Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))))
 
-  private def emptyDf(spark: SparkSession, ddl: String): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
-
-  /** Highest fully committed compaction watermark strictly below `max`:
-    * both consolidated dirs have `_SUCCESS` AND the compaction marker
-    * exists — the same two-phase visibility rule as batch commits, so a
-    * crash mid-compaction leaves readers on the uncompacted view. */
-  private def compactionWatermark(max: Long): Option[Long] =
-    committedIds("units", "c", max)
-      .filter(w => Files.exists(compactionMarker(w)) &&
-        Files.exists(compactDir("bands", w).resolve("_SUCCESS")))
-      .maxOption
-
-  /** Union of committed parts below `max` plus the compacted tree at the
-    * active watermark. `pruneTo = Some(buckets)` restricts the COMPACTED
-    * read to those hive buckets, and the selection happens at OUR listing:
-    * the index knows its own layout, so the pruned read hands Spark the
-    * selected `<pcol>=<v>` leaf dirs directly (plus `basePath`, so the
-    * bucket column still resolves) — cost ∝ selected buckets, never a
-    * full-tree partition discovery. The redundant isin filter on top lands
-    * as the scan's PartitionFilters (the d73 shape, pinned in
-    * `IncrementalPruningSpec`) and costs nothing. Recent unpartitioned
-    * parts are always read in full (batch-sized, bounded by the
-    * compaction cadence). */
-  private def readParts(spark: SparkSession, name: String, max: Long,
-                        ddl: String, requireMarker: Boolean = false,
-                        pruneTo: Option[Seq[Long]] = None): DataFrame = {
-    val schema = StructType.fromDDL(ddl)
-    val cw = compactionWatermark(max)
-    val ids = committedIds(name, "b", max, requireMarker)
-      .filter(id => cw.forall(id > _))
-    val compacted = cw.flatMap { w =>
-      val root = compactDir(name, w)
-      pruneTo match {
-        case Some(bs) if name == "bands" =>
-          val withPart = StructType.fromDDL(s"$ddl, pb BIGINT")
-          val leaves = bs.distinct.map(v => root.resolve(s"pb=$v"))
-            .filter(Files.isDirectory(_)).map(_.toString)
-          if (leaves.isEmpty) None
-          else Some(spark.read.schema(withPart)
-            .option("basePath", root.toString)
-            .parquet(leaves: _*)
-            .filter(col("pb").isin(bs: _*))
-            .drop("pb"))
-        case _ if name == "bands" =>
-          Some(spark.read.schema(StructType.fromDDL(s"$ddl, pb BIGINT"))
-            .parquet(root.toString).drop("pb"))
-        case _ =>
-          Some(spark.read.schema(schema).parquet(root.toString))
-      }
-    }
-    val parts =
-      if (ids.isEmpty) None
-      else Some(spark.read.schema(schema)
-        .parquet(ids.map(partDir(name, _).toString): _*))
-    (compacted.toSeq ++ parts.toSeq) match {
-      case Seq() => emptyDf(spark, ddl)
-      case dfs => dfs.reduce(_ unionByName _)
-    }
-  }
-
-  /**
-   * Consolidate every committed `units`/`bands` part at or below the
-   * current high-water batch into one compacted tree — the small-files
-   * countermeasure an append-only banded index needs at scale (N
-   * micro-batches otherwise mean N-way directory unions and N× listing
-   * cost on every candidate join; at 100 TB this is the OPTIMIZE/
-   * bin-packing pass a Delta-backed index would schedule).
-   *
-   * Crash-consistent by the index's own two-phase rule: the consolidated
-   * trees are written first (deterministic content — the union of
-   * committed parts — so a re-run after a crash overwrites them
-   * verbatim), the `compactions/<w>` marker flips visibility atomically,
-   * and only then are the superseded part dirs and any older compaction
-   * deleted. Single-maintainer discipline (the serial foreachBatch loop)
-   * is assumed, as everywhere in this index. Returns the watermark, or
-   * None when there is nothing worth compacting.
-   */
-  def compact(spark: SparkSession): Option[Long] = {
-    val ids = committedIds("units", "b", Long.MaxValue, requireMarker = true)
-    val prev = compactionWatermark(Long.MaxValue)
-    // GC-completion garbage: parts at or below the ACTIVE watermark whose
-    // marker is gone (pruned by a prior compaction) are superseded by the
-    // consolidated tree regardless — under the serial-maintainer
-    // discipline a marker-less part below w can only be crash-window
-    // residue, never an in-flight batch (batches commit in ascending
-    // order, so an interrupted batch has no committed successors)
-    val staleBelow = prev.map(p =>
-      committedIds("units", "b", Long.MaxValue).filter(_ <= p))
-      .getOrElse(Seq.empty)
-    if (ids.size + (if (prev.isDefined) 1 else 0) < 2 && staleBelow.isEmpty)
-      return None
-    // max over parts AND the active watermark: after a post-marker crash
-    // the only parts left on disk can be stale ones BELOW the watermark,
-    // and a w computed from parts alone would regress it
-    val w = (ids ++ prev).max
-    // a crash AFTER the marker but before GC leaves watermark w already
-    // active with its superseded parts still on disk: the consolidation is
-    // done (and reading+overwriting the same compacted dir would throw),
-    // so a re-run skips straight to completing the GC
-    if (!prev.contains(w)) {
-      // the consolidated BAND tree lands hive-partitioned on its
-      // collision-bucket key so subsequent probes prune to the batch's
-      // buckets at listing time (deterministic content AND layout — a
-      // post-crash re-run overwrites verbatim). The repartition ON the
-      // bucket column is load-bearing: without it every write task holds
-      // rows of ~every bucket and partitionBy fans out tasks×buckets tiny
-      // files — one shuffle buys one file per bucket. Units compact flat:
-      // their verification read is endpoint-driven, not key-driven.
-      readParts(spark, "units", w + 1, UnitsDdl, requireMarker = true)
-        .write.mode("overwrite").parquet(compactDir("units", w).toString)
-      readParts(spark, "bands", w + 1, BandsDdl, requireMarker = true)
-        .withColumn("pb", bandBucketCol)
-        .repartition(col("pb"))
-        .write.mode("overwrite").partitionBy("pb")
-        .parquet(compactDir("bands", w).toString)
-      Files.createDirectories(compactionMarker(w).getParent)
-      if (!Files.exists(compactionMarker(w))) Files.createFile(compactionMarker(w))
-    }
-    // superseded trees: parts <= w (marker-committed or stale) and any
-    // older compaction
-    for (name <- Seq("units", "bands")) {
-      (ids ++ staleBelow).distinct.filter(_ <= w)
-        .foreach(id => deleteTree(partDir(name, id)))
-      prev.filter(_ < w).foreach(p => deleteTree(compactDir(name, p)))
-    }
-    prev.filter(_ < w).foreach(p => Files.deleteIfExists(compactionMarker(p)))
-    // snapshot-version + marker retention (round-9 verdict: snapshots were
-    // append-forever). gcSnapshots BEFORE pruneMarkers — the sweep reads
-    // marker-committed versions, and pruning keeps only the max's marker.
-    gcSnapshots()
-    pruneMarkers(w)
-    Some(w)
-  }
-
-  /** Retention of superseded label-snapshot versions: only the LATEST
-    * marker-committed version is ever read (readers take the max), so
-    * every version strictly below it — committed or abandoned — is dead
-    * disk on a long-lived index. Deletes under the two-phase rule: the
-    * threshold is the latest version whose BATCH MARKER exists (never a
-    * bare `_SUCCESS` — a crash between the snapshot write and its marker
-    * must not promote the orphan and delete the real latest), versions
-    * above the threshold are in-flight and untouched, and a crash
-    * mid-sweep just leaves stale versions for the next sweep (readers
-    * still resolve the max; deletion is idempotent). Runs from
-    * [[compact]] — the maintenance pass, the Delta VACUUM position in the
-    * lifecycle: superseded versions survive until maintenance (a recovery
-    * window, and the crash-window state machine stays exactly the one the
-    * replay/marker specs pin), and disk growth is bounded by the
-    * compaction cadence instead of the stream's lifetime. */
-  private def gcSnapshots(): Unit =
-    committedIds("labels", "v", Long.MaxValue, requireMarker = true)
-      .maxOption.foreach { keep =>
-        committedIds("labels", "v", keep).foreach(v =>
-          deleteTree(snapDir("labels", v)))
-      }
-
-  /** Prune batch commit markers at or below the compaction watermark —
-    * their parts are consolidated, so the markers gate nothing — EXCEPT
-    * the marker of the latest committed label snapshot, which
-    * [[finalClusters]]' marker-gated read still depends on. A replayed
-    * batch whose marker was pruned sees an EMPTY index view (its
-    * `readParts(max = batchId)` excludes the compaction at w ≥ batchId —
-    * round-10 advice: this doc previously claimed "the compacted view"),
-    * so it re-derives only its WITHIN-batch edges; convergence still
-    * holds because the replayed rows are identical to what the compacted
-    * tree already contains (deterministic recompute, and any labels
-    * version it writes sits below the committed maximum readers resolve).
-    * That argument needs identical rows — which is why [[processBatch]]
-    * REJECTS batch ids strictly below the active watermark: a checkpoint
-    * reset that assigned NEW data to a pruned id would have its parts
-    * swept as stale by the next compaction, silently dropping the rows
-    * from every future probe. */
-  private def pruneMarkers(w: Long): Unit = {
-    val keep = committedIds("labels", "v", Long.MaxValue, requireMarker = true)
-      .maxOption.toSet
-    val dir = root.resolve("commits")
-    if (!Files.isDirectory(dir)) return
-    val s = Files.list(dir)
-    try {
-      import scala.jdk.CollectionConverters._
-      s.iterator().asScala.foreach { p =>
-        val n = p.getFileName.toString
-        if (n.endsWith(".committed")) {
-          val id = n.stripSuffix(".committed")
-          if (id.nonEmpty && id.forall(_.isDigit) &&
-              id.toLong <= w && !keep(id.toLong))
-            Files.deleteIfExists(p)
-        }
-      }
-    } finally s.close()
-  }
-
-  private def deleteTree(p: Path): Unit = if (Files.exists(p)) {
-    import scala.jdk.CollectionConverters._
-    val s = Files.walk(p)
-    try s.sorted(java.util.Comparator.reverseOrder[Path]())
-      .iterator().asScala.foreach(Files.deleteIfExists(_))
-    finally s.close()
-  }
-
-  private def readLabels(spark: SparkSession, max: Long,
-                         requireMarker: Boolean = false): DataFrame =
-    committedIds("labels", "v", max, requireMarker).maxOption match {
-      case Some(v) => spark.read.schema(StructType.fromDDL(LabelsDdl))
-        .parquet(snapDir("labels", v).toString)
-      case None => emptyDf(spark, LabelsDdl)
-    }
-
-  def isCommitted(batchId: Long): Boolean = Files.exists(marker(batchId))
+  override protected def snapTables: Seq[(String, String)] =
+    Seq("labels" -> LabelsDdl)
 
   /** Dev-probe accessors ([[graft.tools.ProbeEmbedBatchBreakdown]], the
-    * pruning plan pin in `IncrementalPruningSpec`): the index views a
-    * batch at `max` would join against; the band view optionally pruned
-    * to a collision-bucket set as the probe does. */
+    * pruning plan pins in `IncrementalPruningSpec`): the index views a
+    * batch at `max` would join against, optionally pruned to a
+    * collision-bucket set as the probe does. */
   private[graft] def debugReadBands(spark: SparkSession, max: Long,
                                     pruneTo: Option[Seq[Long]] = None): DataFrame =
     readParts(spark, "bands", max, BandsDdl, pruneTo = pruneTo)
-  private[graft] def debugReadUnits(spark: SparkSession, max: Long): DataFrame =
-    readParts(spark, "units", max, UnitsDdl)
-  private[graft] def debugBandBucket: org.apache.spark.sql.Column =
-    bandBucketCol
+  private[graft] def debugReadUnits(spark: SparkSession, max: Long,
+                                    pruneTo: Option[Seq[Long]] = None): DataFrame =
+    readParts(spark, "units", max, UnitsDdl, pruneTo = pruneTo)
+  private[graft] def debugBandBucket: Column = bandBucketCol
+  private[graft] def debugIdBucket(c: Column): Column = idBucketCol(c)
 
   /** The `foreachBatch` entry point (replay-idempotent, n41 contract):
     * a committed batch short-circuits; an interrupted one recomputes
     * deterministically and overwrites its own parts. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (isCommitted(batchId)) return
-    // ids strictly below the active compaction watermark are rejected:
-    // their parts would be swept as stale residue by the next compaction,
-    // silently dropping the rows (see [[pruneMarkers]]). Exactly == w is
-    // the legitimate crash window — the last compacted batch replayed
-    // because the engine's commit log lagged the marker.
-    compactionWatermark(Long.MaxValue).foreach(w =>
-      require(batchId >= w,
-        s"batch $batchId is below the active compaction watermark $w: " +
-          "a checkpoint reset across a compaction must re-key new data " +
-          "to fresh batch ids"))
+    rejectBelowWatermark(batchId)
     val spark = batch.sparkSession
     val unitB = batch
       .select(col("vec_id"), Dedup.unitVector(col("embedding")).as("u"))
@@ -373,29 +132,23 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       .select(col("vec_id"),
         posexplode(Dedup.signBandCol(col("u"), bits, bands)).as(Seq("band", "bh")))
       .persist()
-    // collision-bucket pruning: the batch's band keys can only collide
-    // inside their own hash buckets — collect that bucket set (bounded by
-    // bandBuckets) and prune the compacted-index read to it. The collect
-    // only pays when a compacted tree exists to prune (pre-compaction
-    // parts are batch-sized), and the pruned leaf-dir read only engages
-    // when the batch covers at most half the buckets — a bulk batch
-    // covering everything reads the root in one listing instead, the
-    // full scan it needed anyway.
-    val hasCompaction = compactionWatermark(batchId).isDefined
-    val pbSet =
-      if (!hasCompaction) None
-      else Some(bandsB.select(bandBucketCol.as("pb"))
-          .distinct().collect().map(_.getLong(0)).toSeq)
-        .filter(_.size <= bandBuckets / 2)
+    // collision-bucket pruning of the candidate probe: the batch's band
+    // keys can only collide inside their own hash buckets (the bounded
+    // pruneSet collect only pays once a compacted level exists)
+    val pbSet = pruneSet(bandsB, bandBucketCol, batchId, bandBuckets)
     // stream-static candidates: the union over batches of (batch ⋈ index ∪
     // batch) band collisions is exactly the batch algorithm's candidate set
     val allBands = readParts(spark, "bands", batchId, BandsDdl,
       pruneTo = pbSet).unionByName(bandsB)
-    val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
+    val hasLevels = activeWatermark(batchId).isDefined
+    val candidates0 = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
       .distinct()
+    // persisted once pruning engages: the endpoint-bucket collect below
+    // and the verification join are two consumers of the candidate frame
+    val candidates = if (hasLevels) candidates0.persist() else candidates0
     // verification joins the distinct'd candidate frame (small — constant
     // under the lshBitsFor design) against the unit table twice; the
     // candidate side broadcasts, so the units are SCANNED, never shuffled.
@@ -403,8 +156,15 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     // (scan units once, then two joins against the endpoint frame): the
     // extra distinct + semi-join barriers defeated the limit-short-circuit
     // and doubled the gated n52 replay — two cheap columnar scans beat one
-    // scan plus three shuffles at every scale we can measure.
-    val allUnits = readParts(spark, "units", batchId, UnitsDdl).unionByName(unitB)
+    // scan plus three shuffles at every scale we can measure. Round 12
+    // instead prunes the SCAN: the compacted unit levels are id-hash
+    // bucketed, and the read is restricted to the candidate endpoints'
+    // buckets at listing time — same join shape, fewer leaf dirs.
+    val ubSet = pruneSet(candidates,
+      explode(array(idBucketCol(col("vec_a")), idBucketCol(col("vec_b")))),
+      batchId, bandBuckets)
+    val allUnits = readParts(spark, "units", batchId, UnitsDdl,
+      pruneTo = ubSet).unionByName(unitB)
     val edges = candidates
       .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
       .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
@@ -416,10 +176,11 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       if (edges.limit(1).count() > 0)
         mergeLabels(spark, edges, batchId)
           .write.mode("overwrite").parquet(snapDir("labels", batchId).toString)
-      Files.createDirectories(marker(batchId).getParent)
-      if (!Files.exists(marker(batchId))) Files.createFile(marker(batchId))
+      commitBatch(batchId)
     } finally {
-      edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
+      edges.unpersist()
+      if (hasLevels) candidates.unpersist()
+      bandsB.unpersist(); unitB.unpersist()
     }
   }
 
@@ -430,7 +191,7 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     * [[IncrementalDedupIndex]] mergeLabels shape on the vector id space). */
   private def mergeLabels(spark: SparkSession, edges: DataFrame,
                           batchId: Long): DataFrame = {
-    val oldLabels = readLabels(spark, batchId)
+    val oldLabels = readSnapshot(spark, "labels", batchId, LabelsDdl)
     val contracted = edges
       .join(oldLabels.select(col("vec_id").as("vec_a"), col("lbl").as("la0")),
         Seq("vec_a"), "left")
@@ -457,7 +218,7 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     * batch n37 answer over every ingested vector. Marker-gated: only fully
     * committed batches contribute. */
   def finalClusters(spark: SparkSession): DataFrame =
-    readLabels(spark, Long.MaxValue, requireMarker = true)
+    readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl, requireMarker = true)
       .select(col("vec_id"), col("lbl").as("cluster_id"),
         (col("vec_id") === col("lbl")).as("is_canonical"))
 }
@@ -513,15 +274,20 @@ object IncrementalEmbedDedup {
 
   /** Collision-bucket count for a corpus of `n` vectors at `bands` bands:
     * targets ~2k band rows per bucket (file-sized at this scale), clamped
-    * to [64, 4096] — the dir-count sanity bound for local hive layouts; a
-    * metastore/Delta-log deployment lifts the clamp so buckets stay
-    * file-sized as the index grows, which is what keeps trickle-probe
-    * reads index-size-independent (per-batch read = coverage(K, P) ×
-    * index with coverage = 1-(1-1/P)^K for K batch band keys). Pinned at
-    * index construction like the LSH geometry (re-bucketing would change
-    * the compacted layout mid-stream). */
-  private[graft] def bucketsFor(n: Long, bands: Int): Int =
-    math.max(64L, math.min(4096L,
+    * to [64, maxBuckets]. The default cap of 4096 keeps a SINGLE hive
+    * directory level; pass a larger `maxBuckets` to lift it — the
+    * [[IncrementalStateMachine.Bucketing]] layout goes two-level
+    * (`pb=<v>/sub=<w>`) past 4096 buckets, so no directory ever exceeds
+    * the per-dir fan-out bound and bucket counts can keep tracking index
+    * growth without a metastore (round-12 verdict #4). Keeping buckets
+    * file-sized is what keeps trickle-probe reads index-size-independent
+    * (per-batch read = coverage(K, P) × index with
+    * coverage = 1-(1-1/P)^K for K batch band keys). Pinned at index
+    * construction like the LSH geometry (re-bucketing would change the
+    * compacted layout mid-stream). */
+  private[graft] def bucketsFor(n: Long, bands: Int,
+                                maxBuckets: Long = 4096L): Int =
+    math.max(64L, math.min(maxBuckets,
       java.lang.Long.highestOneBit(math.max(1L, n * bands / 2000)) * 2)).toInt
 
   /** n52: ingest the n37 corpus as a 4-batch file stream through the

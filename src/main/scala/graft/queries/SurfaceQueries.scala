@@ -743,15 +743,61 @@ object SurfaceQueries {
       .option("start", "0").option("end", "60000")
       .option("rowsPerBatch", "20000")
       .load()
+      // round 12: widen the stream with the nested/decimal surface the
+      // sink's recursive codec must carry — every value a deterministic
+      // function of id, so the DuckDB oracle rebuilds the aggregates from
+      // range() (decimal addition is exact at scale 3; the arrays/struct/
+      // map round-trip through JSON-lines and aggregate back to BIGINTs)
+      .withColumn("dec", col("id").cast("decimal(15,3)") +
+        lit("0.125").cast("decimal(15,3)"))
+      .withColumn("nums", sequence(lit(0L), pmod(col("id"), lit(3L))))
+      .withColumn("strs", array(col("label"), concat(col("label"), lit("_x"))))
+      .withColumn("kv", struct(pmod(col("id"), lit(5L)).as("k"),
+        col("val").as("v")))
+      .withColumn("m", map(lit("a"), pmod(col("id"), lit(3L)),
+        lit("b"), pmod(col("id"), lit(11L))))
       .writeStream.format("graft-files")
       .option("path", out)
       .option("checkpointLocation", base.resolve("ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    mixedSeqAgg(graft.sinks.v2.GraftFilesSink.committed(spark, out,
-      "id BIGINT, sq BIGINT, label STRING, val DOUBLE, ts TIMESTAMP"))
+    val wideDdl = "id BIGINT, sq BIGINT, label STRING, val DOUBLE, " +
+      "ts TIMESTAMP, dec DECIMAL(16,3), nums ARRAY<BIGINT>, " +
+      "strs ARRAY<STRING>, kv STRUCT<k: BIGINT, v: DOUBLE>, " +
+      "m MAP<STRING, BIGINT>"
+    graft.sinks.v2.GraftFilesSink.committed(spark, out, wideDdl)
+      .groupBy((col("id") % 7).as("g"))
+      .agg(count(lit(1)).as("n"), sum(col("id")).as("sum_id"),
+        sum(col("sq")).as("sum_sq"), sum(col("val")).as("sum_val"),
+        min(col("label")).as("min_label"), max(col("ts")).as("max_ts"),
+        sum(col("dec")).cast("decimal(38,3)").as("sum_dec"),
+        sum(size(col("nums"))).as("n_nums"),
+        min(array_join(col("strs"), "|")).as("min_strs"),
+        sum(col("kv.k")).as("sum_k"),
+        sum(element_at(col("m"), "b")).as("sum_mb"))
+      .orderBy("g")
   }
+
+  /** The d98 oracle: [[mixedSeqOracle]]'s rebuild-from-range() shape plus
+    * the widened nested/decimal aggregates. */
+  val mixedSeqWideOracle: String =
+    """SELECT id % 7 AS g, COUNT(*) AS n,
+      |  CAST(SUM(id) AS BIGINT) AS sum_id,
+      |  CAST(SUM(id * id) AS BIGINT) AS sum_sq,
+      |  SUM(id / 64.0) AS sum_val,
+      |  MIN('r' || CAST(id % 1000 AS VARCHAR)) AS min_label,
+      |  MAX(make_timestamp(1767225600000000 + id * 1000000)) AS max_ts,
+      |  CAST(SUM(CAST(id AS DECIMAL(15,3)) + CAST('0.125' AS DECIMAL(15,3)))
+      |    AS DECIMAL(38,3)) AS sum_dec,
+      |  CAST(SUM(id % 3 + 1) AS BIGINT) AS n_nums,
+      |  MIN('r' || CAST(id % 1000 AS VARCHAR) || '|' ||
+      |      'r' || CAST(id % 1000 AS VARCHAR) || '_x') AS min_strs,
+      |  CAST(SUM(id % 5) AS BIGINT) AS sum_k,
+      |  CAST(SUM(id % 11) AS BIGINT) AS sum_mb
+      |FROM range(0, 60000) t(id)
+      |GROUP BY 1
+      |ORDER BY g""".stripMargin
 
   // ---------------------------------------------------------------- registry
 
@@ -810,7 +856,7 @@ object SurfaceQueries {
     "d97_dsv2_stream" -> mixedSeqOracle,
     // the sink's epoch-commit protocol must surface them exactly once
     // too, through the general row codec
-    "d98_dsv2_stream_sink" -> mixedSeqOracle,
+    "d98_dsv2_stream_sink" -> mixedSeqWideOracle,
     "d62_orc_source" -> d62Oracle,
     "d63_cogroup" -> d63Oracle,
   )

@@ -9,12 +9,13 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.SpecializedGetters
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{DataWriter, LogicalWriteInfo, PhysicalWriteInfo, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.DataSourceRegister
-import org.apache.spark.sql.types.{BooleanType, DateType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{BooleanType, DateType, DecimalType, DoubleType, FloatType, IntegerType, LongType, ShortType, StringType, StructType, TimestampType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 /**
@@ -145,8 +146,13 @@ private[v2] class GraftFilesStreamingWrite(path: String, schema: StructType)
  * ±Infinity as bare tokens, which Spark's JSON reader accepts by
  * default), strings JSON-escaped, timestamps as UTC microsecond ISO-8601
  * ([[GraftFilesSink.TsFormat]], the read side's `timestampFormat`), dates
- * as ISO local dates, nulls as JSON null. The epoch-manifest protocol
- * around it is unchanged.
+ * as ISO local dates, nulls as JSON null. Round 12 made the codec
+ * RECURSIVE over the declared type (`SpecializedGetters` is the common
+ * cursor of rows, arrays, and map entry arrays): decimals as plain-form
+ * numbers at their declared (precision, scale), arrays as JSON arrays,
+ * structs as nested objects, string-keyed maps as objects — so the d98
+ * epoch protocol carries the full nested surface a Delta-class sink
+ * would. The epoch-manifest protocol around the codec is unchanged.
  */
 private[v2] class GraftFilesWriterFactory(path: String, schema: StructType)
   extends StreamingDataWriterFactory {
@@ -180,29 +186,89 @@ private[v2] class GraftFilesWriterFactory(path: String, schema: StructType)
         b.append('"').toString
       }
 
+      /** Value encoder for `dt` over any [[SpecializedGetters]] cursor —
+        * an InternalRow field, an ArrayData element, or a map's key/value
+        * arrays — which is what makes the codec compose to any nesting
+        * depth. Null handling stays at each CALLER (rows and arrays carry
+        * their own null bitmaps). */
+      private def encoderFor(
+          dt: org.apache.spark.sql.types.DataType,
+          where: String): (SpecializedGetters, Int) => String = dt match {
+        case LongType => (g, i) => g.getLong(i).toString
+        case IntegerType => (g, i) => g.getInt(i).toString
+        case ShortType => (g, i) => g.getShort(i).toString
+        case BooleanType => (g, i) => g.getBoolean(i).toString
+        case DoubleType => (g, i) => g.getDouble(i).toString
+        case FloatType => (g, i) => g.getFloat(i).toString
+        case StringType => (g, i) => jsonEscape(g.getUTF8String(i).toString)
+        case d: DecimalType => (g, i) =>
+          g.getDecimal(i, d.precision, d.scale).toJavaBigDecimal.toPlainString
+        case TimestampType => (g, i) => {
+          val micros = g.getLong(i)
+          val inst = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(micros, 1000000L),
+            Math.floorMod(micros, 1000000L) * 1000L)
+          jsonEscape(tsFmt.format(inst))
+        }
+        case DateType => (g, i) =>
+          jsonEscape(java.time.LocalDate.ofEpochDay(g.getInt(i).toLong).toString)
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          val enc = encoderFor(et, where)
+          (g, i) => {
+            val arr = g.getArray(i)
+            val b = new StringBuilder(16)
+            b.append('[')
+            var j = 0
+            while (j < arr.numElements()) {
+              if (j > 0) b.append(',')
+              if (arr.isNullAt(j)) b.append("null") else b.append(enc(arr, j))
+              j += 1
+            }
+            b.append(']').toString
+          }
+        case st: StructType =>
+          val encs = st.fields.map(f => encoderFor(f.dataType, s"$where.${f.name}"))
+          val nms = st.fieldNames.map(jsonEscape)
+          (g, i) => {
+            val row = g.getStruct(i, st.length)
+            val b = new StringBuilder(32)
+            b.append('{')
+            var j = 0
+            while (j < encs.length) {
+              if (j > 0) b.append(',')
+              b.append(nms(j)).append(':')
+              if (row.isNullAt(j)) b.append("null") else b.append(encs(j)(row, j))
+              j += 1
+            }
+            b.append('}').toString
+          }
+        case org.apache.spark.sql.types.MapType(StringType, vt, _) =>
+          // JSON objects key on strings, so only string-keyed maps encode;
+          // other key types fall through to the loud error below
+          val venc = encoderFor(vt, where)
+          (g, i) => {
+            val m = g.getMap(i)
+            val ks = m.keyArray()
+            val vs = m.valueArray()
+            val b = new StringBuilder(32)
+            b.append('{')
+            var j = 0
+            while (j < m.numElements()) {
+              if (j > 0) b.append(',')
+              b.append(jsonEscape(ks.getUTF8String(j).toString)).append(':')
+              if (vs.isNullAt(j)) b.append("null") else b.append(venc(vs, j))
+              j += 1
+            }
+            b.append('}').toString
+          }
+        case other => throw new IllegalArgumentException(
+          s"graft-files cannot encode '$where' of type $other")
+      }
+
       private val encoders: Array[(InternalRow, Int) => String] =
         schema.fields.map { f =>
-          f.dataType match {
-            case LongType => (r: InternalRow, i: Int) => r.getLong(i).toString
-            case IntegerType => (r: InternalRow, i: Int) => r.getInt(i).toString
-            case ShortType => (r: InternalRow, i: Int) => r.getShort(i).toString
-            case BooleanType => (r: InternalRow, i: Int) => r.getBoolean(i).toString
-            case DoubleType => (r: InternalRow, i: Int) => r.getDouble(i).toString
-            case FloatType => (r: InternalRow, i: Int) => r.getFloat(i).toString
-            case StringType =>
-              (r: InternalRow, i: Int) => jsonEscape(r.getUTF8String(i).toString)
-            case TimestampType => (r: InternalRow, i: Int) => {
-              val micros = r.getLong(i)
-              val inst = java.time.Instant.ofEpochSecond(
-                Math.floorDiv(micros, 1000000L),
-                Math.floorMod(micros, 1000000L) * 1000L)
-              jsonEscape(tsFmt.format(inst))
-            }
-            case DateType => (r: InternalRow, i: Int) =>
-              jsonEscape(java.time.LocalDate.ofEpochDay(r.getInt(i).toLong).toString)
-            case other => throw new IllegalArgumentException(
-              s"graft-files cannot encode column '${f.name}' of type $other")
-          }
+          val enc = encoderFor(f.dataType, f.name)
+          (r: InternalRow, i: Int) => enc(r, i)
         }
       private val names: Array[String] = schema.fieldNames.map(jsonEscape)
 

@@ -3,14 +3,22 @@ package graft.tools
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{IncrementalEmbedDedup, IncrementalEmbedIndex}
+import graft.ops.{Dedup, IncrementalEmbedDedup, IncrementalEmbedIndex}
 
 /**
  * Dev tool: stage-level breakdown of the n52 per-batch probe cost at a
  * given index scale — which index-size-proportional term actually grows
- * (band-index scan, unit-vector scan, candidate join, or fixed batch
- * work). Drives the round-11 band-key partition-pruning design; see
- * [[ProbeIncrementalScale]] for the headline curve.
+ * (band-index scan, unit-vector scan, candidate join, or the exact-verify
+ * edge stage). Drove the round-11 band-key partition pruning; round 12
+ * added the unit-table pruning, so the probe now measures each stage in
+ * BOTH regimes against the COMPACTED bucketed index:
+ *
+ *  - `*_full`: unpruned scans — the bulk-batch fallback path;
+ *  - trickle `cand`/`edge`: the stages as a trickle batch runs them,
+ *    band reads pruned to the batch's collision buckets and unit reads
+ *    pruned to the candidate endpoints' id buckets. The round-12 claim is
+ *    `edge` ~flat as the index grows (it was the last per-batch term that
+ *    scaled with index size).
  *
  * Usage: runMain graft.tools.ProbeEmbedBatchBreakdown [sfDir] [k ...]
  */
@@ -30,6 +38,7 @@ object ProbeEmbedBatchBreakdown {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.ui.retainedExecutions", "20")
       .config("spark.sql.maxPlanStringLength", "4000000")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val base = graft.queries.Tables.scratchDir("incbreak")
@@ -42,8 +51,9 @@ object ProbeEmbedBatchBreakdown {
         .persist()
       val ne = emb.count()
       val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
+      val buckets = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2)
       val idx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
-        geometry = geom)
+        geometry = geom, bandBuckets = buckets)
       (0 to 3).foreach(j =>
         idx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
 
@@ -55,11 +65,12 @@ object ProbeEmbedBatchBreakdown {
         .persist()
       extra.count()
 
-      // warm: one full batch first (JIT/codegen), then measure pieces
+      // warm batch (JIT/codegen), then COMPACT — the stages below probe
+      // the bucketed compacted layout, as a post-maintenance batch would
       val tWarm = time { idx.processBatch(extra.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0), 4L) }
-      val half = extra.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 1).persist()
-      half.count()
+      val tCompact = time { idx.compact(spark) }
 
+      // unpruned (bulk-fallback) scan costs
       val tScanBands = time {
         idx.debugReadBands(spark, 5L).agg(count(lit(1))).collect()
       }
@@ -67,17 +78,26 @@ object ProbeEmbedBatchBreakdown {
         idx.debugReadUnits(spark, 5L)
           .agg(sum(element_at(col("u"), 1))).collect()
       }
-      // replicate the processBatch stages one by one (same expressions)
-      val unitB = half
-        .select(col("vec_id"), graft.ops.Dedup.unitVector(col("embedding")).as("u"))
+
+      // trickle batch: ~0.8% arrival slice — the regime the pruning
+      // exists for; replicate processBatch's stages with its pruned reads
+      val trick = extra.filter(pmod(xxhash64(col("vec_id")), lit(256)) === 3)
+        .persist()
+      val ntr = trick.count()
+      val unitB = trick
+        .select(col("vec_id"), Dedup.unitVector(col("embedding")).as("u"))
         .persist()
       val bandsB = unitB
         .select(col("vec_id"), posexplode(
-          graft.ops.Dedup.signBandCol(col("u"), geom._1, geom._2))
+          Dedup.signBandCol(col("u"), geom._1, geom._2))
           .as(Seq("band", "bh")))
         .persist()
       val tKernel = time { bandsB.agg(count(lit(1))).collect() }
-      val allBands = idx.debugReadBands(spark, 5L).unionByName(bandsB)
+      val pbSet = bandsB.select(idx.debugBandBucket.as("pb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val allBands = idx.debugReadBands(spark, 5L,
+          pruneTo = Some(pbSet).filter(_.size <= buckets / 2))
+        .unionByName(bandsB)
       val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
         .filter(col("x.vec_id") =!= col("y.vec_id"))
         .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
@@ -85,7 +105,13 @@ object ProbeEmbedBatchBreakdown {
         .distinct().persist()
       var nCand = 0L
       val tCand = time { nCand = candidates.count() }
-      val allUnits = idx.debugReadUnits(spark, 5L).unionByName(unitB)
+      val ubSet = candidates.select(explode(array(
+          idx.debugIdBucket(col("vec_a")), idx.debugIdBucket(col("vec_b"))))
+          .as("pb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val allUnits = idx.debugReadUnits(spark, 5L,
+          pruneTo = Some(ubSet).filter(_.size <= buckets / 2))
+        .unionByName(unitB)
       val edges = candidates
         .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
         .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
@@ -94,12 +120,14 @@ object ProbeEmbedBatchBreakdown {
       var nEdge = 0L
       val tEdge = time { nEdge = edges.count() }
       candidates.unpersist(); edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
-      val tFull = time { idx.processBatch(half, 5L) }
-      println(f"BREAKDOWN x$k rows=$ne geom=$geom warm=$tWarm%.2f " +
-        f"scan_bands=$tScanBands%.2f scan_units=$tScanUnits%.2f " +
-        f"kernel=$tKernel%.2f cand=$tCand%.2f(n=$nCand) edge=$tEdge%.2f(n=$nEdge) " +
-        f"full=$tFull%.2f")
-      emb.unpersist(); extra.unpersist(); half.unpersist()
+      val tFull = time { idx.processBatch(trick, 5L) }
+      println(f"BREAKDOWN x$k rows=$ne geom=$geom buckets=$buckets " +
+        f"warm=$tWarm%.2f compact=$tCompact%.2f " +
+        f"scan_bands_full=$tScanBands%.2f scan_units_full=$tScanUnits%.2f " +
+        f"trickle_rows=$ntr kernel=$tKernel%.2f " +
+        f"cand=$tCand%.2f(n=$nCand,pb=${pbSet.size}) " +
+        f"edge=$tEdge%.2f(n=$nEdge,ub=${ubSet.size}) full=$tFull%.2f")
+      emb.unpersist(); extra.unpersist(); trick.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

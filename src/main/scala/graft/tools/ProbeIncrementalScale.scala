@@ -20,9 +20,11 @@ import graft.ops.{IncrementalDedupIndex, IncrementalEmbedDedup, IncrementalEmbed
  * hive-partitioned on bounded hash buckets and the per-batch candidate
  * probe prunes its read to the batch's collision buckets (explicit leaf
  * dirs — listing cost ∝ selected buckets — with the isin surfacing as
- * PartitionFilters, the d73 treatment); the units/shingles verification
- * is endpoint-semi-joined instead of index-shuffled. Two regimes are
- * therefore measured per scale:
+ * PartitionFilters, the d73 treatment). Round 12 extended the same
+ * treatment to the units/shingles VERIFICATION reads (id-hash bucketed,
+ * pruned to the candidate endpoints' buckets) and made compaction tiered
+ * (delta levels, bin-packed every maxLevels passes) — the probe times
+ * both compaction kinds. Two batch regimes are measured per scale:
  *
  *  - `extra_a`/`extra_b`: a BULK batch (the sf's full fresh slice, halved)
  *    whose band keys cover every bucket — the coverage guard reads the
@@ -43,8 +45,13 @@ import graft.ops.{IncrementalDedupIndex, IncrementalEmbedDedup, IncrementalEmbed
 object ProbeIncrementalScale {
 
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 10)
+    // "liftclamp" lifts the 4096 bucket cap (the two-level pb=/sub= layout
+    // takes over past it) so the x100 trickle row can be measured at the
+    // bucket count bucketsFor would choose unclamped (round-12 verdict #4)
+    val liftClamp = args.contains("liftclamp")
+    val rest0 = args.filterNot(_ == "liftclamp")
+    val sfDir = rest0.headOption.getOrElse("/root/testdata/sf0.1")
+    val reps = if (rest0.length > 1) rest0.drop(1).map(_.toInt).toSeq else Seq(1, 10)
     val spark = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
@@ -75,7 +82,7 @@ object ProbeIncrementalScale {
           (0 to 3).foreach(j =>
             tIdx.processBatch(docs.filter(pmod(col("doc_id"), lit(4)) === j), j))
         }
-        tIdx.compact(spark)
+        val tCompFull = time { tIdx.compact(spark) }
         // constant-size fresh batch: word-suffix disjoint from every index
         // replica (suffixes _1.._9), id range above the replica space
         val extra = freshDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
@@ -86,9 +93,14 @@ object ProbeIncrementalScale {
         val trickleD = extra.filter(pmod(xxhash64(col("doc_id")), lit(128)) === 3)
         val ntr = trickleD.count()
         val tTrickle = time { tIdx.processBatch(trickleD, 6L) }
+        // round-12 tiering: a second maintenance pass consolidates ONLY
+        // batches 4-6 into a delta level — its cost tracks new data, not
+        // index size (vs the full-merge build compaction above)
+        val tCompDelta = time { tIdx.compact(spark) }
         println(f"PERBATCH n41 x$k index_rows=$n build=$tBuild%.2f s " +
           f"extra_batch_rows=${nx / 2} extra_a=$tExtraA%.2f s extra_b=$tExtraB%.2f s " +
-          f"trickle_rows=$ntr trickle=$tTrickle%.2f s")
+          f"trickle_rows=$ntr trickle=$tTrickle%.2f s " +
+          f"compact_full=$tCompFull%.2f s compact_delta=$tCompDelta%.2f s")
         docs.unpersist(); extra.unpersist(); spark.catalog.clearCache()
       }
 
@@ -102,14 +114,15 @@ object ProbeIncrementalScale {
       // geometry + bucket layout pinned for the FINAL corpus (index +
       // extra), as a real deployment would size them
       val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
-      val bkts = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2)
+      val bkts = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2,
+        maxBuckets = if (liftClamp) 65536L else 4096L)
       val eIdx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
         geometry = geom, bandBuckets = bkts)
       val eBuild = time {
         (0 to 3).foreach(j =>
           eIdx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
       }
-      eIdx.compact(spark)
+      val eCompFull = time { eIdx.compact(spark) }
       val extraE = freshEmbeddings(spark.read.parquet(s"$sfDir/embeddings.parquet"))
         .persist()
       val nex = extraE.count()
@@ -118,10 +131,12 @@ object ProbeIncrementalScale {
       val trickleE = extraE.filter(pmod(xxhash64(col("vec_id")), lit(128)) === 3)
       val netr = trickleE.count()
       val eTrickle = time { eIdx.processBatch(trickleE, 6L) }
+      val eCompDelta = time { eIdx.compact(spark) }
       println(f"PERBATCH n52 x$k index_rows=$ne bits=${geom._1} bands=${geom._2} " +
         f"buckets=$bkts build=$eBuild%.2f s extra_batch_rows=${nex / 2} " +
         f"extra_a=$eExtraA%.2f s extra_b=$eExtraB%.2f s " +
-        f"trickle_rows=$netr trickle=$eTrickle%.2f s")
+        f"trickle_rows=$netr trickle=$eTrickle%.2f s " +
+        f"compact_full=$eCompFull%.2f s compact_delta=$eCompDelta%.2f s")
       emb.unpersist(); extraE.unpersist(); spark.catalog.clearCache()
     }
     spark.stop()

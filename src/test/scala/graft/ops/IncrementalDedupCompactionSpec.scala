@@ -47,10 +47,14 @@ class IncrementalDedupCompactionSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
     assert(manifest(index) == expected)
 
+    // round-12 tiering: the second pass appends a DELTA level instead of
+    // rewriting the index; the first tree stays in the live chain
     assert(index.compact(spark).contains(3L))
     assert(manifest(index) == expected)
-    assert(!Files.exists(base.resolve("state/docs/c2")))
-    assert(!Files.exists(base.resolve("state/compactions/2.committed")))
+    assert(Files.exists(base.resolve("state/docs/c2/_SUCCESS")),
+      "delta compaction rewrote the whole index")
+    assert(Files.exists(base.resolve("state/docs/c3/_SUCCESS")))
+    assert(index.debugChain == Seq(2L, 3L))
   }
 
   test("a half-written consolidation is invisible; later batches still bridge") {

@@ -57,7 +57,7 @@ class IncrementalDriftSpec extends AnyFunSuite {
     // state is still the full answer
     assert(versions(base).size == 4,
       s"write path deleted snapshot versions: ${versions(base)}")
-    monitor.maintain()
+    monitor.maintain(spark)
     assert(versions(base) == Seq("v3"),
       s"dead snapshot versions survived maintenance: ${versions(base)}")
     assert(monitor.finalDrift(spark).collect().toSet == batchDrift)
@@ -93,7 +93,7 @@ class IncrementalDriftSpec extends AnyFunSuite {
     assert(versions(base) == Seq("v1", "v2"))
 
     // the next maintenance pass completes the sweep; state unchanged
-    monitor.maintain()
+    monitor.maintain(spark)
     assert(versions(base) == Seq("v2"),
       "stale snapshot version survived the next maintenance pass")
     assert(monitor.finalDrift(spark).collect().toSet == batchDrift)

@@ -54,12 +54,16 @@ class IncrementalEmbedCompactionSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(clusters(index) == expected)
 
-    // a second compaction folds the tail part into a new watermark and
-    // retires the old consolidated tree
+    // a second compaction appends a DELTA level (round-12 tiering:
+    // maintenance ∝ new parts) — the first tree stays in the live chain
+    // until a bin-packing full merge supersedes it
     assert(index.compact(spark).contains(3L))
     assert(clusters(index) == expected)
-    assert(!Files.exists(base.resolve("state/units/c2")))
-    assert(!Files.exists(base.resolve("state/compactions/2.committed")))
+    assert(Files.exists(base.resolve("state/units/c2/_SUCCESS")),
+      "delta compaction rewrote the whole index")
+    assert(Files.exists(base.resolve("state/units/c3/_SUCCESS")))
+    assert(!Files.exists(base.resolve("state/units/b3")), "b3 survived")
+    assert(index.debugChain == Seq(2L, 3L))
     full.unpersist()
   }
 

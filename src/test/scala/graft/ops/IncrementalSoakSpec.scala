@@ -53,11 +53,19 @@ class IncrementalSoakSpec extends AnyFunSuite {
       if ((j + 1) % Cadence == 0) {
         assert(index.compact(spark).contains(j.toLong))
         // post-maintenance bounds, independent of how many batches ran:
+        // parts are always consolidated; the LEVEL count cycles 1→4 then
+        // bin-packs back to 1 (round-12 tiering, maxLevels = 4) — the
+        // chain never exceeds the bound, and the 5th maintenance pass
+        // demonstrates the full merge on a soaked index
+        val expectLevels = ((j + 1) / Cadence - 1) % 4 + 1
         Seq("docs", "shingles", "bands", "manifest").foreach { t =>
           assert(entries(root, t, "b").isEmpty, s"$t parts survived compaction")
-          assert(entries(root, t, "c") == Seq(s"c$j"),
-            s"$t compacted trees: ${entries(root, t, "c")}")
+          assert(entries(root, t, "c").size == expectLevels,
+            s"$t levels at batch $j: ${entries(root, t, "c")} (want $expectLevels)")
         }
+        if (expectLevels == 1)
+          assert(entries(root, "docs", "c") == Seq(s"c$j"),
+            s"bin-pack did not collapse the chain: ${entries(root, "docs", "c")}")
         Seq("labels", "fpmin").foreach { t =>
           assert(entries(root, t, "v").size <= 1,
             s"$t snapshot versions not collapsed: ${entries(root, t, "v")}")
@@ -65,7 +73,7 @@ class IncrementalSoakSpec extends AnyFunSuite {
         // markers: only the latest committed snapshot versions' gates
         assert(entries(root, "commits", "").size <= 2,
           s"markers grew: ${entries(root, "commits", "")}")
-        assert(entries(root, "compactions", "").size == 1)
+        assert(entries(root, "compactions", "").size == expectLevels)
       }
     }
 
@@ -93,16 +101,20 @@ class IncrementalSoakSpec extends AnyFunSuite {
         s"parts exceeded the cadence at batch $j")
       if ((j + 1) % Cadence == 0) {
         assert(index.compact(spark).contains(j.toLong))
+        val expectLevels = ((j + 1) / Cadence - 1) % 4 + 1
         Seq("units", "bands").foreach { t =>
           assert(entries(root, t, "b").isEmpty, s"$t parts survived compaction")
-          assert(entries(root, t, "c") == Seq(s"c$j"),
-            s"$t compacted trees: ${entries(root, t, "c")}")
+          assert(entries(root, t, "c").size == expectLevels,
+            s"$t levels at batch $j: ${entries(root, t, "c")} (want $expectLevels)")
         }
+        if (expectLevels == 1)
+          assert(entries(root, "units", "c") == Seq(s"c$j"),
+            s"bin-pack did not collapse the chain: ${entries(root, "units", "c")}")
         assert(entries(root, "labels", "v").size <= 1,
           s"label versions not collapsed: ${entries(root, "labels", "v")}")
         assert(entries(root, "commits", "").size <= 1,
           s"markers grew: ${entries(root, "commits", "")}")
-        assert(entries(root, "compactions", "").size == 1)
+        assert(entries(root, "compactions", "").size == expectLevels)
       }
     }
 
@@ -112,5 +124,46 @@ class IncrementalSoakSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(got == expected, "soaked final clusters diverged from the batch n37 answer")
     full.unpersist()
+  }
+
+  test("drift monitor: 50-batch soak, maintenance every 10, bounded files, exact final state") {
+    // the third state machine (round-12 verdict #6): the n48 monitor
+    // shares the base machinery, so the same cadence bounds must hold —
+    // count versions collapse to the latest, alarm parts consolidate into
+    // <= maxLevels tiered levels, markers stop growing with the stream
+    val base = graft.SparkTestSession.tmpDir("n48-soak")
+    val root = base.resolve("state")
+    val monitor = new IncrementalDriftMonitor(root)
+    val docs = graft.queries.Tables.documents(spark, T.sf0001).persist()
+
+    (0 until Batches).foreach { j =>
+      monitor.processBatch(
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(Batches)) === j), j.toLong)
+      assert(entries(root, "drift", "b").size <= Cadence,
+        s"alarm parts exceeded the cadence at batch $j")
+      if ((j + 1) % Cadence == 0) {
+        val logBefore = monitor.driftLog(spark).count()
+        monitor.maintain(spark)
+        val expectLevels = ((j + 1) / Cadence - 1) % 4 + 1
+        assert(entries(root, "drift", "b").isEmpty,
+          "alarm parts survived maintenance")
+        assert(entries(root, "drift", "c").size == expectLevels,
+          s"alarm levels at batch $j: ${entries(root, "drift", "c")}")
+        assert(entries(root, "counts", "v").size == 1,
+          s"count versions not collapsed: ${entries(root, "counts", "v")}")
+        assert(entries(root, "commits", "").size <= 1,
+          s"markers grew: ${entries(root, "commits", "")}")
+        assert(monitor.driftLog(spark).count() == logBefore,
+          "maintenance changed the alarm log")
+      }
+    }
+
+    // the alarm log kept every batch's rows through 5 maintenance passes
+    assert(monitor.driftLog(spark).select("batch_id").distinct().count()
+      == Batches)
+    val got = monitor.finalDrift(spark).collect().toSet
+    val expected = Corpus.snapshotDriftQuery(spark, T.sf0001).collect().toSet
+    assert(got == expected, "soaked final drift diverged from the batch n46 answer")
+    docs.unpersist()
   }
 }

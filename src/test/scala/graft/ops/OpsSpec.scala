@@ -284,6 +284,32 @@ class OpsSpec extends AnyFunSuite {
     assert(approx.map(_._1).size == exact.map(_._1).size)
   }
 
+  test("n42 planted recall survives a small probe fraction") {
+    // the spec-sized twin of the ScaleCurve recall-only gate (round-12
+    // verdict #3 — the x100 property, previously tool-run only, now in
+    // every `sbt test`): plant near-identical partners (cosine ~0.9996,
+    // known ground truth) on a 10% sample, dial the IVF to a 1/16 probe
+    // fraction (nlist=64, nProbe=4 — finds BULK neighbors only by luck),
+    // and require the planted partner in the top-3 for >= 0.6 of pairs.
+    // A near-identical vector lands in the same coarse cell, so planted
+    // recall surviving a small probe fraction is exactly the asymmetry an
+    // IVF index promises a semantic-dedup pipeline at 100 TB.
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Dedup.plantedCopies(sample)
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding")))
+    val hits = Similarity.knnJoin(corpus, k = 3, nlist = 64, nProbe = 4)
+      .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
+      .count()
+    val pairs = sample.count()
+    spark.catalog.clearCache()
+    val recall = hits.toDouble / pairs
+    info(f"n42 planted recall at 1/16 probe fraction: $recall%.3f ($hits of $pairs)")
+    assert(recall >= 0.6, f"planted recall $recall%.3f below the 0.6 gate")
+  }
+
   test("n42 centroid paths: broadcast frame equals the plan-literal explode") {
     // the large-nlist switch (round 10): forcing centroidLiteralMax = 0
     // routes centroid scoring through the broadcast frame; same KMeans

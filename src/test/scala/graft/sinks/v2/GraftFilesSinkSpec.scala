@@ -129,4 +129,58 @@ class GraftFilesSinkSpec extends AnyFunSuite {
         s"row $i: timestamp drifted: ${r.getTimestamp(3)}")
     }
   }
+
+  test("recursive codec round-trips decimals, arrays, structs and maps") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+    import org.apache.spark.sql.types.Decimal
+    import org.apache.spark.unsafe.types.UTF8String
+
+    val base = graft.SparkTestSession.tmpDir("files-sink-nested")
+    val out = base.resolve("out").toString
+    val NestedSchema = "id BIGINT, dec DECIMAL(16,3), nums ARRAY<BIGINT>, " +
+      "strs ARRAY<STRING>, kv STRUCT<k: BIGINT, s: STRING>, m MAP<STRING, BIGINT>"
+    val w = new GraftFilesStreamingWrite(out,
+      org.apache.spark.sql.types.StructType.fromDDL(NestedSchema))
+    val factory = w.createStreamingWriterFactory(null)
+    val dw = factory.createWriter(0, 0L, 0L)
+    def u(s: String) = UTF8String.fromString(s)
+    (0L until 8L).foreach { i =>
+      dw.write(InternalRow(
+        i,
+        Decimal(BigDecimal(i) + BigDecimal("0.125"), 16, 3),
+        // a null ELEMENT inside the array every 3rd row
+        new GenericArrayData(Array[Any](i, if (i % 3 == 0) null else i * 2)),
+        new GenericArrayData(Array[Any](u(s"""a$i "q"\t"""), u(s"b$i"))),
+        // a null top-level struct every 4th row
+        if (i % 4 == 3) null else InternalRow(i % 5, u(s"s$i\n")),
+        new ArrayBasedMapData(
+          new GenericArrayData(Array[Any](u("x"), u("y"))),
+          new GenericArrayData(Array[Any](i % 7, if (i % 2 == 0) null else i)))))
+    }
+    w.commit(0L, Array(dw.commit()))
+
+    val rows = GraftFilesSink.committed(spark, out, NestedSchema)
+      .orderBy("id").collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getDecimal(1) == new java.math.BigDecimal(s"$i.125"),
+        s"row $i: decimal drifted: ${r.getDecimal(1)}")
+      val nums = r.getSeq[Any](2)
+      assert(nums == Seq(i, if (i % 3 == 0) null else i * 2),
+        s"row $i: long array mangled: $nums")
+      assert(r.getSeq[String](3) == Seq(s"""a$i "q"\t""", s"b$i"),
+        s"row $i: string array mangled")
+      if (i % 4 == 3) assert(r.isNullAt(4), s"row $i: null struct lost")
+      else {
+        val kv = r.getStruct(4)
+        assert(kv.getLong(0) == i % 5 && kv.getString(1) == s"s$i\n",
+          s"row $i: struct mangled: $kv")
+      }
+      val m = r.getMap[String, Any](5)
+      assert(m == Map("x" -> (i % 7), "y" -> (if (i % 2 == 0) null else i)),
+        s"row $i: map mangled: $m")
+    }
+  }
 }
