@@ -54,6 +54,20 @@ class GraftSeqSourceSpec extends AnyFunSuite {
     assert(seq(0, 12345).count() == 12345)
   }
 
+  test("negative ranges: label follows plain % (dividend sign), as documented") {
+    // round-11 advice: remainderUnsigned diverged from the scaladoc'd
+    // id % 1000 for negative ids; pin the plain-% semantics (sign follows
+    // the dividend, matching DuckDB's %)
+    val rows = seq(-1500, -1490).orderBy("id").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val i = r.getLong(0)
+      assert(r.getString(2) == s"r${i % 1000}", s"label at $i: ${r.getString(2)}")
+      assert(r.getLong(1) == i * i, s"sq at $i")
+    }
+    assert(rows.head.getString(2) == "r-500")
+  }
+
   // ------------------------- MicroBatchStream (round 10, d97) ------------
 
   private def drain(base: java.nio.file.Path, end: Long,
