@@ -76,7 +76,8 @@ import graft.queries.Tables
 final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
                                   bandBuckets: Int = 64,
                                   override protected val maxLevels: Int = 4,
-                                  bucketMaxDirs: Int = 4096)
+                                  bucketMaxDirs: Int = 4096,
+                                  idBuckets: Int = 64)
   extends IncrementalStateMachine(root) {
 
   private val DocsDdl = "doc_id BIGINT, source STRING, fp STRING"
@@ -93,14 +94,16 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     pmod(xxhash64(col("band"), col("bh")), lit(bandBuckets.toLong))
 
   /** The shingle table's hive-bucket column over a doc_id column — the
-    * verification read's pruning key. */
+    * verification read's pruning key. Sized by the shingle table's own
+    * row count (one row per doc — `idBuckets`), not the 16×-larger band
+    * table's (see the embed twin's note on file-sized buckets). */
   private def idBucketCol(c: Column): Column =
-    pmod(xxhash64(c), lit(bandBuckets.toLong))
+    pmod(xxhash64(c), lit(idBuckets.toLong))
 
   override protected def partTables: Seq[PartTable] = Seq(
     PartTable("docs", DocsDdl),
     PartTable("shingles", ShinglesDdl,
-      Some(Bucketing(idBucketCol(col("doc_id")), bandBuckets, bucketMaxDirs))),
+      Some(Bucketing(idBucketCol(col("doc_id")), idBuckets, bucketMaxDirs))),
     PartTable("bands", BandsDdl,
       Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))),
     PartTable("manifest", ManifestDdl))
@@ -140,15 +143,21 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       .persist()
     // candidate probe pruned to the batch's band-key buckets; exact
     // verification pruned to the candidate endpoints' id buckets (see the
-    // class doc — same broadcast-candidate join shape, fewer leaf dirs;
-    // the endpoint-bucket collect is bounded by bandBuckets and only pays
-    // once a compacted level exists)
-    val hasLevels = activeWatermark(batchId).isDefined
-    val candidates0 = candidatePairs(spark, bandsB, batchId)
-    val candidates = if (hasLevels) candidates0.persist() else candidates0
-    val shSet = pruneSet(candidates,
-      explode(array(idBucketCol(col("doc_a")), idBucketCol(col("doc_b")))),
-      batchId, bandBuckets)
+    // class doc — same broadcast-candidate join shape, fewer leaf dirs).
+    // Endpoint pruning is attempted only in the TRICKLE regime (band
+    // pruning engaged): a bulk batch's endpoint set covers most buckets
+    // anyway, and its collect would force the candidate join once extra
+    // plus a persist (the embed twin measured that as the whole bulk-batch
+    // overhead at ×100).
+    val pbSet = pruneSet(bandsB, bandBucketCol, batchId, bandBuckets)
+    val tryEndpointPrune = pbSet.isDefined
+    val candidates0 = candidatePairs(spark, bandsB, batchId, pbSet)
+    val candidates = if (tryEndpointPrune) candidates0.persist() else candidates0
+    val shSet =
+      if (!tryEndpointPrune) None
+      else pruneSet(candidates,
+        explode(array(idBucketCol(col("doc_a")), idBucketCol(col("doc_b")))),
+        batchId, idBuckets)
     val edges = Dedup.verifyJaccard(candidates,
         readParts(spark, "shingles", batchId, ShinglesDdl, pruneTo = shSet)
           .unionByName(sh),
@@ -191,7 +200,7 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       commitBatch(batchId)
     } finally {
       edges.unpersist()
-      if (hasLevels) candidates.unpersist()
+      if (tryEndpointPrune) candidates.unpersist()
       bandsB.unpersist(); sh.unpersist(); b.unpersist()
     }
   }
@@ -205,8 +214,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     * prunes to the batch's band-key buckets (a batch key can only collide
     * inside its own bucket). */
   private def candidatePairs(spark: SparkSession, bandsB: DataFrame,
-                             batchId: Long): DataFrame = {
-    val pbSet = pruneSet(bandsB, bandBucketCol, batchId, bandBuckets)
+                             batchId: Long,
+                             pbSet: Option[Seq[Long]]): DataFrame = {
     val all = readParts(spark, "bands", batchId, BandsDdl,
       pruneTo = pbSet).unionByName(bandsB)
     bandsB.as("x").join(all.as("y"), Seq("band", "bh"))
@@ -324,8 +333,10 @@ object IncrementalDedup {
     // embed/media paths do (round-11 advice: a fixed default here would
     // undercut the fixed-rows-per-bucket argument pruning rests on);
     // the text index bands with the lshBands default of 16 bands/doc
+    val n = docs.count()
     val index = new IncrementalDedupIndex(base.resolve("state"),
-      bandBuckets = IncrementalEmbedDedup.bucketsFor(docs.count(), 16))
+      bandBuckets = IncrementalEmbedDedup.bucketsFor(n, 16),
+      idBuckets = IncrementalEmbedDedup.bucketsFor(n, 1))
     stageChunks(docs, base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
     index.compact(spark)

@@ -77,7 +77,8 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
                                   geometry: (Int, Int),
                                   bandBuckets: Int = 64,
                                   override protected val maxLevels: Int = 4,
-                                  bucketMaxDirs: Int = 4096)
+                                  bucketMaxDirs: Int = 4096,
+                                  idBuckets: Int = 64)
   extends IncrementalStateMachine(root) {
 
   private val (bits, bands) = geometry
@@ -92,13 +93,17 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
 
   /** The unit table's hive-bucket column over a vec_id column — the
     * verification read's pruning key (a candidate endpoint's unit row
-    * lives in its id-hash bucket). */
+    * lives in its id-hash bucket). Sized by the UNIT table's own row
+    * count (`idBuckets` ≈ one bucket per ~2k vectors), not the band
+    * table's: units hold `bands`× fewer rows, and inheriting the band
+    * count measured as ~49-row files at ×100 — all dir/discovery
+    * overhead, no extra pruning power. */
   private def idBucketCol(c: Column): Column =
-    pmod(xxhash64(c), lit(bandBuckets.toLong))
+    pmod(xxhash64(c), lit(idBuckets.toLong))
 
   override protected def partTables: Seq[PartTable] = Seq(
     PartTable("units", UnitsDdl,
-      Some(Bucketing(idBucketCol(col("vec_id")), bandBuckets, bucketMaxDirs))),
+      Some(Bucketing(idBucketCol(col("vec_id")), idBuckets, bucketMaxDirs))),
     PartTable("bands", BandsDdl,
       Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))))
 
@@ -140,15 +145,19 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     // batch) band collisions is exactly the batch algorithm's candidate set
     val allBands = readParts(spark, "bands", batchId, BandsDdl,
       pruneTo = pbSet).unionByName(bandsB)
-    val hasLevels = activeWatermark(batchId).isDefined
     val candidates0 = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
       .filter(col("x.vec_id") =!= col("y.vec_id"))
       .select(least(col("x.vec_id"), col("y.vec_id")).as("vec_a"),
         greatest(col("x.vec_id"), col("y.vec_id")).as("vec_b"))
       .distinct()
-    // persisted once pruning engages: the endpoint-bucket collect below
-    // and the verification join are two consumers of the candidate frame
-    val candidates = if (hasLevels) candidates0.persist() else candidates0
+    // endpoint pruning is attempted only in the TRICKLE regime (band
+    // pruning engaged): a bulk batch's endpoint set covers most buckets
+    // anyway, and its collect would force the big candidate join once
+    // extra plus a persist — measured as the whole +30% bulk-batch cost
+    // at ×100. Persisted only then: the endpoint-bucket collect and the
+    // verification join are two consumers of the candidate frame.
+    val tryEndpointPrune = pbSet.isDefined
+    val candidates = if (tryEndpointPrune) candidates0.persist() else candidates0
     // verification joins the distinct'd candidate frame (small — constant
     // under the lshBitsFor design) against the unit table twice; the
     // candidate side broadcasts, so the units are SCANNED, never shuffled.
@@ -160,9 +169,11 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     // instead prunes the SCAN: the compacted unit levels are id-hash
     // bucketed, and the read is restricted to the candidate endpoints'
     // buckets at listing time — same join shape, fewer leaf dirs.
-    val ubSet = pruneSet(candidates,
-      explode(array(idBucketCol(col("vec_a")), idBucketCol(col("vec_b")))),
-      batchId, bandBuckets)
+    val ubSet =
+      if (!tryEndpointPrune) None
+      else pruneSet(candidates,
+        explode(array(idBucketCol(col("vec_a")), idBucketCol(col("vec_b")))),
+        batchId, idBuckets)
     val allUnits = readParts(spark, "units", batchId, UnitsDdl,
       pruneTo = ubSet).unionByName(unitB)
     val edges = candidates
@@ -179,7 +190,7 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
       commitBatch(batchId)
     } finally {
       edges.unpersist()
-      if (hasLevels) candidates.unpersist()
+      if (tryEndpointPrune) candidates.unpersist()
       bandsB.unpersist(); unitB.unpersist()
     }
   }
@@ -304,7 +315,8 @@ object IncrementalEmbedDedup {
     val n = full.count()
     val geom = geometryFor(n)
     val index = new IncrementalEmbedIndex(base.resolve("state"),
-      geometry = geom, bandBuckets = bucketsFor(n, geom._2))
+      geometry = geom, bandBuckets = bucketsFor(n, geom._2),
+      idBuckets = bucketsFor(n, 1))
     stageChunks(full, base.resolve("input"), chunks)
     runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
     index.compact(spark)

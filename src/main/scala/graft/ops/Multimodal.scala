@@ -561,7 +561,8 @@ object Multimodal {
         val geom = IncrementalEmbedDedup.geometryFor(n)
         val idx = new IncrementalEmbedIndex(base.resolve("state"),
           geometry = geom,
-          bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+          bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2),
+          idBuckets = IncrementalEmbedDedup.bucketsFor(n, 1))
         IncrementalEmbedDedup.stageChunks(corpus, base.resolve("input"), chunks)
         idx
       } finally corpus.unpersist()

@@ -52,8 +52,9 @@ object ProbeEmbedBatchBreakdown {
       val ne = emb.count()
       val geom = IncrementalEmbedDedup.geometryFor(ne + ne / k)
       val buckets = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2)
+      val idBuckets = IncrementalEmbedDedup.bucketsFor(ne + ne / k, 1)
       val idx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
-        geometry = geom, bandBuckets = buckets)
+        geometry = geom, bandBuckets = buckets, idBuckets = idBuckets)
       (0 to 3).foreach(j =>
         idx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
 
@@ -110,7 +111,7 @@ object ProbeEmbedBatchBreakdown {
           .as("pb"))
         .distinct().collect().map(_.getLong(0)).toSeq
       val allUnits = idx.debugReadUnits(spark, 5L,
-          pruneTo = Some(ubSet).filter(_.size <= buckets / 2))
+          pruneTo = Some(ubSet).filter(_.size <= idBuckets / 2))
         .unionByName(unitB)
       val edges = candidates
         .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")

@@ -77,7 +77,8 @@ object ProbeIncrementalScale {
           spark.read.parquet(s"$sfDir/documents.parquet"), k).persist()
         val n = docs.count()
         val tIdx = new IncrementalDedupIndex(base.resolve(s"text-x$k"),
-          bandBuckets = IncrementalEmbedDedup.bucketsFor(n, 16))
+          bandBuckets = IncrementalEmbedDedup.bucketsFor(n, 16),
+          idBuckets = IncrementalEmbedDedup.bucketsFor(n, 1))
         val tBuild = time {
           (0 to 3).foreach(j =>
             tIdx.processBatch(docs.filter(pmod(col("doc_id"), lit(4)) === j), j))
@@ -117,7 +118,8 @@ object ProbeIncrementalScale {
       val bkts = IncrementalEmbedDedup.bucketsFor(ne + ne / k, geom._2,
         maxBuckets = if (liftClamp) 65536L else 4096L)
       val eIdx = new IncrementalEmbedIndex(base.resolve(s"emb-x$k"),
-        geometry = geom, bandBuckets = bkts)
+        geometry = geom, bandBuckets = bkts,
+        idBuckets = IncrementalEmbedDedup.bucketsFor(ne + ne / k, 1))
       val eBuild = time {
         (0 to 3).foreach(j =>
           eIdx.processBatch(emb.filter(pmod(xxhash64(col("vec_id")), lit(4)) === j), j))
