@@ -58,4 +58,34 @@ object IncrementalDedupProps extends Properties("IncrementalDedup") {
         got == expected
       } finally T.deleteTree(root)
     }
+
+  private val maintainGen: Gen[(Int, Int, Int, Set[Int])] = for {
+    batches <- Gen.choose(2, 5)
+    salt <- Gen.choose(0, 1000000)
+    maxLevels <- Gen.choose(1, 3)
+    after <- Gen.someOf(0 until batches)
+  } yield (batches, salt, maxLevels, after.toSet)
+
+  property("maintenance at ANY points, any chain depth, preserves convergence") =
+    // round-12 tiering as a property: interleave compact() arbitrarily
+    // between batches (delta levels, bin-packs, stale sweeps all reachable
+    // depending on the draw) — the manifest must still equal the batch
+    // answer, and post-batch probes must still see every committed row
+    // through whatever level chain the draw produced
+    forAll(maintainGen) { case (batches, salt, maxLevels, after) =>
+      val root = T.tmpDir("n41-prop-maint")
+      try {
+        val index = new IncrementalDedupIndex(root, maxLevels = maxLevels)
+        (0 until batches).foreach { j =>
+          index.processBatch(
+            docs.filter(pmod(xxhash64(col("doc_id"), lit(salt)),
+              lit(batches)) === j), j.toLong)
+          if (after(j)) index.compact(spark)
+        }
+        val got = index.finalManifest(spark)
+          .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+            r.getLong(3))).toSet
+        got == expected
+      } finally T.deleteTree(root)
+    }
 }
