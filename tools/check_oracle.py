@@ -64,6 +64,24 @@ def main():
                 failures.append((name, f"oracle outputs HUGEINT cols {hige}"))
                 print(f"FAIL {name}: oracle outputs HUGEINT columns {hige} — CAST them to BIGINT")
                 continue
+            # Same class of hazard: DECIMAL with precision > 18 is int128-
+            # backed in both arrow paths and the driver's hash renders it
+            # divergently between the Spark parquet result and DuckDB (the
+            # d98 round-12 incident). Flag it from the plan, like HUGEINT.
+            def _wide_decimal(t):
+                s = str(t).upper()
+                if "DECIMAL" not in s:
+                    return False
+                import re
+                m = re.search(r"DECIMAL\((\d+)", s)
+                return bool(m) and int(m.group(1)) > 18
+            wdec = [c for c, t in zip(rel.columns, rel.types)
+                    if _wide_decimal(t)]
+            if wdec:
+                failures.append((name, f"oracle outputs DECIMAL(p>18) cols {wdec}"))
+                print(f"FAIL {name}: oracle outputs DECIMAL(p>18) columns {wdec}"
+                      " — emit scaled BIGINT (e.g. *1000 AS BIGINT) instead")
+                continue
             eng = con.execute(
                 f"SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()
             eng_cols = [d[0] for d in con.description]
