@@ -336,7 +336,14 @@ abstract class IncrementalStateMachine(root: Path) {
     * when pruning shouldn't engage: no committed level below `max` yet
     * (pre-compaction parts are batch-sized), or the set covers more than
     * half the buckets (a bulk batch reads the tree in one listing — the
-    * full scan it needed anyway). */
+    * full scan it needed anyway).
+    *
+    * CONTRACT: an EMPTY probe frame yields `Some(Seq.empty)`, and a
+    * [[readParts]] pruned to the empty set drops every level — "the
+    * levels contribute NO rows", not "don't prune". Correct for every
+    * probe that joins the pruned read back against the same frame (all
+    * current callers); a future call site that needs "empty means
+    * unpruned" must map the empty case to None itself. */
   protected final def pruneSet(df: DataFrame, bucketCol: Column, max: Long,
                                buckets: Int): Option[Seq[Long]] =
     if (activeWatermark(max).isEmpty) None
@@ -457,10 +464,18 @@ abstract class IncrementalStateMachine(root: Path) {
       else levelIsFull(w)
     if (isNew) {
       partTables.foreach { t =>
+        // newIds comes from the PRIMARY table's listing; a part table
+        // that skipped a batch (all three current subclasses write every
+        // table every batch, but the base must not bake that in) simply
+        // contributes its existing dirs — absent dirs are filtered, an
+        // all-absent delta degrades to the empty frame
+        val deltaDirs = newIds.map(partDir(t.name, _))
+          .filter(Files.isDirectory(_)).map(_.toString)
         val df =
           if (full) readParts(spark, t.name, w + 1, t.ddl, requireMarker = true)
+          else if (deltaDirs.isEmpty) emptyDf(spark, t.ddl)
           else spark.read.schema(StructType.fromDDL(t.ddl))
-            .parquet(newIds.map(partDir(t.name, _).toString): _*)
+            .parquet(deltaDirs: _*)
         writeLevel(df, t, w, full)
       }
       writeCompactionMarker(w, full)
@@ -477,6 +492,23 @@ abstract class IncrementalStateMachine(root: Path) {
     }
     allLevels.filter(p => p <= w && !live(p))
       .foreach(p => Files.deleteIfExists(compactionMarker(p)))
+    // stray marker temps: a crash between writeCompactionMarker's temp
+    // write and its ATOMIC_MOVE, followed by new commits advancing the
+    // re-derived watermark, orphans compactions/<old>.tmp forever — under
+    // the serial-maintainer discipline any .tmp still present here is
+    // exactly that residue (our own temp was moved or deleted above)
+    locally {
+      val cdir = root.resolve("compactions")
+      if (Files.isDirectory(cdir)) {
+        val s = Files.list(cdir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(_.getFileName.toString.endsWith(".tmp"))
+            .foreach(Files.deleteIfExists(_))
+        } finally s.close()
+      }
+    }
     // snapshot-version + marker retention: sweep dead versions BEFORE
     // pruning markers — the sweep reads marker-committed versions, and
     // pruning keeps only the survivors' gates

@@ -141,6 +141,89 @@ class IncrementalTieringSpec extends AnyFunSuite {
     assert(manifest(index) == expected)
   }
 
+  test("two-level layout soak: tiered chain + crash window keep fan-out bounded and converge") {
+    // round-12 verdict #4 follow-up: the clamp-lifted pb=/sub= layout was
+    // pinned for ONE compaction; this is the multi-batch soak — a full
+    // delta→bin-pack cycle plus the full-merge crash window, all on the
+    // two-level layout, with the same bounded-fan-out assertions
+    val base = T.tmpDir("tier-twolevel")
+    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
+    val n = full.count()
+    val geom = IncrementalEmbedDedup.geometryFor(n)
+    val buckets = 256
+    val maxDirs = 64 // -> subN = 4, two-level
+    val index = new IncrementalEmbedIndex(base.resolve("state"),
+      geometry = geom, bandBuckets = buckets, maxLevels = 2,
+      bucketMaxDirs = maxDirs)
+    def hashIs(j: Int) = pmod(xxhash64(col("vec_id")), lit(5)) === j
+
+    // c1 FULL, c2 DELTA, c3 bin-packed FULL — the whole tiering cycle
+    (0 to 1).foreach(j => index.processBatch(full.filter(hashIs(j)), j.toLong))
+    assert(index.compact(spark).contains(1L))
+    index.processBatch(full.filter(hashIs(2)), 2L)
+    assert(index.compact(spark).contains(2L))
+    assert(index.debugChain == Seq(1L, 2L))
+    index.processBatch(full.filter(hashIs(3)), 3L)
+    assert(index.compact(spark).contains(3L))
+    assert(index.debugChain == Seq(3L))
+
+    // bounded fan-out at every directory level of the bin-packed band
+    // tree: <= maxDirs outer pb dirs, <= subN sub dirs inside each, and
+    // the one-file-per-leaf shape the repartition buys
+    import scala.jdk.CollectionConverters._
+    def children(p: Path, prefix: String): List[Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix)).toList
+      finally s.close()
+    }
+    val bandsRoot = base.resolve("state/bands/c3")
+    val outer = children(bandsRoot, "pb=")
+    assert(outer.nonEmpty && outer.size <= maxDirs,
+      s"outer fan-out ${outer.size} exceeds maxDirs=$maxDirs")
+    outer.foreach { o =>
+      val subs = children(o, "sub=")
+      assert(subs.nonEmpty && subs.size <= 4, s"sub fan-out under $o: ${subs.size}")
+      subs.foreach { leaf =>
+        val files = {
+          val s = Files.list(leaf)
+          try s.iterator().asScala
+            .count(_.getFileName.toString.endsWith(".parquet"))
+          finally s.close()
+        }
+        assert(files == 1, s"leaf ${o.getFileName}/${leaf.getFileName} holds $files files")
+      }
+    }
+
+    // the full-merge crash window ON the two-level layout: a superseded
+    // delta level back on disk below the bin-packed full one — invisible
+    // to the chain, then swept by the next pass
+    val before = index.finalClusters(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    Seq("units", "bands").foreach(t => copyTree(base.resolve(s"state/$t/c3"),
+      base.resolve(s"state/$t/c2")))
+    Files.write(base.resolve("state/compactions/2.committed"),
+      "delta".getBytes("UTF-8"))
+    assert(index.debugLevels == Seq(2L, 3L))
+    assert(index.debugChain == Seq(3L),
+      "two-level chain resolution did not stop at the full level")
+    assert(index.finalClusters(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet == before,
+      "a stale two-level delta leaked into the read view")
+    index.processBatch(full.filter(hashIs(4)), 4L)
+    assert(index.compact(spark).contains(4L))
+    Seq("units", "bands").foreach(t =>
+      assert(!Files.exists(base.resolve(s"state/$t/c2")), s"$t/c2 survived"))
+
+    // and the soaked index converges to the batch oracle
+    val got = index.finalClusters(spark).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val expected = Dedup.embeddingClustersQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(got == expected, "two-level soak diverged from the batch answer")
+    full.unpersist()
+  }
+
   test("maxLevels = 1 degenerates to the full-rewrite behavior") {
     val base = T.tmpDir("tier-degenerate")
     val docs = Tables.documents(spark, T.sf0001)
