@@ -1,5 +1,4 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main: runs every registered query on `SPARK_GRAFT_SF_DIR` and
@@ -12,21 +11,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.maxPlanStringLength", "4000000")
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = graft.tools.Sessions.fromEnv(default = 32)
 
     // Contamination guard (round-8 verdict: a bench recorded while the
     // builder session was active inflated untouched queries 5-8x and read
@@ -66,6 +51,14 @@ object Bench {
       elapsed
     }
 
+    // optional query-name filter (dev A/B loop: same harness, same
+    // warmups, same min-of-2 + outlier policy, over a subset — the
+    // apples-to-apples per-query comparison the round-12 replay-drift
+    // adjudication asked for, without TimeOne's cold-start inflation)
+    val only = args.toSet
+    val unknownQ = only.diff(SparkEntry.queries.keySet)
+    require(unknownQ.isEmpty, s"unknown query name(s): ${unknownQ.mkString(", ")}")
+
     // warmup (unreported): scan-agg, broadcast-join, generator, and
     // higher-order-function shapes — so measurements reflect steady state,
     // not first-call JIT/codegen compilation
@@ -74,7 +67,8 @@ object Bench {
 
     // min of two runs per query: single-run local timings carry multi-second
     // GC/compaction noise that would swamp real plan differences
-    val firstPass = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    val firstPass = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only.contains(n)).map { n =>
       val a = exec(n)
       val b = exec(n)
       n -> (a, b)
@@ -117,7 +111,8 @@ object Bench {
     // separate object, NOT in `queries`: its unit is rows/s, and the
     // per-query totals must stay a sum of seconds.
     val tput =
-      try {
+      if (only.nonEmpty) "{}" // filtered dev run: skip the probe
+      else try {
         val input = queries.StreamingQueries.stageThroughputInput(spark, sfDir)
         // 32 > the 11 staged files: the whole input admitted as ONE
         // micro-batch — the single-batch ceiling the rest of the curve

@@ -52,22 +52,7 @@ object ProbeIncrementalScale {
     val rest0 = args.filterNot(_ == "liftclamp")
     val sfDir = rest0.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (rest0.length > 1) rest0.drop(1).map(_.toInt).toSeq else Seq(1, 10)
-    val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.maxPlanStringLength", "4000000")
-      // the bucketed compacted trees hold thousands of partition dirs: local
-      // FS listing is faster driver-side than as a 4096-task Spark job
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local(32, logLevel = "ERROR")
     val base = graft.queries.Tables.scratchDir("incscale")
 
     for (k <- reps) {

@@ -1,0 +1,47 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** The one local-session builder behind every driver-contract main and dev
+  * tool (`Verify`, `Bench`, `PlanAudit`, `TimeOne`, the probes) — the same
+  * divergence-risk argument that unified the incremental state machines:
+  * rounds 10–12 copied this block four times and each new config
+  * (`maxPlanStringLength` for the status-store OOM, the partition-discovery
+  * threshold for the bucketed level trees) had to be hand-propagated.
+  *
+  * Config notes, kept once here:
+  *  - `shuffle.partitions` = the session's core count, not Spark's 200
+  *    (local mode; the driver contract pins 32);
+  *  - `nanosAsLong`: `events.parquet` is TIMESTAMP(NANOS) — unreadable
+  *    without it (`Tables.events` rebuilds the timestamp);
+  *  - `ui.retainedExecutions`/`maxPlanStringLength`: the status store
+  *    retains plan strings even with the UI off — 162 queries' worth OOMs
+  *    a long-lived session without the cap;
+  *  - `parallelPartitionDiscovery.threshold`: the incremental indexes list
+  *    thousands of explicit bucket leaf dirs — keep discovery on the
+  *    driver, a Spark job per pruned read costs more than the listing.
+  */
+object Sessions {
+  def local(cpus: Int, logLevel: String = "WARN"): SparkSession = {
+    val spark = SparkSession.builder()
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.retainedExecutions", "20")
+      .config("spark.sql.maxPlanStringLength", "4000000")
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+
+  /** [[local]] sized from the `SPARK_GRAFT_CPUS` env var. */
+  def fromEnv(default: Int, logLevel: String = "WARN"): SparkSession =
+    local(sys.env.getOrElse("SPARK_GRAFT_CPUS", default.toString).toInt,
+      logLevel)
+}
