@@ -295,7 +295,7 @@ object IncrementalDedup {
     * written sequentially so modification-time ordering gives one file per
     * micro-batch under maxFilesPerTrigger=1). The split key is arbitrary:
     * the final manifest is batching-invariant. */
-  private[ops] def stageChunks(docs: DataFrame, input: Path, chunks: Int,
+  private[graft] def stageChunks(docs: DataFrame, input: Path, chunks: Int,
                                from: Int = 0): Unit =
     (from until chunks).foreach { c =>
       docs.filter(pmod(col("doc_id"), lit(chunks)) === c)
@@ -304,7 +304,7 @@ object IncrementalDedup {
 
   /** One AvailableNow run of the incremental pipeline over whatever staged
     * files the checkpoint has not seen yet. */
-  private[ops] def runStream(spark: SparkSession, input: Path, ckpt: Path,
+  private[graft] def runStream(spark: SparkSession, input: Path, ckpt: Path,
                              index: IncrementalDedupIndex): Unit = {
     val schema = spark.read.parquet(input.toString).schema
     val q = spark.readStream.schema(schema)

@@ -122,6 +122,8 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     readParts(spark, "units", max, UnitsDdl, pruneTo = pruneTo)
   private[graft] def debugBandBucket: Column = bandBucketCol
   private[graft] def debugIdBucket(c: Column): Column = idBucketCol(c)
+  private[graft] def debugReadLabels(spark: SparkSession, max: Long): DataFrame =
+    readSnapshot(spark, "labels", max, LabelsDdl)
 
   /** The `foreachBatch` entry point (replay-idempotent, n41 contract):
     * a committed batch short-circuits; an interrupted one recomputes
@@ -241,7 +243,7 @@ object IncrementalEmbedDedup {
     * itself: planted copies sit at vec_id + 10⁶ (≡ id mod small moduli), so
     * an id-modulo split would co-locate every near-dup pair with its
     * partner and the stream-static cross-batch join path would go untested. */
-  private[ops] def stageChunks(corpus: DataFrame, input: Path,
+  private[graft] def stageChunks(corpus: DataFrame, input: Path,
                                chunks: Int): Unit =
     (0 until chunks).foreach { c =>
       corpus.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === c)
@@ -251,7 +253,7 @@ object IncrementalEmbedDedup {
   /** The n37 corpus: embeddings as double vectors ∪ planted near-dup
     * copies ([[Dedup.plantedCopies]]), the construction whose qualifying
     * pair set the 0.9 threshold separates. */
-  private[ops] def corpus(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def corpus(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     emb.select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("embedding"))
@@ -261,7 +263,7 @@ object IncrementalEmbedDedup {
 
   /** One AvailableNow run over whatever staged files the checkpoint has
     * not seen yet. */
-  private[ops] def runStream(spark: SparkSession, input: Path, ckpt: Path,
+  private[graft] def runStream(spark: SparkSession, input: Path, ckpt: Path,
                              index: IncrementalEmbedIndex): Unit = {
     val schema = spark.read.parquet(input.toString).schema
     val q = spark.readStream.schema(schema)

@@ -27,20 +27,7 @@ object ProbeEmbedBatchBreakdown {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val reps = if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(10)
-    val spark = SparkSession.builder()
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ui.retainedExecutions", "20")
-      .config("spark.sql.maxPlanStringLength", "4000000")
-      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = Sessions.local(32, logLevel = "ERROR")
     val base = graft.queries.Tables.scratchDir("incbreak")
 
     for (k <- reps) {
@@ -121,13 +108,22 @@ object ProbeEmbedBatchBreakdown {
       var nEdge = 0L
       val tEdge = time { nEdge = edges.count() }
       candidates.unpersist(); edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
+      // the label-merge's snapshot read (round-12 verdict #5: the next
+      // index-size-proportional read on the list — the per-batch merge
+      // reads the FULL latest labels snapshot). Measured as scan + the
+      // count it feeds, at each scale: prune only if this grows.
+      var nLbl = 0L
+      val tSnap = time {
+        nLbl = idx.debugReadLabels(spark, 5L).count()
+      }
       val tFull = time { idx.processBatch(trick, 5L) }
       println(f"BREAKDOWN x$k rows=$ne geom=$geom buckets=$buckets " +
         f"warm=$tWarm%.2f compact=$tCompact%.2f " +
         f"scan_bands_full=$tScanBands%.2f scan_units_full=$tScanUnits%.2f " +
         f"trickle_rows=$ntr kernel=$tKernel%.2f " +
         f"cand=$tCand%.2f(n=$nCand,pb=${pbSet.size}) " +
-        f"edge=$tEdge%.2f(n=$nEdge,ub=${ubSet.size}) full=$tFull%.2f")
+        f"edge=$tEdge%.2f(n=$nEdge,ub=${ubSet.size}) " +
+        f"snap=$tSnap%.2f(n=$nLbl) full=$tFull%.2f")
       emb.unpersist(); extra.unpersist(); trick.unpersist()
       spark.catalog.clearCache()
     }

@@ -136,9 +136,12 @@ class IncrementalSoakSpec extends AnyFunSuite {
     val monitor = new IncrementalDriftMonitor(root)
     val docs = graft.queries.Tables.documents(spark, T.sf0001).persist()
 
+    val batchSecs = new scala.collection.mutable.ArrayBuffer[Double]
     (0 until Batches).foreach { j =>
+      val t0 = System.nanoTime()
       monitor.processBatch(
         docs.filter(pmod(xxhash64(col("doc_id")), lit(Batches)) === j), j.toLong)
+      batchSecs += (System.nanoTime() - t0) / 1e9
       assert(entries(root, "drift", "b").size <= Cadence,
         s"alarm parts exceeded the cadence at batch $j")
       if ((j + 1) % Cadence == 0) {
@@ -161,6 +164,19 @@ class IncrementalSoakSpec extends AnyFunSuite {
     // the alarm log kept every batch's rows through 5 maintenance passes
     assert(monitor.driftLog(spark).select("batch_id").distinct().count()
       == Batches)
+
+    // per-batch COST stays flat, not just file counts (round-12 verdict
+    // #6): each batch reads only the latest counts snapshot (bounded by
+    // vocabulary, not stream length) and the cadence-bounded parts, so a
+    // late full cadence must cost about the same as an early one. The 4x
+    // bound is deliberately loose — it tolerates shared-VM noise while
+    // still catching O(stream) growth, which at this horizon would show
+    // as a steady multi-x ramp (the pre-round-12 marker growth shape).
+    // The 500-batch horizon measurement lives in ProbeDriftSoak/BASELINE.
+    val early = batchSecs.slice(5, 15).sum / 10
+    val late = batchSecs.slice(Batches - 10, Batches).sum / 10
+    assert(late < early * 4,
+      f"per-batch drift cost ramped: early=$early%.3f s late=$late%.3f s")
     val got = monitor.finalDrift(spark).collect().toSet
     val expected = Corpus.snapshotDriftQuery(spark, T.sf0001).collect().toSet
     assert(got == expected, "soaked final drift diverged from the batch n46 answer")
