@@ -53,17 +53,25 @@ object ProbeEmbedBatchBreakdown {
         .persist()
       extra.count()
 
-      // warm batch (JIT/codegen), then COMPACT — the stages below probe
-      // the bucketed compacted layout, as a post-maintenance batch would
+      // warm batch (JIT/codegen), then a planted-copy bulk batch so the
+      // LABELS store is populated ∝ index size (amplified vectors are
+      // pairwise-distant, so without planted partners no batch ever emits
+      // an edge and the label path would measure an empty store), then
+      // COMPACT — the stages below probe the bucketed compacted layout,
+      // as a post-maintenance batch would
       val tWarm = time { idx.processBatch(extra.filter(pmod(xxhash64(col("vec_id")), lit(2)) === 0), 4L) }
+      val planted = Dedup.plantedCopies(emb)
+        .select(col("vec_id"), col("v").as("embedding")).persist()
+      val nPlant = planted.count()
+      val tPlant = time { idx.processBatch(planted, 5L) }
       val tCompact = time { idx.compact(spark) }
 
       // unpruned (bulk-fallback) scan costs
       val tScanBands = time {
-        idx.debugReadBands(spark, 5L).agg(count(lit(1))).collect()
+        idx.debugReadBands(spark, 6L).agg(count(lit(1))).collect()
       }
       val tScanUnits = time {
-        idx.debugReadUnits(spark, 5L)
+        idx.debugReadUnits(spark, 6L)
           .agg(sum(element_at(col("u"), 1))).collect()
       }
 
@@ -83,7 +91,7 @@ object ProbeEmbedBatchBreakdown {
       val tKernel = time { bandsB.agg(count(lit(1))).collect() }
       val pbSet = bandsB.select(idx.debugBandBucket.as("pb"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      val allBands = idx.debugReadBands(spark, 5L,
+      val allBands = idx.debugReadBands(spark, 6L,
           pruneTo = Some(pbSet).filter(_.size <= buckets / 2))
         .unionByName(bandsB)
       val candidates = bandsB.as("x").join(allBands.as("y"), Seq("band", "bh"))
@@ -97,7 +105,7 @@ object ProbeEmbedBatchBreakdown {
           idx.debugIdBucket(col("vec_a")), idx.debugIdBucket(col("vec_b"))))
           .as("pb"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      val allUnits = idx.debugReadUnits(spark, 5L,
+      val allUnits = idx.debugReadUnits(spark, 6L,
           pruneTo = Some(ubSet).filter(_.size <= idBuckets / 2))
         .unionByName(unitB)
       val edges = candidates
@@ -110,21 +118,34 @@ object ProbeEmbedBatchBreakdown {
       candidates.unpersist(); edges.unpersist(); bandsB.unpersist(); unitB.unpersist()
       // the label-merge's snapshot read (round-12 verdict #5: the next
       // index-size-proportional read on the list — the per-batch merge
-      // reads the FULL latest labels snapshot). Measured as scan + the
-      // count it feeds, at each scale: prune only if this grows.
+      // reads the FULL latest labels snapshot, here populated with one
+      // label row per planted-pair member). Measured as scan + the count
+      // it feeds, at each scale: prune only if this grows.
       var nLbl = 0L
       val tSnap = time {
-        nLbl = idx.debugReadLabels(spark, 5L).count()
+        nLbl = idx.debugReadLabels(spark, 6L).count()
       }
-      val tFull = time { idx.processBatch(trick, 5L) }
+      val tFull = time { idx.processBatch(trick, 6L) }
+      // an EDGE-BEARING trickle (copies of an already-planted slice, at a
+      // third id offset): the full per-batch cost including a real label
+      // merge against the populated store — the verdict-#5 number
+      val trickDup = Dedup.plantedCopies(
+          emb.filter(pmod(xxhash64(col("vec_id")), lit(256)) === 5))
+        .select((col("vec_id") + lit(Dedup.PlantOffset)).as("vec_id"),
+          col("v").as("embedding"))
+        .persist()
+      val nDup = trickDup.count()
+      val tFullDup = time { idx.processBatch(trickDup, 7L) }
       println(f"BREAKDOWN x$k rows=$ne geom=$geom buckets=$buckets " +
         f"warm=$tWarm%.2f compact=$tCompact%.2f " +
         f"scan_bands_full=$tScanBands%.2f scan_units_full=$tScanUnits%.2f " +
         f"trickle_rows=$ntr kernel=$tKernel%.2f " +
         f"cand=$tCand%.2f(n=$nCand,pb=${pbSet.size}) " +
         f"edge=$tEdge%.2f(n=$nEdge,ub=${ubSet.size}) " +
-        f"snap=$tSnap%.2f(n=$nLbl) full=$tFull%.2f")
+        f"plant=$tPlant%.2f(n=$nPlant) snap=$tSnap%.2f(n=$nLbl) " +
+        f"full=$tFull%.2f full_dup=$tFullDup%.2f(n=$nDup)")
       emb.unpersist(); extra.unpersist(); trick.unpersist()
+      planted.unpersist(); trickDup.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()
