@@ -224,6 +224,29 @@ class IncrementalTieringSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("compact sweeps stray compaction-marker temps from the crash window") {
+    // a crash between writeCompactionMarker's temp write and its atomic
+    // move, followed by new commits advancing the watermark, orphans
+    // compactions/<old>.tmp with nothing ever rewriting it — the GC must
+    // sweep any .tmp residue (serial-maintainer discipline: no temp of a
+    // LIVE pass can be in flight while GC runs)
+    val base = T.tmpDir("tier-straytmp")
+    val docs = Tables.documents(spark, T.sf0001)
+    val index = new IncrementalDedupIndex(base.resolve("state"), maxLevels = 2)
+    (0 to 1).foreach(j => index.processBatch(docs.filter(modIs(j, 4)), j.toLong))
+    assert(index.compact(spark).contains(1L))
+    val before = manifest(index)
+
+    // the orphan: an interrupted pass's marker temp below the watermark
+    val stray = base.resolve("state/compactions/0.tmp")
+    Files.write(stray, "full".getBytes("UTF-8"))
+    index.processBatch(docs.filter(modIs(2, 4)), 2L)
+    assert(index.compact(spark).contains(2L))
+    assert(!Files.exists(stray), "stray marker temp survived the GC")
+    assert(Files.exists(base.resolve("state/compactions/2.committed")))
+    assert(manifest(index).size > before.size)
+  }
+
   test("maxLevels = 1 degenerates to the full-rewrite behavior") {
     val base = T.tmpDir("tier-degenerate")
     val docs = Tables.documents(spark, T.sf0001)
