@@ -5,6 +5,7 @@ import java.nio.file.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
 
 import graft.queries.Tables
 
@@ -45,9 +46,8 @@ import graft.queries.Tables
  *      connects two existing clusters relabels the larger-min one, which
  *      can flip an old "keep" verdict to "near_dup", exactly as a batch
  *      recompute would);
- *   5. merge the batch's (fp, min doc_id) into the fingerprint-keeper
- *      snapshot and append arrival-time verdicts for the batch's documents
- *      to the manifest log.
+ *   5. append the batch's (fp, min doc_id) keeper rows and arrival-time
+ *      verdicts for the batch's documents to their part tables.
  *
  * COLLISION-BUCKET PRUNING (the [[IncrementalEmbedIndex]] treatment):
  * `bands` levels are hive-bucketed on `hash(band, bh) % P` and the
@@ -58,11 +58,13 @@ import graft.queries.Tables
  * scan, not the rejected endpoint semi-join). `docs`/`manifest` compact
  * flat: they are only read corpus-wide (finalManifest / arrivalLog).
  *
- * The versioned-snapshot rewrite is the offline stand-in for a Delta
- * `MERGE` / RocksDB state store: per batch it costs one read+write of the
- * label and fp tables (each bounded by matched docs / distinct
- * fingerprints, not raw corpus bytes); at 100 TB the same plan lands on a
- * partitioned MERGE so only affected partitions rewrite. The expensive
+ * Cluster labels live in the [[LabelLog]] relabel-log store and the
+ * fingerprint keepers as min-resolved per-batch parts (round 13): both
+ * were versioned snapshots through round 12, whose per-batch full
+ * read+rewrite was O(store) — the last per-batch terms that grew with
+ * index size. Now every batch writes only its own rows, lookups prune to
+ * the batch's key buckets, and the full merge folds the relabel log /
+ * collapses the keepers (path compression at the bin-pack). The expensive
  * stages — shingling, banding, candidate generation, verification — touch
  * only the batch and its collision partners, which is the entire point of
  * maintaining the index incrementally.
@@ -83,8 +85,8 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
   private val DocsDdl = "doc_id BIGINT, source STRING, fp STRING"
   private val ShinglesDdl = "doc_id BIGINT, sh_hashes ARRAY<BIGINT>"
   private val BandsDdl = "doc_id BIGINT, band INT, bh BIGINT"
-  private val LabelsDdl = "doc_id BIGINT, lbl BIGINT"
-  private val FpMinDdl = "fp STRING, fp_keep BIGINT"
+  private val AssignDdl = "doc_id BIGINT, lbl BIGINT"
+  private val FpKeepDdl = "fp STRING, fp_keep BIGINT"
   private val ManifestDdl =
     "doc_id BIGINT, source STRING, verdict STRING, keep_doc BIGINT"
 
@@ -106,10 +108,70 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       Some(Bucketing(idBucketCol(col("doc_id")), idBuckets, bucketMaxDirs))),
     PartTable("bands", BandsDdl,
       Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))),
-    PartTable("manifest", ManifestDdl))
+    PartTable("manifest", ManifestDdl),
+    // the relabel-log label store (see [[LabelLog]], the embed twin's
+    // note) plus the fingerprint keepers as min-resolved per-batch parts:
+    // both formerly versioned snapshots whose per-batch full rewrite was
+    // O(store) — now every batch writes only its own rows and readers
+    // resolve (label chains / group-min) over bucket-pruned reads
+    PartTable("assign", AssignDdl,
+      Some(Bucketing(idBucketCol(col("doc_id")), idBuckets, bucketMaxDirs))),
+    PartTable("relabel", LabelLog.RelabelDdl, trackNonempty = true),
+    PartTable("fpkeep", FpKeepDdl,
+      Some(Bucketing(fpBucketCol, idBuckets, bucketMaxDirs))))
 
-  override protected def snapTables: Seq[(String, String)] =
-    Seq("labels" -> LabelsDdl, "fpmin" -> FpMinDdl)
+  override protected def snapTables: Seq[(String, String)] = Seq.empty
+
+  /** Full merges resolve the assignment level through the whole relabel
+    * log and empty the log level (path compression — the embed twin's
+    * contract), and collapse the fingerprint keepers to one min row per
+    * fp; all three are deterministic functions of committed state and
+    * content-equivalent under the tables' read-time resolutions. */
+  override protected def fullMergeContent(spark: SparkSession, t: PartTable,
+                                          df: DataFrame): DataFrame =
+    t.name match {
+      case "assign" => LabelLog.resolve(df,
+        liveRelabels(spark, Long.MaxValue, requireMarker = true))
+      case "relabel" => emptyDf(spark, LabelLog.RelabelDdl)
+      case "fpkeep" => df.groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
+      case _ => df
+    }
+
+  private def liveRelabels(spark: SparkSession, max: Long,
+                           requireMarker: Boolean = false): DataFrame =
+    readParts(spark, "relabel", max, LabelLog.RelabelDdl,
+      requireMarker = requireMarker)
+
+  /** The fingerprint-keeper table's hive-bucket column — the arrival
+    * manifest's fp lookup prunes to the batch's fp buckets. */
+  private def fpBucketCol: Column =
+    pmod(xxhash64(col("fp")), lit(idBuckets.toLong))
+
+  /** The keeper view below `max`: min doc_id per fingerprint over the
+    * (optionally bucket-pruned) keeper parts — group-min is associative,
+    * so plain union consolidation of the parts is exact. */
+  private def fpView(spark: SparkSession, max: Long,
+                     pruneTo: Option[Seq[Long]] = None,
+                     requireMarker: Boolean = false): DataFrame =
+    readParts(spark, "fpkeep", max, FpKeepDdl, requireMarker = requireMarker,
+        pruneTo = pruneTo)
+      .groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
+
+  /** The label view below `max`: assignments (optionally bucket-pruned —
+    * sound under the manifest's LEFT join, rows outside the pruned
+    * buckets cannot match the probe side) resolved through the live
+    * relabel log. */
+  private def labelView(spark: SparkSession, max: Long,
+                        pruneTo: Option[Seq[Long]] = None,
+                        requireMarker: Boolean = false): DataFrame = {
+    val assign = readParts(spark, "assign", max, AssignDdl,
+      requireMarker = requireMarker, pruneTo = pruneTo)
+    // driver-side fast path (the embed twin's `resolved`): skip the
+    // fixpoint machinery when the log cannot hold rows
+    if (!trackedHasData("relabel", max)) assign
+    else LabelLog.resolve(assign,
+      liveRelabels(spark, max, requireMarker = requireMarker))
+  }
 
   /** Dev/spec accessors (the text analogue of the embed probes). */
   private[graft] def debugReadBands(spark: SparkSession, max: Long,
@@ -158,48 +220,85 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       else pruneSet(candidates,
         explode(array(idBucketCol(col("doc_a")), idBucketCol(col("doc_b")))),
         batchId, idBuckets)
+    // EAGER localCheckpoint, not persist (the embed twin's note): the
+    // label-merge actions below would each re-pay the candidate+verify
+    // pipeline's plan ANALYSIS; the checkpoint pins the batch-bounded
+    // edge set as a LogicalRDD
     val edges = Dedup.verifyJaccard(candidates,
         readParts(spark, "shingles", batchId, ShinglesDdl, pruneTo = shSet)
           .unionByName(sh),
         threshold)
-      .select("doc_a", "doc_b").persist()
+      .select("doc_a", "doc_b").localCheckpoint(true)
     try {
       val docsB = b.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
       docsB.write.mode("overwrite").parquet(partDir("docs", batchId).toString)
       sh.write.mode("overwrite").parquet(partDir("shingles", batchId).toString)
       bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
 
-      if (edges.limit(1).count() > 0)
-        mergeLabels(spark, edges, batchId)
-          .write.mode("overwrite").parquet(snapDir("labels", batchId).toString)
+      val hasEdges = edges.limit(1).count() > 0
+      if (hasEdges) {
+        // relabel-log label merge (the embed twin's shape, see [[LabelLog]]):
+        // endpoint lookup pruned to the endpoints' id-hash buckets in the
+        // trickle regime, then write only the batch's own rows
+        val endpoints = edges.select(col("doc_a").as("doc_id"))
+          .unionByName(edges.select(col("doc_b").as("doc_id")))
+          .distinct().persist()
+        val aSet =
+          if (!tryEndpointPrune) None
+          else pruneSet(endpoints, idBucketCol(col("doc_id")), batchId, idBuckets)
+        val cur = labelView(spark, batchId, pruneTo = aSet)
+          .join(endpoints, "doc_id")
+          .select(col("doc_id").as("id"), col("lbl")).persist()
+        val (newAssign, relabel) = LabelLog.deltas(
+          edges.select(col("doc_a").as("a"), col("doc_b").as("b")),
+          endpoints.select(col("doc_id").as("id")), cur)
+        newAssign.select(col("id").as("doc_id"), col("lbl"))
+          .write.mode("overwrite").parquet(partDir("assign", batchId).toString)
+        // relabels need an EXISTING label to move: when no endpoint had a
+        // prior assignment (every batch of a pair-cluster corpus), the map
+        // is empty by construction — skip its probe job outright
+        val curEmpty = cur.isEmpty
+        // never write an EMPTY relabel part (the trackNonempty contract —
+        // part existence ⇒ rows; emptiness is deterministic under replay)
+        if (!curEmpty) {
+          val rel = relabel.persist()
+          if (rel.limit(1).count() > 0)
+            rel.write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
+          rel.unpersist()
+        }
+        cur.unpersist(); endpoints.unpersist()
+      }
 
-      // change-gated like labels: rewrite the fpmin snapshot only when the
-      // batch introduces a new fingerprint or a smaller keeper. The check
-      // is one fp-keyed left join bounded by the batch's distinct
-      // fingerprints — far cheaper than the corpus-wide rewrite it skips
-      // (and deterministic, so replay idempotence is unaffected).
-      val oldFpmin = readSnapshot(spark, "fpmin", batchId, FpMinDdl)
-      val batchFpmin = docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep"))
-      val fpChanged = batchFpmin.as("b")
-        .join(oldFpmin.as("o"), Seq("fp"), "left")
-        .filter(col("o.fp_keep").isNull || col("b.fp_keep") < col("o.fp_keep"))
-        .limit(1).count() > 0
-      if (fpChanged)
-        oldFpmin.unionByName(batchFpmin)
-          .groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
-          .write.mode("overwrite").parquet(snapDir("fpmin", batchId).toString)
+      // fingerprint keepers: the batch's own (fp, min doc_id) rows —
+      // readers group-min over the parts, so no corpus-wide rewrite and
+      // no change-gate join (the round-≤12 snapshot needed both)
+      docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep"))
+        .write.mode("overwrite").parquet(partDir("fpkeep", batchId).toString)
 
       // arrival-time verdicts for THIS batch's documents (the append-only
       // audit log; a later bridging merge can supersede an old doc's
-      // verdict, which is why finalManifest derives from state instead)
-      manifestFor(docsB,
-          readSnapshot(spark, "fpmin", batchId + 1, FpMinDdl),
-          readSnapshot(spark, "labels", batchId + 1, LabelsDdl))
+      // verdict, which is why finalManifest derives from state instead).
+      // The fp lookup prunes to the BATCH's fp buckets in the trickle
+      // regime (the join is inner, so out-of-bucket rows cannot match).
+      // The LABEL input needs no store read at all: a document's
+      // assignment can only be created in the batch that ingested it
+      // (it is an edge endpoint for the first time there), so the batch
+      // docs' labels as of batchId+1 are exactly this batch's own assign
+      // part — already final for this batch (mapping outputs).
+      val fpSet =
+        if (!tryEndpointPrune) None
+        else pruneSet(docsB, fpBucketCol, batchId + 1, idBuckets)
+      val batchLabels =
+        if (hasEdges) spark.read.schema(StructType.fromDDL(AssignDdl))
+          .parquet(partDir("assign", batchId).toString)
+        else emptyDf(spark, AssignDdl)
+      manifestFor(docsB, fpView(spark, batchId + 1, pruneTo = fpSet),
+          batchLabels)
         .write.mode("overwrite").parquet(partDir("manifest", batchId).toString)
 
       commitBatch(batchId)
     } finally {
-      edges.unpersist()
+      // edges is localCheckpointed — ContextCleaner-managed, no unpersist
       if (tryEndpointPrune) candidates.unpersist()
       bandsB.unpersist(); sh.unpersist(); b.unpersist()
     }
@@ -225,37 +324,6 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       .distinct()
   }
 
-  /** Fold verified batch edges into the label snapshot: contract each edge
-    * endpoint through its current label (labels are component-minimum
-    * doc_ids, so contraction preserves global minima), cluster the
-    * contracted graph — whose size is bounded by the batch's edges, not
-    * the corpus — and rewrite only labels that moved plus brand-new
-    * endpoints. */
-  private def mergeLabels(spark: SparkSession, edges: DataFrame,
-                          batchId: Long): DataFrame = {
-    val oldLabels = readSnapshot(spark, "labels", batchId, LabelsDdl)
-    val contracted = edges
-      .join(oldLabels.select(col("doc_id").as("doc_a"), col("lbl").as("la0")),
-        Seq("doc_a"), "left")
-      .join(oldLabels.select(col("doc_id").as("doc_b"), col("lbl").as("lb0")),
-        Seq("doc_b"), "left")
-      .select(coalesce(col("la0"), col("doc_a")).as("la"),
-        coalesce(col("lb0"), col("doc_b")).as("lb"))
-      .filter(col("la") =!= col("lb"))
-    val mapping = Dedup.minLabelComponents(contracted, "la", "lb", "node")
-      .select(col("node"), col("cluster_id"))
-    val updatedOld = oldLabels
-      .join(mapping.select(col("node").as("lbl"), col("cluster_id")),
-        Seq("lbl"), "left")
-      .select(col("doc_id"), coalesce(col("cluster_id"), col("lbl")).as("lbl"))
-    val newEndpoints = edges.select(col("doc_a").as("doc_id"))
-      .unionByName(edges.select(col("doc_b").as("doc_id"))).distinct()
-      .join(oldLabels.select("doc_id"), Seq("doc_id"), "left_anti")
-      .join(mapping.select(col("node").as("doc_id"), col("cluster_id").as("lbl")),
-        "doc_id")
-    updatedOld.unionByName(newEndpoints)
-  }
-
   /** The n38 verdict CASE ([[Dedup.manifestVerdictCols]], the shared
     * builder) over (docs ⋈ fp keepers ⋈ cluster labels) —
     * `is_canonical ⟺ cluster_id = doc_id` because labels are component
@@ -272,11 +340,11 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
   /** The manifest implied by the final state — row-identical to the batch
     * n38 manifest over every ingested document. Marker-gated: only fully
     * committed batches contribute, so an external reader racing a crash
-    * never joins a docs part against a missing fpmin/labels snapshot. */
+    * never joins a docs part against missing keeper/label rows. */
   def finalManifest(spark: SparkSession): DataFrame =
     manifestFor(readParts(spark, "docs", Long.MaxValue, DocsDdl, requireMarker = true),
-      readSnapshot(spark, "fpmin", Long.MaxValue, FpMinDdl, requireMarker = true),
-      readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl, requireMarker = true))
+      fpView(spark, Long.MaxValue, requireMarker = true),
+      labelView(spark, Long.MaxValue, requireMarker = true))
 
   /** The append-only arrival audit log: one verdict row per document,
     * written in the batch that ingested it, judged against the state AS OF

@@ -61,10 +61,15 @@ import graft.queries.Tables
  *    semi-join, which added shuffles and doubled the gated replay; the
  *    join shape is unchanged, the scan just reads fewer leaf dirs.
  *
- * At 100 TB the versioned label snapshot becomes a partitioned MERGE and
- * the bucketed trees are the banded index any production ANN/near-dup
- * service persists anyway (with P sized so buckets stay file-sized); the
- * per-batch work touches only the batch and its band-collision partners.
+ * Cluster labels live in the [[LabelLog]] relabel-log store (round 13):
+ * write-once assignments in the id-bucketed `assign` table plus a
+ * per-batch `relabel` map, folded together at every full merge — so the
+ * label merge, formerly an O(store) snapshot rewrite on every
+ * edge-bearing batch, is now ∝ the batch's edges like everything else.
+ * At 100 TB the bucketed trees are the banded index any production
+ * ANN/near-dup service persists anyway (with P sized so buckets stay
+ * file-sized); the per-batch work touches only the batch and its
+ * band-collision partners.
  *
  * Correctness claim (tested in `IncrementalEmbedDedupSpec`, oracle-gated
  * as n52): after `processAllAvailable` over the n37 corpus (embeddings ∪
@@ -84,7 +89,7 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
   private val (bits, bands) = geometry
   private val UnitsDdl = "vec_id BIGINT, u ARRAY<DOUBLE>"
   private val BandsDdl = "vec_id BIGINT, band INT, bh BIGINT"
-  private val LabelsDdl = "vec_id BIGINT, lbl BIGINT"
+  private val AssignDdl = "vec_id BIGINT, lbl BIGINT"
 
   /** The band tree's hive-bucket column — the candidate probe's pruning
     * key (a batch band key can only collide inside its own bucket). */
@@ -105,10 +110,45 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     PartTable("units", UnitsDdl,
       Some(Bucketing(idBucketCol(col("vec_id")), idBuckets, bucketMaxDirs))),
     PartTable("bands", BandsDdl,
-      Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))))
+      Some(Bucketing(bandBucketCol, bandBuckets, bucketMaxDirs))),
+    // the relabel-log label store (see [[LabelLog]]): write-once
+    // assignments pruned by id-hash bucket at lookup, plus the per-batch
+    // relabel map — replaces the round-≤12 versioned label snapshot whose
+    // per-batch full rewrite was the last index-proportional term
+    PartTable("assign", AssignDdl,
+      Some(Bucketing(idBucketCol(col("vec_id")), idBuckets, bucketMaxDirs))),
+    PartTable("relabel", LabelLog.RelabelDdl, trackNonempty = true))
 
-  override protected def snapTables: Seq[(String, String)] =
-    Seq("labels" -> LabelsDdl)
+  override protected def snapTables: Seq[(String, String)] = Seq.empty
+
+  /** Full merges resolve the assignment level through the whole relabel
+    * log and empty the log level (union-find path compression at the
+    * bin-pack): read-time chains restart from zero, and both transforms
+    * are deterministic functions of committed state. */
+  override protected def fullMergeContent(spark: SparkSession, t: PartTable,
+                                          df: DataFrame): DataFrame =
+    t.name match {
+      case "assign" => resolved(spark, df, Long.MaxValue, requireMarker = true)
+      case "relabel" => emptyDf(spark, LabelLog.RelabelDdl)
+      case _ => df
+    }
+
+  /** The live relabel log strictly below `max` (levels + parts — empty
+    * again right after every full merge). */
+  private def liveRelabels(spark: SparkSession, max: Long,
+                           requireMarker: Boolean = false): DataFrame =
+    readParts(spark, "relabel", max, LabelLog.RelabelDdl,
+      requireMarker = requireMarker)
+
+  /** Assignments resolved through the relabel log, with the driver-side
+    * fast path: when the log cannot hold rows (most batches of most
+    * streams — this corpus's planted clusters are pairs, which never
+    * relabel), skip the resolve and its fixpoint jobs entirely. */
+  private def resolved(spark: SparkSession, assign: DataFrame, max: Long,
+                       requireMarker: Boolean = false): DataFrame =
+    if (!trackedHasData("relabel", max)) assign
+    else LabelLog.resolve(assign,
+      liveRelabels(spark, max, requireMarker = requireMarker))
 
   /** Dev-probe accessors ([[graft.tools.ProbeEmbedBatchBreakdown]], the
     * pruning plan pins in `IncrementalPruningSpec`): the index views a
@@ -123,7 +163,7 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
   private[graft] def debugBandBucket: Column = bandBucketCol
   private[graft] def debugIdBucket(c: Column): Column = idBucketCol(c)
   private[graft] def debugReadLabels(spark: SparkSession, max: Long): DataFrame =
-    readSnapshot(spark, "labels", max, LabelsDdl)
+    resolved(spark, readParts(spark, "assign", max, AssignDdl), max)
 
   /** The `foreachBatch` entry point (replay-idempotent, n41 contract):
     * a committed batch short-circuits; an interrupted one recomputes
@@ -178,60 +218,79 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
         batchId, idBuckets)
     val allUnits = readParts(spark, "units", batchId, UnitsDdl,
       pruneTo = ubSet).unionByName(unitB)
+    // EAGER localCheckpoint, not persist: the label merge below issues
+    // several small actions over the edge set (endpoint distinct, lookup
+    // join, the contraction loop, the delta writes), and Catalyst
+    // re-analyzes the FULL logical tree on every action — caching
+    // short-circuits execution, not analysis — so each would re-pay the
+    // whole candidate+verify pipeline's analysis. The checkpoint pins the
+    // (batch-bounded) edge set as a LogicalRDD; its distinct() forces full
+    // computation anyway, so eagerness costs nothing over the first use.
     val edges = candidates
       .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
       .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
       .filter(graft.functions.DotProduct(col("ua"), col("ub")) >= threshold)
-      .select("vec_a", "vec_b").persist()
+      .select("vec_a", "vec_b").localCheckpoint(true)
     try {
       unitB.write.mode("overwrite").parquet(partDir("units", batchId).toString)
       bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
-      if (edges.limit(1).count() > 0)
-        mergeLabels(spark, edges, batchId)
-          .write.mode("overwrite").parquet(snapDir("labels", batchId).toString)
+      if (edges.limit(1).count() > 0) {
+        // relabel-log label merge (see [[LabelLog]]): look up the edge
+        // ENDPOINTS' current labels — the assign read pruned to the
+        // endpoints' id-hash buckets in the trickle regime, resolved
+        // through the live relabel log — then write only the batch's own
+        // assignment + relabel rows. Per-batch label cost ∝ batch, never
+        // ∝ store (the round-≤12 snapshot rewrite was the last such term).
+        val endpoints = edges.select(col("vec_a").as("vec_id"))
+          .unionByName(edges.select(col("vec_b").as("vec_id")))
+          .distinct().persist()
+        val aSet =
+          if (!tryEndpointPrune) None
+          else pruneSet(endpoints, idBucketCol(col("vec_id")), batchId, idBuckets)
+        // persisted: the contraction, the new-endpoint anti-join, and the
+        // relabel restriction are three consumers of the pruned lookup
+        val cur = resolved(spark,
+          readParts(spark, "assign", batchId, AssignDdl, pruneTo = aSet)
+            .join(endpoints, "vec_id"), batchId)
+          .select(col("vec_id").as("id"), col("lbl")).persist()
+        val (newAssign, relabel) = LabelLog.deltas(
+          edges.select(col("vec_a").as("a"), col("vec_b").as("b")),
+          endpoints.select(col("vec_id").as("id")), cur)
+        newAssign.select(col("id").as("vec_id"), col("lbl"))
+          .write.mode("overwrite").parquet(partDir("assign", batchId).toString)
+        // relabels need an EXISTING label to move: when no endpoint had a
+        // prior assignment (every batch of a pair-cluster corpus), the map
+        // is empty by construction — skip its probe job outright
+        val curEmpty = cur.isEmpty
+        // never write an EMPTY relabel part (the trackNonempty contract:
+        // part existence ⇒ rows, which is what buys every later batch the
+        // driver-side skip; emptiness is deterministic, so replay agrees)
+        if (!curEmpty) {
+          val rel = relabel.persist()
+          if (rel.limit(1).count() > 0)
+            rel.write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
+          rel.unpersist()
+        }
+        cur.unpersist(); endpoints.unpersist()
+      }
       commitBatch(batchId)
     } finally {
-      edges.unpersist()
+      // edges is localCheckpointed, not persisted — its blocks are
+      // ContextCleaner-managed, nothing to unpersist
       if (tryEndpointPrune) candidates.unpersist()
       bandsB.unpersist(); unitB.unpersist()
     }
   }
 
-  /** Contract verified batch edges through the current labels (labels are
-    * component-minimum vec_ids, so contraction preserves global minima),
-    * cluster the contracted graph — bounded by the batch's edges — and
-    * rewrite moved labels plus brand-new endpoints (the
-    * [[IncrementalDedupIndex]] mergeLabels shape on the vector id space). */
-  private def mergeLabels(spark: SparkSession, edges: DataFrame,
-                          batchId: Long): DataFrame = {
-    val oldLabels = readSnapshot(spark, "labels", batchId, LabelsDdl)
-    val contracted = edges
-      .join(oldLabels.select(col("vec_id").as("vec_a"), col("lbl").as("la0")),
-        Seq("vec_a"), "left")
-      .join(oldLabels.select(col("vec_id").as("vec_b"), col("lbl").as("lb0")),
-        Seq("vec_b"), "left")
-      .select(coalesce(col("la0"), col("vec_a")).as("la"),
-        coalesce(col("lb0"), col("vec_b")).as("lb"))
-      .filter(col("la") =!= col("lb"))
-    val mapping = Dedup.minLabelComponents(contracted, "la", "lb", "node")
-      .select(col("node"), col("cluster_id"))
-    val updatedOld = oldLabels
-      .join(mapping.select(col("node").as("lbl"), col("cluster_id")),
-        Seq("lbl"), "left")
-      .select(col("vec_id"), coalesce(col("cluster_id"), col("lbl")).as("lbl"))
-    val newEndpoints = edges.select(col("vec_a").as("vec_id"))
-      .unionByName(edges.select(col("vec_b").as("vec_id"))).distinct()
-      .join(oldLabels.select("vec_id"), Seq("vec_id"), "left_anti")
-      .join(mapping.select(col("node").as("vec_id"), col("cluster_id").as("lbl")),
-        "vec_id")
-    updatedOld.unionByName(newEndpoints)
-  }
-
   /** The cluster table implied by the final state — row-identical to the
-    * batch n37 answer over every ingested vector. Marker-gated: only fully
+    * batch n37 answer over every ingested vector: assignments resolved
+    * through the relabel log are component minima, exactly the snapshot
+    * the pre-round-13 store materialized. Marker-gated: only fully
     * committed batches contribute. */
   def finalClusters(spark: SparkSession): DataFrame =
-    readSnapshot(spark, "labels", Long.MaxValue, LabelsDdl, requireMarker = true)
+    resolved(spark,
+        readParts(spark, "assign", Long.MaxValue, AssignDdl, requireMarker = true),
+        Long.MaxValue, requireMarker = true)
       .select(col("vec_id"), col("lbl").as("cluster_id"),
         (col("vec_id") === col("lbl")).as("is_canonical"))
 }

@@ -23,9 +23,10 @@ import org.apache.spark.sql.types.StructType
  *
  *  - `<part>/b<k>/` — append-only per-batch parquet parts, one dir per
  *    `foreachBatch` id (overwrite mode ⇒ checkpoint-replay idempotent);
- *  - `<snap>/v<k>/` — versioned snapshots (labels, fp keepers), written
- *    only by batches that change them; readers resolve the MAX committed
- *    version;
+ *  - `<snap>/v<k>/` — versioned snapshots (the drift monitor's counts;
+ *    round 13 moved the dedup labels and fp keepers to resolved part
+ *    tables — see [[LabelLog]]), written only by batches that change
+ *    them; readers resolve the MAX committed version;
  *  - `commits/<k>.committed` — per-batch markers. `_SUCCESS` is
  *    per-directory, so a crash between a part write and a snapshot write
  *    leaves a half-written batch whose dirs individually look complete;
@@ -112,9 +113,20 @@ object IncrementalStateMachine {
   /** An append-only part table: `ddl` its schema, `bucket` the optional
     * collision-bucket layout of its compacted levels (pruned probes).
     * The FIRST table in `partTables` is the primary — its `c<w>` dirs
-    * name the compaction levels. */
+    * name the compaction levels.
+    *
+    * `trackNonempty` tables additionally record a nonempty SENTINEL file
+    * in each level that holds rows, so
+    * [[IncrementalStateMachine.trackedHasData]] can answer "can this
+    * table contain anything?" from driver listings alone — the fast path
+    * that lets per-batch readers skip the table entirely (the relabel
+    * log is empty on most batches of most streams). Contract: the writer
+    * must never write an EMPTY part for such a table (part existence ⇒
+    * rows), which also keeps replay deterministic — emptiness is a pure
+    * function of the batch. */
   final case class PartTable(name: String, ddl: String,
-                             bucket: Option[Bucketing] = None)
+                             bucket: Option[Bucketing] = None,
+                             trackNonempty: Boolean = false)
 }
 
 abstract class IncrementalStateMachine(root: Path) {
@@ -137,6 +149,19 @@ abstract class IncrementalStateMachine(root: Path) {
     * 1 = full rewrite every pass (the round-11 behavior). */
   protected def maxLevels: Int
 
+  /** Hook over a FULL merge's level content (the default is the plain
+    * union [[readParts]] produces). Subclasses use it to normalize a
+    * table whose rows are only meaningful under a read-time resolution —
+    * e.g. fold a relabel log into its assignment table and empty the log,
+    * or collapse min-keyed rows — so the bin-packed level is the RESOLVED
+    * view and the read-time work restarts from zero. Content-equivalence
+    * obligation: resolve(hook(df)) must equal resolve(df) under the
+    * table's read-time resolution, and the hook must be a deterministic
+    * function of committed state (a crash re-run overwrites verbatim).
+    * Delta levels are never transformed: they consolidate layout only. */
+  protected def fullMergeContent(spark: SparkSession, t: PartTable,
+                                 df: DataFrame): DataFrame = df
+
   private def table(name: String): PartTable =
     partTables.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"unknown part table $name"))
@@ -148,6 +173,18 @@ abstract class IncrementalStateMachine(root: Path) {
     root.resolve(name).resolve(s"v$k")
   private def levelDir(name: String, w: Long): Path =
     root.resolve(name).resolve(s"c$w")
+  private val NonemptySentinel = "_GRAFT_NONEMPTY"
+
+  /** Whether a `trackNonempty` table can hold ANY rows below `max`,
+    * answered from driver listings alone: a part exists (the writer's
+    * never-write-empty contract makes existence mean rows) or a level in
+    * the live chain carries the nonempty sentinel. The fast path that
+    * lets per-batch readers skip an empty table without a Spark job. */
+  protected final def trackedHasData(name: String, max: Long): Boolean =
+    committedIds(name, "b", max).nonEmpty ||
+      levelChain(max).exists(w =>
+        Files.exists(levelDir(name, w).resolve(NonemptySentinel)))
+
   private def marker(k: Long) = root.resolve("commits").resolve(s"$k.committed")
   private def compactionMarker(w: Long) =
     root.resolve("compactions").resolve(s"$w.committed")
@@ -472,11 +509,17 @@ abstract class IncrementalStateMachine(root: Path) {
         val deltaDirs = newIds.map(partDir(t.name, _))
           .filter(Files.isDirectory(_)).map(_.toString)
         val df =
-          if (full) readParts(spark, t.name, w + 1, t.ddl, requireMarker = true)
+          if (full) fullMergeContent(spark, t,
+            readParts(spark, t.name, w + 1, t.ddl, requireMarker = true))
           else if (deltaDirs.isEmpty) emptyDf(spark, t.ddl)
           else spark.read.schema(StructType.fromDDL(t.ddl))
             .parquet(deltaDirs: _*)
         writeLevel(df, t, w, full)
+        // the driver-readable nonempty sentinel (see PartTable): checked
+        // and written before the marker flip, so a crash re-run that
+        // overwrites the level dir (dropping the file) also recreates it
+        if (t.trackNonempty && !df.isEmpty)
+          Files.createFile(levelDir(t.name, w).resolve(NonemptySentinel))
       }
       writeCompactionMarker(w, full)
     }

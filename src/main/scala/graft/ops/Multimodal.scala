@@ -298,7 +298,7 @@ object Multimodal {
     * arithmetic, so the oracle rebuilds identical doubles.
     * Two selects — the shift and the re-key in one projection would let
     * lateral alias resolution rebind media_id (the plantedCopies pitfall). */
-  private[ops] def plantedMediaCopies(feats: DataFrame): DataFrame =
+  private[graft] def plantedMediaCopies(feats: DataFrame): DataFrame =
     feats.select(col("media_id"),
         transform(col("fv"), (x, i) =>
           x + lit(0.0078125) *

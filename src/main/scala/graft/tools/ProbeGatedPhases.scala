@@ -50,6 +50,37 @@ object ProbeGatedPhases {
         f"stream=$tStream%.2f compact=$tCompact%.2f read=$tRead%.2f")
     }
 
+    if (which("n58")) {
+      import graft.ops.Multimodal
+      val base = Tables.scratchDir("gatedphases-n58")
+      val t0 = System.nanoTime()
+      val feats = Multimodal.featureExtractWide(
+        Multimodal.mediaFromDocuments(Tables.documents(spark, sfDir))).toDF()
+      val corpus = feats
+        .select(col("media_id").as("vec_id"), col("fv").as("embedding"))
+        .unionByName(Multimodal.plantedMediaCopies(feats)
+          .select(col("vec_id"), col("v").as("embedding")))
+        .persist()
+      val n = corpus.count()
+      val tPrep = (System.nanoTime() - t0) / 1e9
+      val geom = IncrementalEmbedDedup.geometryFor(n)
+      val index = new IncrementalEmbedIndex(base.resolve("state"),
+        geometry = geom,
+        bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2),
+        idBuckets = IncrementalEmbedDedup.bucketsFor(n, 1))
+      val (tStage, _) = time(
+        IncrementalEmbedDedup.stageChunks(corpus, base.resolve("input"), 4))
+      corpus.unpersist()
+      val (tStream, _) = time(IncrementalEmbedDedup.runStream(spark,
+        base.resolve("input"), base.resolve("ckpt"), index))
+      val (tCompact, _) = time(index.compact(spark))
+      val (tRead, _) = time(index.finalClusters(spark)
+        .withColumnRenamed("vec_id", "media_id").orderBy("media_id")
+        .write.format("noop").mode("overwrite").save())
+      println(f"PHASES n58 rows=$n prep=$tPrep%.2f stage=$tStage%.2f " +
+        f"stream=$tStream%.2f compact=$tCompact%.2f read=$tRead%.2f")
+    }
+
     if (which("n41")) {
       val base = Tables.scratchDir("gatedphases-n41")
       val docs = Tables.documents(spark, sfDir)

@@ -109,70 +109,43 @@ class IncrementalEmbedCompactionSpec extends AnyFunSuite {
     }
   }
 
-  test("compact GCs superseded snapshot versions and prunes dead markers") {
+  test("compact consolidates the label store and prunes dead markers") {
     val base = graft.SparkTestSession.tmpDir("n52-gc")
     val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
     val index = new IncrementalEmbedIndex(base.resolve("state"),
       geometry = IncrementalEmbedDedup.geometryFor(full.count()))
     (0 to 3).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
 
-    // round-9 verdict #2: labels/v<k> accumulates one version per
-    // edge-bearing batch until maintenance runs
-    val versionsBefore = children(base.resolve("state/labels"), "v")
-    assert(versionsBefore.size > 1,
-      s"fixture no longer exercises accumulation: $versionsBefore")
+    // the label store accumulates one assign part per edge-bearing batch
+    // until maintenance runs (the relabel-log replacement of the round-9
+    // per-batch version accumulation)
+    val partsBefore = children(base.resolve("state/assign"), "b")
+    assert(partsBefore.size > 1,
+      s"fixture no longer exercises accumulation: $partsBefore")
     val expected = Dedup.embeddingClustersQuery(spark, T.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
     assert(clusters(index) == expected)
 
-    // compact = the maintenance pass: exactly the latest committed version
-    // survives, and every marker the consolidated parts no longer need is
-    // pruned — KEEPING the one the marker-gated snapshot read depends on
+    // compact = the maintenance pass: a first compaction is a FULL merge,
+    // so the assign level is fully RESOLVED (the fold leaves no chains —
+    // its rows ARE the cluster table) and the relabel level is empty;
+    // with no snapshot gates left, every marker at or below the watermark
+    // is pruned
     assert(index.compact(spark).contains(3L))
-    val versions = children(base.resolve("state/labels"), "v")
-    assert(versions.size == 1, s"dead label versions survived: $versions")
-    val keepV = versions.head.drop(1).toLong
+    assert(children(base.resolve("state/assign"), "b").isEmpty,
+      "assign parts survived consolidation")
+    val levelRows = spark.read
+      .parquet(base.resolve("state/assign/c3").toString)
+      .select("vec_id", "lbl").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(0) == r.getLong(1))).toSet
+    assert(levelRows == expected,
+      "the bin-packed assign level is not the resolved cluster table")
+    assert(index.debugRead(spark, "relabel", Long.MaxValue).count() == 0,
+      "the relabel log survived the full merge")
     val markers = children(base.resolve("state/commits"), "")
-    assert(markers == Set(s"$keepV.committed"),
-      s"markers after compact: $markers (expected only $keepV.committed)")
+    assert(markers.isEmpty, s"dead markers survived compact: $markers")
     assert(clusters(index) == expected,
-      "snapshot GC / marker pruning broke the marker-gated read")
-    full.unpersist()
-  }
-
-  test("a crash mid-snapshot-GC is invisible and the next compact completes it") {
-    val base = graft.SparkTestSession.tmpDir("n52-snapcrash")
-    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
-    val index = new IncrementalEmbedIndex(base.resolve("state"),
-      geometry = IncrementalEmbedDedup.geometryFor(full.count()))
-    (0 to 1).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
-    assert(index.compact(spark).contains(1L))
-    val before = clusters(index)
-    val vMax = children(base.resolve("state/labels"), "v").map(_.drop(1).toLong).max
-    assert(vMax > 0, "fixture assumption broke: no superseded version slot")
-
-    // crash window inside compact's sweep: a superseded committed version
-    // and its marker back on disk (the sweep deletes versions before
-    // pruning markers, so both-present is the earliest crash state)
-    spark.read.parquet(base.resolve(s"state/labels/v$vMax").toString).limit(0)
-      .write.mode("overwrite").parquet(base.resolve("state/labels/v0").toString)
-    Files.createDirectories(base.resolve("state/commits"))
-    if (!Files.exists(base.resolve("state/commits/0.committed")))
-      Files.createFile(base.resolve("state/commits/0.committed"))
-    // readers resolve the max committed version: the stale v0 (an EMPTY
-    // frame — reading it would wipe every cluster) is invisible
-    assert(clusters(index) == before)
-
-    // later batches + the next maintenance pass reclaim it; convergence holds
-    (2 to 3).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
-    assert(index.compact(spark).contains(3L))
-    assert(!Files.exists(base.resolve("state/labels/v0")),
-      "stale snapshot version survived the next compact")
-    assert(!Files.exists(base.resolve("state/commits/0.committed")),
-      "stale marker survived the next compact")
-    val expected = Dedup.embeddingClustersQuery(spark, T.sf0001)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    assert(clusters(index) == expected)
+      "label-store consolidation broke the marker-gated read")
     full.unpersist()
   }
 

@@ -112,6 +112,37 @@ class IncrementalPruningSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("the assign lookup plans PartitionFilters on pb (the relabel-log store)") {
+    // round-13: the label-merge endpoint lookup gets the same listing-time
+    // pruning as the band/unit reads — compacted assign levels are id-hash
+    // bucketed and the read restricts to the endpoints' buckets
+    val base = graft.SparkTestSession.tmpDir("n52-aprune")
+    val full = IncrementalEmbedDedup.corpus(spark, T.sf0001).persist()
+    val n = full.count()
+    val geom = IncrementalEmbedDedup.geometryFor(n)
+    val index = new IncrementalEmbedIndex(base.resolve("state"),
+      geometry = geom, bandBuckets = IncrementalEmbedDedup.bucketsFor(n, geom._2))
+    (0 to 1).foreach(j => index.processBatch(full.filter(hashIn(j)), j.toLong))
+    assert(index.compact(spark).contains(1L))
+
+    val someBuckets = Seq(1L, 4L, 9L)
+    val pruned = index.debugRead(spark, "assign", Long.MaxValue,
+      pruneTo = Some(someBuckets))
+    val p = pruned.queryExecution.executedPlan.toString
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(partFilters.isDefined, s"no PartitionFilters list in assign plan:\n$p")
+    assert(partFilters.get.group(1).contains("pb"),
+      s"assign scan not pruned on pb:\n$p")
+
+    // value parity: the pruned view IS the bucket restriction
+    val expected = index.debugRead(spark, "assign", Long.MaxValue)
+      .filter(index.debugIdBucket(col("vec_id")).isin(someBuckets: _*))
+      .collect().map(_.getLong(0)).toSet
+    val got = pruned.collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+    full.unpersist()
+  }
+
   test("embed trickle batch after compaction: both pruned paths engage and converge") {
     // the continuous-ingest regime the pruning exists for: a tiny batch
     // whose band keys cover a fraction of the buckets (band probe pruned)

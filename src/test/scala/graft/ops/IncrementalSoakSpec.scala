@@ -66,12 +66,16 @@ class IncrementalSoakSpec extends AnyFunSuite {
         if (expectLevels == 1)
           assert(entries(root, "docs", "c") == Seq(s"c$j"),
             s"bin-pack did not collapse the chain: ${entries(root, "docs", "c")}")
-        Seq("labels", "fpmin").foreach { t =>
-          assert(entries(root, t, "v").size <= 1,
-            s"$t snapshot versions not collapsed: ${entries(root, t, "v")}")
+        // the label/keeper stores are part tables like everything else:
+        // parts never survive a pass, levels obey the same chain bound
+        Seq("assign", "relabel", "fpkeep").foreach { t =>
+          assert(entries(root, t, "b").isEmpty, s"$t parts survived compaction")
+          assert(entries(root, t, "c").size == expectLevels,
+            s"$t levels at batch $j: ${entries(root, t, "c")}")
         }
-        // markers: only the latest committed snapshot versions' gates
-        assert(entries(root, "commits", "").size <= 2,
+        // markers: no snapshot gates — everything at or below the
+        // watermark is pruned
+        assert(entries(root, "commits", "").isEmpty,
           s"markers grew: ${entries(root, "commits", "")}")
         assert(entries(root, "compactions", "").size == expectLevels)
       }
@@ -110,9 +114,12 @@ class IncrementalSoakSpec extends AnyFunSuite {
         if (expectLevels == 1)
           assert(entries(root, "units", "c") == Seq(s"c$j"),
             s"bin-pack did not collapse the chain: ${entries(root, "units", "c")}")
-        assert(entries(root, "labels", "v").size <= 1,
-          s"label versions not collapsed: ${entries(root, "labels", "v")}")
-        assert(entries(root, "commits", "").size <= 1,
+        Seq("assign", "relabel").foreach { t =>
+          assert(entries(root, t, "b").isEmpty, s"$t parts survived compaction")
+          assert(entries(root, t, "c").size == expectLevels,
+            s"$t levels at batch $j: ${entries(root, t, "c")}")
+        }
+        assert(entries(root, "commits", "").isEmpty,
           s"markers grew: ${entries(root, "commits", "")}")
         assert(entries(root, "compactions", "").size == expectLevels)
       }

@@ -36,7 +36,8 @@ class IncrementalTieringSpec extends AnyFunSuite {
     } finally s.close()
   }
 
-  private val PartNames = Seq("docs", "shingles", "bands", "manifest")
+  private val PartNames = Seq("docs", "shingles", "bands", "manifest",
+    "assign", "relabel", "fpkeep")
 
   test("delta levels accumulate to maxLevels, then a full merge bin-packs the chain") {
     val base = T.tmpDir("tier-chain")
@@ -200,8 +201,8 @@ class IncrementalTieringSpec extends AnyFunSuite {
     // to the chain, then swept by the next pass
     val before = index.finalClusters(spark).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-    Seq("units", "bands").foreach(t => copyTree(base.resolve(s"state/$t/c3"),
-      base.resolve(s"state/$t/c2")))
+    Seq("units", "bands", "assign", "relabel").foreach(t =>
+      copyTree(base.resolve(s"state/$t/c3"), base.resolve(s"state/$t/c2")))
     Files.write(base.resolve("state/compactions/2.committed"),
       "delta".getBytes("UTF-8"))
     assert(index.debugLevels == Seq(2L, 3L))
@@ -212,7 +213,7 @@ class IncrementalTieringSpec extends AnyFunSuite {
       "a stale two-level delta leaked into the read view")
     index.processBatch(full.filter(hashIs(4)), 4L)
     assert(index.compact(spark).contains(4L))
-    Seq("units", "bands").foreach(t =>
+    Seq("units", "bands", "assign", "relabel").foreach(t =>
       assert(!Files.exists(base.resolve(s"state/$t/c2")), s"$t/c2 survived"))
 
     // and the soaked index converges to the batch oracle
