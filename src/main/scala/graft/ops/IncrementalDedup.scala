@@ -157,21 +157,25 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
         pruneTo = pruneTo)
       .groupBy("fp").agg(min(col("fp_keep")).as("fp_keep"))
 
+  /** Assignments resolved through the relabel log, with the driver-side
+    * fast path (the embed twin's shape): skip the resolve machinery
+    * entirely when the log cannot hold rows. */
+  private def resolved(spark: SparkSession, assign: DataFrame, max: Long,
+                       requireMarker: Boolean = false): DataFrame =
+    if (!trackedHasData("relabel", max)) assign
+    else LabelLog.resolve(assign,
+      liveRelabels(spark, max, requireMarker = requireMarker))
+
   /** The label view below `max`: assignments (optionally bucket-pruned —
     * sound under the manifest's LEFT join, rows outside the pruned
     * buckets cannot match the probe side) resolved through the live
     * relabel log. */
   private def labelView(spark: SparkSession, max: Long,
                         pruneTo: Option[Seq[Long]] = None,
-                        requireMarker: Boolean = false): DataFrame = {
-    val assign = readParts(spark, "assign", max, AssignDdl,
-      requireMarker = requireMarker, pruneTo = pruneTo)
-    // driver-side fast path (the embed twin's `resolved`): skip the
-    // fixpoint machinery when the log cannot hold rows
-    if (!trackedHasData("relabel", max)) assign
-    else LabelLog.resolve(assign,
-      liveRelabels(spark, max, requireMarker = requireMarker))
-  }
+                        requireMarker: Boolean = false): DataFrame =
+    resolved(spark, readParts(spark, "assign", max, AssignDdl,
+      requireMarker = requireMarker, pruneTo = pruneTo), max,
+      requireMarker = requireMarker)
 
   /** Dev/spec accessors (the text analogue of the embed probes). */
   private[graft] def debugReadBands(spark: SparkSession, max: Long,
@@ -246,8 +250,13 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
         val aSet =
           if (!tryEndpointPrune) None
           else pruneSet(endpoints, idBucketCol(col("doc_id")), batchId, idBuckets)
-        val cur = labelView(spark, batchId, pruneTo = aSet)
-          .join(endpoints, "doc_id")
+        // join the ENDPOINTS before resolving (the embed twin's order,
+        // round-13 ADVICE): resolving first would run the relabel hop
+        // over every assignment in the pruned buckets — the whole store
+        // when endpoint pruning is off — instead of the batch's endpoints
+        val cur = resolved(spark,
+          readParts(spark, "assign", batchId, AssignDdl, pruneTo = aSet)
+            .join(endpoints, "doc_id"), batchId)
           .select(col("doc_id").as("id"), col("lbl")).persist()
         val (newAssign, relabel) = LabelLog.deltas(
           edges.select(col("doc_a").as("a"), col("doc_b").as("b")),
@@ -280,11 +289,13 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       // verdict, which is why finalManifest derives from state instead).
       // The fp lookup prunes to the BATCH's fp buckets in the trickle
       // regime (the join is inner, so out-of-bucket rows cannot match).
-      // The LABEL input needs no store read at all: a document's
-      // assignment can only be created in the batch that ingested it
-      // (it is an edge endpoint for the first time there), so the batch
-      // docs' labels as of batchId+1 are exactly this batch's own assign
-      // part — already final for this batch (mapping outputs).
+      // The LABEL input needs no store read at all. The claim relied on
+      // is the restricted one: THIS batch's docs join only against labels
+      // keyed by THIS batch's doc ids, and a doc cannot be assigned
+      // before it is ingested — so a batch doc's label as of batchId+1 is
+      // either in this batch's own assign part or absent. (A PRE-EXISTING
+      // doc can well be assigned by a later batch's bridging edge; those
+      // rows land in that batch's part and are irrelevant to this join.)
       val fpSet =
         if (!tryEndpointPrune) None
         else pruneSet(docsB, fpBucketCol, batchId + 1, idBuckets)

@@ -517,9 +517,15 @@ abstract class IncrementalStateMachine(root: Path) {
         writeLevel(df, t, w, full)
         // the driver-readable nonempty sentinel (see PartTable): checked
         // and written before the marker flip, so a crash re-run that
-        // overwrites the level dir (dropping the file) also recreates it
-        if (t.trackNonempty && !df.isEmpty)
-          Files.createFile(levelDir(t.name, w).resolve(NonemptySentinel))
+        // overwrites the level dir (dropping the file) also recreates it.
+        // delete-then-create, NOT bare create: idempotence must not rest
+        // on the writer having cleared the dir (round-13 ADVICE — a
+        // surviving sentinel would turn the re-run into a crash loop)
+        if (t.trackNonempty && !df.isEmpty) {
+          val sentinel = levelDir(t.name, w).resolve(NonemptySentinel)
+          Files.deleteIfExists(sentinel)
+          Files.createFile(sentinel)
+        }
       }
       writeCompactionMarker(w, full)
     }

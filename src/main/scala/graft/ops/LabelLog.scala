@@ -55,37 +55,63 @@ private[ops] object LabelLog {
 
   /** Resolve rows carrying a `lbl` column through the relabel function
     * `maps0` (old → new) to fixpoint, preserving all other columns.
-    * Rounds = longest chain in the log — bounded by batches since the
-    * last full merge, in practice 0–2 — and the per-round fixpoint count
-    * is the price, so CALLERS should skip the call entirely when the
-    * driver already knows the log is empty
-    * ([[IncrementalStateMachine.trackedHasData]]). `cur` is referenced
-    * once per join, so lineage grows linearly with rounds (no
-    * minLabelComponents-style 2^k nesting); a localCheckpoint every 8
-    * rounds caps plan depth on pathological chains without paying a
-    * per-round materialization job on the common shallow ones. */
+    *
+    * The fixpoint runs over the MAP, never the assignments: [[closure]]
+    * pointer-doubles the (small — one row per component-minimum move
+    * since the last fold) relabel map until no value is still a key, and
+    * the assignments then take exactly ONE lazy left join through the
+    * closed map. One hop is exact because after closure every label is
+    * either a key of the map (joining straight to its final value) or
+    * already final. So `resolve` issues NO Spark action against `assign`
+    * at all — through round 13 the fixpoint probed the assignment join
+    * chain itself, re-executing the whole unpersisted chain each round
+    * (O(rounds²) join work, the round-13 ADVICE item) and paying a full
+    * Catalyst re-analysis per probe (the cost class this codebase
+    * documents at every micro-batch call site). Callers should still skip
+    * the call when the driver already knows the log is empty
+    * ([[IncrementalStateMachine.trackedHasData]]) — that skips even the
+    * map's emptiness probe. */
   def resolve(assign: DataFrame, maps0: DataFrame): DataFrame = {
     val maps = maps0.select(col("old"), col("new")).persist()
-    try {
-      if (maps.limit(1).count() == 0) return assign
-      val others = assign.columns.filterNot(_ == "lbl").map(col)
-      var cur = assign
-      var moved = true
-      var rounds = 0
-      while (moved) {
-        rounds += 1
-        // chains are acyclic by construction (values strictly decrease);
-        // this trips only on store corruption, loudly instead of hanging
-        require(rounds <= 100000, "relabel chain did not terminate")
-        val step = cur.join(maps, cur("lbl") === maps("old"), "left")
-          .select(others :+ coalesce(col("new"), col("lbl")).as("lbl")
-            :+ col("new").isNotNull.as("moved"): _*)
-        moved = step.filter(col("moved")).limit(1).count() > 0
-        cur = step.drop("moved")
-        if (rounds % 8 == 0) cur = cur.localCheckpoint(true)
-      }
-      cur
-    } finally maps.unpersist()
+    val closed =
+      try {
+        if (maps.limit(1).count() == 0) return assign
+        closure(maps) // eagerly checkpointed — safe to drop the cache now
+      } finally maps.unpersist()
+    val others = assign.columns.filterNot(_ == "lbl").map(col)
+    assign.join(closed, assign("lbl") === closed("old"), "left")
+      .select(others :+ coalesce(col("new"), col("lbl")).as("lbl"): _*)
+  }
+
+  /** Transitive closure of the relabel map by pointer doubling: each
+    * round rewrites `new` through the map itself, so chain suffixes halve
+    * — ⌈log₂ depth⌉ rounds plus one no-movement detection round (depth-1
+    * logs, the common case, finish in the single detection round). Every
+    * round's frame is eagerly localCheckpointed — the frames are tiny, the
+    * movement probe then reads materialized blocks instead of re-executing
+    * a growing join chain, and the returned frame's blocks are
+    * ContextCleaner-managed (nothing to unpersist). Keys stay globally
+    * unique (closure only rewrites values), so the closed map is still a
+    * function and the one-hop join in [[resolve]] matches ≤ 1 row. */
+  private def closure(maps: DataFrame): DataFrame = {
+    var cur = maps.localCheckpoint(true)
+    var moved = true
+    var rounds = 0
+    while (moved) {
+      rounds += 1
+      // values strictly decrease along chains, so closure must terminate;
+      // doubling closes depth 2^62 in 62 rounds — tripping this means
+      // store corruption, reported loudly instead of hanging
+      require(rounds <= 64, "relabel chain did not terminate")
+      val ptr = cur.select(col("old").as("p_old"), col("new").as("p_new"))
+      val step = cur.join(ptr, cur("new") === ptr("p_old"), "left")
+        .select(col("old"), coalesce(col("p_new"), col("new")).as("new"),
+          col("p_new").isNotNull.as("moved"))
+        .localCheckpoint(true)
+      moved = step.filter(col("moved")).limit(1).count() > 0
+      cur = step.drop("moved")
+    }
+    cur
   }
 
   /** The batch's label-store deltas, from its verified edge set (columns

@@ -76,6 +76,9 @@ object OpsQueries {
     "n58_streaming_media_clusters" ->
       ((s, d) => Multimodal.streamingMediaClustersQuery(s, d)),
     "n59_media_pipeline" -> (Multimodal.mediaPipelineQuery _),
+    // the deterministic-quantizer twin of n42: same knnJoinCore plan,
+    // md5-derived cells instead of trained KMeans ⇒ hash-checked
+    "n60_knn_join_det" -> (Similarity.knnJoinDetQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,5 +150,8 @@ object OpsQueries {
     // incremental maintenance converges to the batch n56 closure: same SQL
     "n58_streaming_media_clusters" -> Multimodal.streamingMediaClustersOracle,
     "n59_media_pipeline" -> Multimodal.mediaPipelineOracle,
+    // the md5-quantizer twin closes the ANN family's oracle gap: only n42
+    // (trained KMeans) stays rows-only, and n60 hash-checks its plan shape
+    "n60_knn_join_det" -> Similarity.knnJoinDetOracle,
   )
 }

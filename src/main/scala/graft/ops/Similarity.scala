@@ -390,19 +390,39 @@ object Similarity {
         .select(col("vec_id"), col("u"), col("cell"),
           graft.functions.DotProduct(col("u"), col("ctr")).as("ccos"))
     }
+    knnJoinCore(scoredCells.withColumnRenamed("ccos", "score"), index,
+      k, nProbe)
+  }
+
+  /** The shared tail of the batched kNN join — both the trained-KMeans
+    * n42 and its deterministic-quantizer twin n60 run exactly this plan:
+    * per-query nProbe-cell cut ([[graft.plans.TopKPerKey]], bounded heap),
+    * equi-join on cell against the cell-partitioned index (each query
+    * moves nProbe times, each index vector once — never the n² pair
+    * space), exact-cosine scoring (codegen [[graft.functions.DotProduct]]),
+    * and a second TopKPerKey cut to k per query. `scoredCells` carries
+    * (vec_id, u, cell, score); `index` carries (cell, nbr, un). The
+    * verify score is pluggable: n42 ranks on the exact float cosine
+    * (codegen DotProduct); the n60 twin ranks on an order-independent
+    * integer quantized dot so the oracle reproduces it bit-for-bit. */
+  private def knnJoinCore(scoredCells: DataFrame, index: DataFrame,
+                          k: Int, nProbe: Int,
+                          verify: (Column, Column) => Column =
+                            graft.functions.DotProduct(_, _),
+                          scoreName: String = "cosine"): DataFrame = {
     val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
-      Seq(col("ccos").desc, col("cell")), nProbe)
+      Seq(col("score").desc, col("cell")), nProbe)
     val cands = probed.select(col("vec_id"), col("u"), col("cell"))
       .join(index, "cell")
       .filter(col("vec_id") =!= col("nbr"))
-      .withColumn("cosine", graft.functions.DotProduct(col("u"), col("un")))
-    val top = graft.plans.TopKPerKey(cands.select("vec_id", "nbr", "cosine"),
-      Seq(col("vec_id")), Seq(col("cosine").desc, col("nbr")), k)
+      .withColumn(scoreName, verify(col("u"), col("un")))
+    val top = graft.plans.TopKPerKey(cands.select("vec_id", "nbr", scoreName),
+      Seq(col("vec_id")), Seq(col(scoreName).desc, col("nbr")), k)
     top
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr")))
+        .Window.partitionBy("vec_id").orderBy(col(scoreName).desc, col("nbr")))
         .cast("long"))
-      .select(col("vec_id"), col("rank"), col("nbr"), col("cosine"))
+      .select(col("vec_id"), col("rank"), col("nbr"), col(scoreName))
       .orderBy("vec_id", "rank")
   }
 
@@ -411,6 +431,111 @@ object Similarity {
     * rows-only checked; recall vs n39 asserted in OpsSpec. */
   def knnJoinQuery(spark: SparkSession, dir: String): DataFrame =
     knnJoin(embeddings(spark, dir))
+
+  /**
+   * n60 — the batched kNN join on the DETERMINISTIC coarse quantizer (the
+   * n06/n07 md5 treatment applied to n42, round-13 verdict #7): the same
+   * [[knnJoinCore]] plan as the trained-KMeans n42 — TopKPerKey nProbe-cell
+   * probe, cell equi-join, exact-cosine verify, TopKPerKey top-k — but with
+   * the [[ivfDirs]] md5-derived directions as the cells and the integer
+   * [[graft.functions.QuantizedDots]] scores for assignment/probing, so a
+   * DuckDB oracle reproduces the cell structure bit-for-bit and the whole
+   * join is HASH-checked. The verify rank is an order-independent BIGINT
+   * quantized dot (`Σ ⌊uₐ·2²⁰⌋·⌊u_b·2²⁰⌋`, the n35 integer treatment —
+   * a float cosine's summation order flips last-ulp bits between engines),
+   * via codegen'd builtin HOFs (zip_with + aggregate). n42 keeps the
+   * trained quantizer, the float-cosine verify, and its recall gate
+   * (`OpsSpec`); this twin buys oracle coverage of the plan shape.
+   */
+  def knnJoinDet(emb: DataFrame, k: Int = 3,
+                 nProbe: Int = IvfNProbe): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    // argmax cell over integer dots (ties to the smallest index) — the
+    // ivfTopK assignment, keyed for the index side of the join
+    val index = emb.select(col("vec_id").as("nbr"),
+      Dedup.unitVector(col("embedding")).as("un"),
+      (element_at(transform(array(dots), a =>
+        array_position(a, array_max(a))), 1) - 1).cast("int").as("cell"))
+    val scored = emb
+      .select(col("vec_id"), Dedup.unitVector(col("embedding")).as("u"),
+        posexplode(dots).as(Seq("cell", "score")))
+    knnJoinCore(scored, index, k, nProbe,
+      verify = (ua, ub) => aggregate(
+        zip_with(ua, ub, (x, y) =>
+          floor(x * lit(1048576.0)).cast("long") *
+            floor(y * lit(1048576.0)).cast("long")),
+        lit(0L), (acc, t) => acc + t),
+      scoreName = "score_q")
+  }
+
+  def knnJoinDetQuery(spark: SparkSession, dir: String): DataFrame =
+    knnJoinDet(embeddings(spark, dir))
+
+  /** The n60 twin in DuckDB: [[ivfOracle]]'s md5 directions and BIGINT
+    * quantized dots reproduce cell assignment and the per-query nProbe
+    * probe exactly (integer scores — no float argmax ties to flip), then
+    * the probed pairs rank by the BIGINT quantized unit-vector dot
+    * (order-independent integer sum; the unit components themselves are
+    * bit-identical — ascending-order norm sum then one exact division,
+    * the n39-proven formulation). */
+  val knnJoinDetOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT vec_id, c,
+       |    SUM(CAST(floor(x * 1048576.0) AS BIGINT) * comp) AS dot
+       |  FROM ex JOIN dirs USING (i)
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) <= $IvfNProbe
+       |), exd AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), nr AS (
+       |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM exd GROUP BY vec_id
+       |), uv AS (
+       |  SELECT exd.vec_id, v / nrm AS u, i FROM exd JOIN nr USING (vec_id)
+       |), pairs AS (
+       |  SELECT q.vec_id, ix.vec_id AS nbr
+       |  FROM probed q JOIN assigned ix
+       |    ON ix.cell = q.cell AND ix.vec_id <> q.vec_id
+       |), s AS (
+       |  SELECT p.vec_id, p.nbr,
+       |    -- outer BIGINT cast: DuckDB SUM(BIGINT) yields HUGEINT, which
+       |    -- the driver's hash renders as float64 (the d98/round-12 rule)
+       |    CAST(SUM(CAST(floor(a.u * 1048576.0) AS BIGINT) *
+       |             CAST(floor(b.u * 1048576.0) AS BIGINT)) AS BIGINT) AS score_q
+       |  FROM pairs p
+       |  JOIN uv a ON a.vec_id = p.vec_id
+       |  JOIN uv b ON b.vec_id = p.nbr AND b.i = a.i
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT vec_id, nbr, score_q,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY score_q DESC, nbr) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT vec_id, rank, nbr, score_q
+       |FROM r
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
 
   // ----------------------------------------- n35 exact per-label centroids
 

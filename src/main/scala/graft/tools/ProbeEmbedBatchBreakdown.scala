@@ -136,6 +136,22 @@ object ProbeEmbedBatchBreakdown {
         .persist()
       val nDup = trickDup.count()
       val tFullDup = time { idx.processBatch(trickDup, 7L) }
+      // a genuinely SPARSE edge-bearing trickle at every scale (round-13
+      // verdict #3): a FIXED-size dup set — sliced from the BASE table, so
+      // its absolute size does not grow with k — keeps endpoint pruning
+      // engaged at ×100, where full_dup's ∝-index dup slice covers most
+      // buckets and measures the bulk-regime fallback instead. This is the
+      // row that measures the pruned label merge itself.
+      val sparseDup = Dedup.plantedCopies(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(pmod(xxhash64(col("vec_id")), lit(256)) === 9)
+            .select(col("vec_id"),
+              transform(col("embedding"), x => x.cast("double")).as("embedding")))
+        .select((col("vec_id") + lit(2 * Dedup.PlantOffset)).as("vec_id"),
+          col("v").as("embedding"))
+        .persist()
+      val nSparse = sparseDup.count()
+      val tFullSparse = time { idx.processBatch(sparseDup, 8L) }
       println(f"BREAKDOWN x$k rows=$ne geom=$geom buckets=$buckets " +
         f"warm=$tWarm%.2f compact=$tCompact%.2f " +
         f"scan_bands_full=$tScanBands%.2f scan_units_full=$tScanUnits%.2f " +
@@ -143,9 +159,10 @@ object ProbeEmbedBatchBreakdown {
         f"cand=$tCand%.2f(n=$nCand,pb=${pbSet.size}) " +
         f"edge=$tEdge%.2f(n=$nEdge,ub=${ubSet.size}) " +
         f"plant=$tPlant%.2f(n=$nPlant) snap=$tSnap%.2f(n=$nLbl) " +
-        f"full=$tFull%.2f full_dup=$tFullDup%.2f(n=$nDup)")
+        f"full=$tFull%.2f full_dup=$tFullDup%.2f(n=$nDup) " +
+        f"full_sparse=$tFullSparse%.2f(n=$nSparse)")
       emb.unpersist(); extra.unpersist(); trick.unpersist()
-      planted.unpersist(); trickDup.unpersist()
+      planted.unpersist(); trickDup.unpersist(); sparseDup.unpersist()
       spark.catalog.clearCache()
     }
     spark.stop()

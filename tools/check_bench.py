@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Mechanical 2x-of-BASELINE contract check (round-14 verdict #2).
+
+Parses the single authoritative min table in BASELINE.md
+("## Current recorded mins (authoritative)") and diffs a bench JSON
+line (graft.Bench stdout, or a driver BENCH_r{N}.json whose `tail`
+holds the line's suffix) against it:
+
+    python3 tools/check_bench.py BENCH_r14.json [--max-ratio 2.0]
+
+Prints every query whose value exceeds max-ratio x its recorded min,
+plus queries missing on either side. Exit 1 on any breach.
+"""
+import argparse
+import json
+import re
+import sys
+from pathlib import Path
+
+BASELINE = Path(__file__).resolve().parent.parent / "BASELINE.md"
+HEADER = "## Current recorded mins (authoritative)"
+
+
+def load_mins():
+    text = BASELINE.read_text()
+    if HEADER not in text:
+        sys.exit(f"BASELINE.md lacks the '{HEADER}' section")
+    section = text.split(HEADER, 1)[1]
+    # table ends at the next heading
+    section = re.split(r"\n#{1,3} ", section, 1)[0]
+    mins = {}
+    for m in re.finditer(r"^\| *`?([a-z]\d+_\w+)`? *\| *([\d.]+) *\|",
+                         section, re.M):
+        mins[m.group(1)] = float(m.group(2))
+    if not mins:
+        sys.exit("no rows parsed from the authoritative min table")
+    return mins
+
+
+def load_bench(path):
+    raw = Path(path).read_text()
+    try:
+        d = json.loads(raw)
+    except json.JSONDecodeError:
+        # a raw Bench stdout line among other output: take the last {...}
+        d = json.loads([l for l in raw.splitlines()
+                        if l.startswith("{")][-1])
+    if "queries" in d and isinstance(d["queries"], dict):
+        return {k: float(v) for k, v in d["queries"].items()}
+    if d.get("parsed"):
+        return {k: float(v) for k, v in d["parsed"]["queries"].items()}
+    # driver artifact: reconstruct from the stored tail fragment
+    qs = re.findall(r'"([a-z]\d+_\w+)":(-?[\d.]+)', d.get("tail", ""))
+    return {k: float(v) for k, v in qs}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("bench")
+    ap.add_argument("--max-ratio", type=float, default=2.0)
+    args = ap.parse_args()
+
+    mins = load_mins()
+    bench = load_bench(args.bench)
+
+    breaches, warn = [], []
+    for q, v in sorted(bench.items()):
+        if v < 0:
+            breaches.append(f"{q}: ERRORED (-1)")
+            continue
+        if q not in mins:
+            warn.append(f"{q}: not in the authoritative table")
+            continue
+        r = v / mins[q]
+        if r > args.max_ratio:
+            breaches.append(f"{q}: {v:.2f}s = {r:.2f}x its min {mins[q]:.2f}s")
+        elif r > args.max_ratio * 0.85:
+            warn.append(f"{q}: {v:.2f}s = {r:.2f}x its min {mins[q]:.2f}s "
+                        "(within 15% of the line)")
+    for q in sorted(set(mins) - set(bench)):
+        warn.append(f"{q}: in the table but not in this bench "
+                    "(truncated tail?)")
+
+    for w in warn:
+        print(f"[watch] {w}")
+    for b in breaches:
+        print(f"[BREACH] {b}")
+    n = len(set(bench) & set(mins))
+    print(f"{n} queries checked against the authoritative table; "
+          f"{len(breaches)} over {args.max_ratio}x, {len(warn)} watches")
+    sys.exit(1 if breaches else 0)
+
+
+if __name__ == "__main__":
+    main()
