@@ -446,26 +446,38 @@ object Similarity {
    * via codegen'd builtin HOFs (zip_with + aggregate). n42 keeps the
    * trained quantizer, the float-cosine verify, and its recall gate
    * (`OpsSpec`); this twin buys oracle coverage of the plan shape.
+   *
+   * The verify stays on the CODEGEN DotProduct, not a lambda HOF: each
+   * side's unit vector is quantized ONCE per row (n rows, not n·nProbe·
+   * |cell| pairs) to an integral-valued double array, and the pairwise
+   * dot runs through DotProduct — every product ≤ 2²·²⁰·2²⁰ = 2⁴⁰ and
+   * every partial sum ≤ 64·2⁴⁰ < 2⁵³ is an EXACT integer in a double,
+   * so the float summation is order-independent and the final cast to
+   * BIGINT is lossless. (A zip_with+aggregate verify was measured at
+   * 44 s on the sf0.1 bench — interpreted lambdas with a per-pair array
+   * allocation on the 2M-pair candidate stream; DotProduct brings the
+   * same stream back to the n42 cost class.)
    */
   def knnJoinDet(emb: DataFrame, k: Int = 3,
                  nProbe: Int = IvfNProbe): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    def quantUnit(c: Column): Column =
+      // floor() yields BIGINT; back to double for the codegen DotProduct
+      // (the values are integral, so the cast is exact)
+      transform(Dedup.unitVector(c), x =>
+        floor(x * lit(1048576.0)).cast("double"))
     // argmax cell over integer dots (ties to the smallest index) — the
     // ivfTopK assignment, keyed for the index side of the join
     val index = emb.select(col("vec_id").as("nbr"),
-      Dedup.unitVector(col("embedding")).as("un"),
+      quantUnit(col("embedding")).as("un"),
       (element_at(transform(array(dots), a =>
         array_position(a, array_max(a))), 1) - 1).cast("int").as("cell"))
     val scored = emb
-      .select(col("vec_id"), Dedup.unitVector(col("embedding")).as("u"),
+      .select(col("vec_id"), quantUnit(col("embedding")).as("u"),
         posexplode(dots).as(Seq("cell", "score")))
     knnJoinCore(scored, index, k, nProbe,
-      verify = (ua, ub) => aggregate(
-        zip_with(ua, ub, (x, y) =>
-          floor(x * lit(1048576.0)).cast("long") *
-            floor(y * lit(1048576.0)).cast("long")),
-        lit(0L), (acc, t) => acc + t),
+      verify = (ua, ub) => graft.functions.DotProduct(ua, ub).cast("long"),
       scoreName = "score_q")
   }
 
