@@ -78,7 +78,7 @@ private[ops] object LabelLog {
         if (maps.limit(1).count() == 0) return assign
         closure(maps) // eagerly checkpointed — safe to drop the cache now
       } finally maps.unpersist()
-    val others = assign.columns.filterNot(_ == "lbl").map(col)
+    val others = assign.columns.filterNot(_ == "lbl").map(col).toIndexedSeq
     assign.join(closed, assign("lbl") === closed("old"), "left")
       .select(others :+ coalesce(col("new"), col("lbl")).as("lbl"): _*)
   }
