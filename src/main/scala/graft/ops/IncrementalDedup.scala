@@ -177,6 +177,35 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       requireMarker = requireMarker, pruneTo = pruneTo), max,
       requireMarker = requireMarker)
 
+  /** The bounded driver-side label merge — the embed twin's
+    * [[IncrementalEmbedIndex]] `smallMerge`, on doc ids; see
+    * [[LabelLog.SmallMergeMaxEdges]] for the contract and
+    * `LabelLogProps` for the distributed-equivalence pin. */
+  private def smallMerge(spark: SparkSession, rows: Seq[(Long, Long)],
+                         batchId: Long): Unit = {
+    import spark.implicits._
+    val endpoints = rows.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val bSet = endpoints.map(idBucketLocal).distinct
+    val cur = readParts(spark, "assign", batchId, AssignDdl,
+        pruneTo = Some(bSet).filter(_.size <= idBuckets / 2))
+      .filter(col("doc_id").isInCollection(endpoints))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (newAssign, relabel) = LabelLog.deltasLocal(rows, cur)
+    newAssign.toDF("doc_id", "lbl").coalesce(1)
+      .write.mode("overwrite").parquet(partDir("assign", batchId).toString)
+    // never write an EMPTY relabel part (the trackNonempty contract) —
+    // emptiness is known driver-side here, no probe job
+    if (relabel.nonEmpty)
+      relabel.toDF("old", "new").coalesce(1)
+        .write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
+  }
+
+  /** Driver-side twin of [[idBucketCol]] (seed-42 XXH64, floorMod). */
+  private def idBucketLocal(id: Long): Long =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      idBuckets.toLong)
+
   /** Dev/spec accessors (the text analogue of the embed probes). */
   private[graft] def debugReadBands(spark: SparkSession, max: Long,
                                     pruneTo: Option[Seq[Long]] = None): DataFrame =
@@ -239,8 +268,25 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
       sh.write.mode("overwrite").parquet(partDir("shingles", batchId).toString)
       bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
 
-      val hasEdges = edges.limit(1).count() > 0
-      if (hasEdges) {
+      // SMALL-MERGE dispatch (the embed twin's shape — see
+      // [[LabelLog.SmallMergeMaxEdges]]): trickle regime + empty relabel
+      // log ⇒ the merge runs driver-side over the bounded collected edge
+      // set; bulk, over-ceiling, or nonempty-log batches keep the
+      // distributed path
+      val smallEdges =
+        if (tryEndpointPrune && !trackedHasData("relabel", batchId)) {
+          val e = edges.limit(LabelLog.SmallMergeMaxEdges + 1).collect()
+          if (e.length <= LabelLog.SmallMergeMaxEdges)
+            Some(e.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+          else None
+        } else None
+      val hasEdges = smallEdges match {
+        case Some(rows) => rows.nonEmpty
+        case None => edges.limit(1).count() > 0
+      }
+      if (hasEdges && smallEdges.isDefined) {
+        smallMerge(spark, smallEdges.get, batchId)
+      } else if (hasEdges) {
         // relabel-log label merge (the embed twin's shape, see [[LabelLog]]):
         // endpoint lookup pruned to the endpoints' id-hash buckets in the
         // trickle regime, then write only the batch's own rows

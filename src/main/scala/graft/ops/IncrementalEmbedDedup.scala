@@ -150,6 +150,40 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     else LabelLog.resolve(assign,
       liveRelabels(spark, max, requireMarker = requireMarker))
 
+  /** The bounded driver-side label merge ([[LabelLog.SmallMergeMaxEdges]]
+    * — job-count is the trickle batch's whole cost): endpoint labels from
+    * the bucket-pruned WRITE-ONCE assign table (≤ 2·edges rows; the log is
+    * empty by the dispatch guard, so no resolve), min-root union-find via
+    * [[LabelLog.deltasLocal]], the two delta parts written from literal
+    * frames. Same outputs as the distributed path (`LabelLogProps` pins
+    * the equivalence), so replay may interleave the two freely. */
+  private def smallMerge(spark: SparkSession, rows: Seq[(Long, Long)],
+                         batchId: Long): Unit = {
+    import spark.implicits._
+    val endpoints = rows.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val bSet = endpoints.map(idBucketLocal).distinct
+    val cur = readParts(spark, "assign", batchId, AssignDdl,
+        pruneTo = Some(bSet).filter(_.size <= idBuckets / 2))
+      .filter(col("vec_id").isInCollection(endpoints))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val (newAssign, relabel) = LabelLog.deltasLocal(rows, cur)
+    newAssign.toDF("vec_id", "lbl").coalesce(1)
+      .write.mode("overwrite").parquet(partDir("assign", batchId).toString)
+    // never write an EMPTY relabel part (the trackNonempty contract) —
+    // emptiness is known driver-side here, no probe job
+    if (relabel.nonEmpty)
+      relabel.toDF("old", "new").coalesce(1)
+        .write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
+  }
+
+  /** Driver-side twin of [[idBucketCol]] — `pmod(xxhash64(id), idBuckets)`
+    * via the same XXH64 kernel Spark's expression runs (seed 42);
+    * `LabelLogProps` pins the parity. */
+  private def idBucketLocal(id: Long): Long =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+      idBuckets.toLong)
+
   /** Dev-probe accessors ([[graft.tools.ProbeEmbedBatchBreakdown]], the
     * pruning plan pins in `IncrementalPruningSpec`): the index views a
     * batch at `max` would join against, optionally pruned to a
@@ -234,7 +268,23 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     try {
       unitB.write.mode("overwrite").parquet(partDir("units", batchId).toString)
       bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
-      if (edges.limit(1).count() > 0) {
+      // SMALL-MERGE dispatch (see [[LabelLog.SmallMergeMaxEdges]]): in the
+      // trickle regime with an empty relabel log, the whole label merge
+      // runs driver-side over the bounded collected edge set — the
+      // limit-collect reads the already-materialized checkpoint blocks
+      // and is bounded by construction (≤ ceiling+1 rows of two longs).
+      // Bulk batches, over-ceiling edge sets, and nonempty logs keep the
+      // distributed path below unchanged.
+      val smallEdges =
+        if (tryEndpointPrune && !trackedHasData("relabel", batchId)) {
+          val e = edges.limit(LabelLog.SmallMergeMaxEdges + 1).collect()
+          if (e.length <= LabelLog.SmallMergeMaxEdges)
+            Some(e.toSeq.map(r => (r.getLong(0), r.getLong(1))))
+          else None
+        } else None
+      if (smallEdges.exists(_.nonEmpty)) {
+        smallMerge(spark, smallEdges.get, batchId)
+      } else if (smallEdges.isEmpty && edges.limit(1).count() > 0) {
         // relabel-log label merge (see [[LabelLog]]): look up the edge
         // ENDPOINTS' current labels — the assign read pruned to the
         // endpoints' id-hash buckets in the trickle regime, resolved

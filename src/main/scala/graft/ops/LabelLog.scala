@@ -53,6 +53,62 @@ private[ops] object LabelLog {
 
   private[ops] val RelabelDdl = "old BIGINT, new BIGINT"
 
+  /** Edge-count ceiling for the SMALL-MERGE driver fast path (round 14).
+    *
+    * A trickle batch's label merge costs ~6 s at EVERY index scale — flat
+    * but high, and ~all of it is job count: `ProbeBatchJobs` attributed a
+    * 4-row edge-bearing batch to 55 jobs (3.4 s inside, 2.2 s of driver
+    * analysis between). Most of those jobs are the distributed contraction
+    * (`Dedup.minLabelComponents`: checkpoint + count per round) and the
+    * delta probes, all over frames of a few ROWS. So, in the trickle
+    * regime (endpoint pruning engaged) with an empty relabel log, the
+    * merge instead collects the verified edges (bounded here), reads the
+    * endpoints' labels from the bucket-pruned assign table (≤ 2·edges
+    * rows — assignments are write-once), runs the same min-root
+    * union-find in Scala ([[deltasLocal]]), and writes the two delta
+    * parts. This is the broadcast-threshold pattern: Spark itself
+    * collects bounded frames when that beats distributing, and the repo's
+    * pruneSet collect (≤ buckets/2 longs) established the contract shape.
+    * 4096 edges = ≤ 64 KiB of id pairs on the driver; a bulk batch (no
+    * band pruning) or an over-ceiling edge set keeps the distributed
+    * path, as does a nonempty relabel log (the fast path would otherwise
+    * have to resolve through it driver-side; post-fold batches — the
+    * steady state — have an empty log). */
+  private[ops] val SmallMergeMaxEdges = 4096
+
+  /** [[deltas]] computed driver-side for a bounded edge set: identical
+    * semantics — contract endpoints through their current labels, cluster
+    * the contracted graph to component MINIMA (min-root union-find; the
+    * result is order-independent, so the collected edge order cannot
+    * matter), new assignments for never-assigned endpoints, relabel rows
+    * for existing labels whose minimum moved. Outputs sorted so a crash
+    * re-run writes byte-identical parts. `LabelLogProps` pins equivalence
+    * with the distributed [[deltas]] on random graphs. */
+  def deltasLocal(edges: Seq[(Long, Long)], cur: Map[Long, Long])
+      : (Seq[(Long, Long)], Seq[(Long, Long)]) = {
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (la, lb) = (cur.getOrElse(a, a), cur.getOrElse(b, b))
+      if (la != lb) {
+        val (ra, rb) = (find(la), find(lb))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+    }
+    val endpoints = edges.flatMap { case (a, b) => Seq(a, b) }.distinct
+    val newAssign = endpoints.filterNot(cur.contains)
+      .map(id => id -> find(id)).sorted
+    val relabel = cur.valuesIterator.toSeq.distinct
+      .map(l => l -> find(l)).filter { case (l, m) => m != l }.sorted
+    (newAssign, relabel)
+  }
+
   /** Resolve rows carrying a `lbl` column through the relabel function
     * `maps0` (old → new) to fixpoint, preserving all other columns.
     *

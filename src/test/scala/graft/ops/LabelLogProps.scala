@@ -73,4 +73,67 @@ object LabelLogProps extends Properties("LabelLog") {
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       got == Set((9001L, 1L), (9002L, 1L))
     }
+
+  /** A random store state respecting the invariants the merge relies on:
+    * some ids already assigned, grouped into components labeled by their
+    * minimum (so labels are assigned ids, disjoint from never-assigned
+    * ones), plus random new edges over assigned ∪ unassigned ids. `cur`
+    * is the assignment restricted to the edge endpoints — exactly the
+    * pruned endpoint-joined lookup both merge paths receive. */
+  private val mergeGen: Gen[(Seq[(Long, Long)], Map[Long, Long])] = for {
+    n <- Gen.choose(10, 120)
+    assignedCount <- Gen.choose(2, n - 2)
+    perm <- Gen.const(new scala.util.Random(n * 31 + assignedCount)
+      .shuffle((1 to n).map(_.toLong).toVector))
+    nComp <- Gen.choose(1, math.max(1, assignedCount / 2))
+    compOf <- Gen.listOfN(assignedCount, Gen.choose(0, nComp - 1))
+    nEdges <- Gen.choose(1, 60)
+    ea <- Gen.listOfN(nEdges, Gen.choose(0, n - 1))
+    eb <- Gen.listOfN(nEdges, Gen.choose(0, n - 1))
+  } yield {
+    val assigned = perm.take(assignedCount)
+    val byComp = assigned.zip(compOf).groupMap(_._2)(_._1)
+    val label = byComp.values.flatMap { members =>
+      val m = members.min; members.map(_ -> m)
+    }.toMap
+    val ids = perm
+    val edges = ea.zip(eb)
+      .map { case (i, j) => (ids(i), ids(j)) }
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct
+    val endpoints = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+    (edges, label.filter { case (id, _) => endpoints(id) })
+  }
+
+  property("deltasLocal == the distributed deltas on any invariant-respecting merge") =
+    forAll(mergeGen) { case (edges, cur) =>
+      (edges.isEmpty: Boolean) || {
+        import spark.implicits._
+        val (gotAssign, gotRelabel) = LabelLog.deltasLocal(edges, cur)
+        val endpointsDf = edges.flatMap { case (a, b) => Seq(a, b) }
+          .distinct.toDF("id")
+        val (wantAssignDf, wantRelabelDf) = LabelLog.deltas(
+          edges.toDF("a", "b"), endpointsDf, cur.toSeq.toDF("id", "lbl"))
+        val wantAssign = wantAssignDf.select("id", "lbl").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        val wantRelabel = wantRelabelDf.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        gotAssign.toSet == wantAssign && gotRelabel.toSet == wantRelabel
+      }
+    }
+
+  property("driver-side id bucket == Spark pmod(xxhash64(id), n)") =
+    forAll(Gen.listOfN(50, Gen.choose(Long.MinValue, Long.MaxValue)),
+      Gen.oneOf(16, 64, 256, 4096)) { (ids, n) =>
+      import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+      import spark.implicits._
+      val sparkSide = ids.toDF("id")
+        .select(pmod(xxhash64(col("id")), lit(n.toLong)))
+        .collect().map(_.getLong(0)).toSeq
+      val driverSide = ids.map(id => java.lang.Math.floorMod(
+        org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(id, 42L),
+        n.toLong))
+      sparkSide == driverSide
+    }
 }
