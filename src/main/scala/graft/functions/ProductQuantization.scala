@@ -1,0 +1,327 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
+
+/**
+ * Integer-exact product-quantization kernels for the n61 IVF-PQ path — the
+ * memory layout a 100 TB ANN deployment actually ships: raw vectors are
+ * 64 floats = 256 bytes, PQ codes are `nSub` small ints (8 here), so the
+ * scan side of the index shrinks ~30× and the ranking scan reads codes,
+ * never vectors. Reference behavior anchor: the reference's embedding
+ * fixtures and streaming transforms (`tests/conftest.py`,
+ * `src/pyspark_streaming_base/app/app.py`) carry opaque feature columns
+ * end to end; the quantized ranking itself is the standard IVF-ADC design
+ * (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+ * TPAMI 2011), built here with the repo's integer-determinism treatment:
+ *
+ *   q_i        = floor(x_i · 2^20)                  (exact, see [[QuantizedDots]])
+ *   d2[m][c]   = Σ_{i ∈ sub m} (q_i − cb[m][c][i])² (64-bit integer)
+ *   code_m     = argmin_c d2[m][c], first index wins ties
+ *   adc(codes) = Σ_m lut[m][code_m]                 (lut = query's d2 table)
+ *
+ * with md5-derived integer codewords (the [[QuantizedDots]] plane
+ * construction at codeword scale), so codes and ADC distances rebuild
+ * bit-for-bit in the DuckDB oracle — no float summation order anywhere.
+ * Overflow headroom: data components sit in ±0.5 ⇒ |q| ≤ 2^19, codewords
+ * are constructed in [−2^19, 2^19), so each squared term ≤ 2^40 and a
+ * subspace sum of 8 terms ≤ 2^43; the ADC sum of 8 subspaces ≤ 2^46.
+ * Callers own the range contract, as with [[DotProduct]].
+ */
+object ProductQuantization {
+
+  /** `pq_encode(vec)`: array of `nSub` codeword indexes (one per
+    * subspace), each the integer-exact argmin over `nCode` codewords. */
+  def encode(vec: Column, codebook: Array[Long], subDim: Int, nSub: Int,
+             nCode: Int): Column =
+    ColumnBridge.column(
+      PqEncodeExpr(ColumnBridge.expression(vec), codebook, subDim, nSub, nCode))
+
+  /** `pq_adc(codes)`: the asymmetric distance Σ_m lut[m·nCode + code_m]
+    * for a fixed (per-query, driver-built) integer lookup table. */
+  def adc(codes: Column, lut: Array[Long], nSub: Int, nCode: Int): Column =
+    ColumnBridge.column(
+      PqAdcExpr(ColumnBridge.expression(codes), lut, nSub, nCode))
+
+  /** Driver-side twin of the kernel's quantize step (shared scale). */
+  def quantize(xs: Seq[Double]): Array[Long] =
+    xs.map(x => math.floor(x * QuantizedDots.Scale).toLong).toArray
+
+  /** Driver-side integer subspace-distance table for one quantized vector:
+    * `lut(m*nCode + c) = Σ_i (q[m·subDim+i] − cb[(m·nCode+c)·subDim+i])²`.
+    * Feeds [[adc]] as a plan literal (one query vector per plan — the
+    * n06/n07 single-probe convention) and doubles as the spec reference. */
+  def distanceTable(q: Array[Long], codebook: Array[Long], subDim: Int,
+                    nSub: Int, nCode: Int): Array[Long] = {
+    require(q.length == nSub * subDim,
+      s"vector length ${q.length} != nSub*subDim = ${nSub * subDim}")
+    require(codebook.length == nSub * nCode * subDim,
+      s"codebook length ${codebook.length} != ${nSub * nCode * subDim}")
+    val out = new Array[Long](nSub * nCode)
+    var m = 0
+    while (m < nSub) {
+      var c = 0
+      while (c < nCode) {
+        val off = (m * nCode + c) * subDim
+        var d2 = 0L
+        var i = 0
+        while (i < subDim) {
+          val d = q(m * subDim + i) - codebook(off + i)
+          d2 += d * d
+          i += 1
+        }
+        out(m * nCode + c) = d2
+        c += 1
+      }
+      m += 1
+    }
+    out
+  }
+
+  /** Driver-side encode (argmin per subspace, first-wins ties) — the spec
+    * reference and the probe-vector self-encode. */
+  def encodeLocal(q: Array[Long], codebook: Array[Long], subDim: Int,
+                  nSub: Int, nCode: Int): Array[Int] = {
+    val d2 = distanceTable(q, codebook, subDim, nSub, nCode)
+    Array.tabulate(nSub) { m =>
+      var best = 0
+      var c = 1
+      while (c < nCode) {
+        if (d2(m * nCode + c) < d2(m * nCode + best)) best = c
+        c += 1
+      }
+      best
+    }
+  }
+}
+
+/**
+ * `pq_encode`: per-subspace integer-exact codeword argmin of a
+ * double-vector column against a flat codebook (codeword (m, c) occupies
+ * `[(m·nCode + c)·subDim, …+subDim)`). Null on null input or null elements
+ * (the [[DotProduct]] convention); a vector shorter than `nSub·subDim` is
+ * zero-padded (absent components quantize to 0 — consistent across
+ * engines since the fixture vectors are fixed-length anyway).
+ * Whole-stage-codegen'd: one fused quantize/encode loop nest.
+ */
+case class PqEncodeExpr(child: Expression, codebook: Array[Long],
+                        subDim: Int, nSub: Int, nCode: Int)
+  extends UnaryExpression {
+
+  require(codebook.length == nSub * nCode * subDim,
+    s"codebook length ${codebook.length} != nSub*nCode*subDim = ${nSub * nCode * subDim}")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<double> argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    val n = math.min(nSub * subDim, xs.numElements())
+    var j = 0
+    while (j < n) {
+      if (xs.isNullAt(j)) return null
+      j += 1
+    }
+    val q = new Array[Long](nSub * subDim)
+    var i = 0
+    while (i < n) {
+      q(i) = math.floor(xs.getDouble(i) * QuantizedDots.Scale).toLong
+      i += 1
+    }
+    val out = new Array[Int](nSub)
+    var m = 0
+    while (m < nSub) {
+      var best = 0
+      var bestD2 = Long.MaxValue
+      var c = 0
+      while (c < nCode) {
+        val off = (m * nCode + c) * subDim
+        var d2 = 0L
+        var k = 0
+        while (k < subDim) {
+          val d = q(m * subDim + k) - codebook(off + k)
+          d2 += d * d
+          k += 1
+        }
+        if (d2 < bestD2) { bestD2 = d2; best = c }
+        c += 1
+      }
+      out(m) = best
+      m += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebook", codebook, "long[]")
+    val gad = classOf[GenericArrayData].getName
+    nullSafeCodeGen(ctx, ev, xs => {
+      val n = ctx.freshName("n")
+      val q = ctx.freshName("q")
+      val out = ctx.freshName("out")
+      val hasNull = ctx.freshName("hasNull")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val k = ctx.freshName("k")
+      val off = ctx.freshName("off")
+      val d = ctx.freshName("d")
+      val d2 = ctx.freshName("d2")
+      val best = ctx.freshName("best")
+      val bestD2 = ctx.freshName("bestD2")
+      s"""
+         |int $n = java.lang.Math.min(${nSub * subDim}, $xs.numElements());
+         |boolean $hasNull = false;
+         |for (int $j = 0; $j < $n; $j++) {
+         |  if ($xs.isNullAt($j)) { $hasNull = true; break; }
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $q = new long[${nSub * subDim}];
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $q[$i] = (long) java.lang.Math.floor(
+         |      $xs.getDouble($i) * ${QuantizedDots.Scale});
+         |  }
+         |  int[] $out = new int[$nSub];
+         |  for (int $m = 0; $m < $nSub; $m++) {
+         |    int $best = 0;
+         |    long $bestD2 = Long.MAX_VALUE;
+         |    for (int $c = 0; $c < $nCode; $c++) {
+         |      int $off = ($m * $nCode + $c) * $subDim;
+         |      long $d2 = 0L;
+         |      for (int $k = 0; $k < $subDim; $k++) {
+         |        long $d = $q[$m * $subDim + $k] - $cbRef[$off + $k];
+         |        $d2 += $d * $d;
+         |      }
+         |      if ($d2 < $bestD2) { $bestD2 = $d2; $best = $c; }
+         |    }
+         |    $out[$m] = $best;
+         |  }
+         |  ${ev.value} = new $gad($out);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // content-based equality for the Array field (see [[QuantizedDotsExpr]])
+  override def equals(other: Any): Boolean = other match {
+    case o: PqEncodeExpr =>
+      child == o.child && subDim == o.subDim && nSub == o.nSub &&
+        nCode == o.nCode && java.util.Arrays.equals(codebook, o.codebook)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(subDim), Int.box(nSub),
+      Int.box(nCode), Int.box(java.util.Arrays.hashCode(codebook)))
+
+  override def prettyName: String = "pq_encode"
+}
+
+/**
+ * `pq_adc`: the asymmetric PQ distance of a code array against a fixed
+ * integer lookup table (`lut[m·nCode + c]` = the query's integer squared
+ * distance to codeword (m, c)). Null on null input, null elements, or a
+ * code outside `[0, nCode)` (a malformed index row must surface as null,
+ * not an ArrayIndexOutOfBounds in generated code). Whole-stage-codegen'd:
+ * `nSub` array lookups and adds per row — the scan kernel that replaces
+ * a 64-component float dot at ranking time.
+ */
+case class PqAdcExpr(child: Expression, lut: Array[Long], nSub: Int,
+                     nCode: Int)
+  extends UnaryExpression {
+
+  require(lut.length == nSub * nCode,
+    s"lut length ${lut.length} != nSub*nCode = ${nSub * nCode}")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<int> argument, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val cs = input.asInstanceOf[ArrayData]
+    if (cs.numElements() != nSub) return null
+    var sum = 0L
+    var m = 0
+    while (m < nSub) {
+      if (cs.isNullAt(m)) return null
+      val c = cs.getInt(m)
+      if (c < 0 || c >= nCode) return null
+      sum += lut(m * nCode + c)
+      m += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("lut", lut, "long[]")
+    nullSafeCodeGen(ctx, ev, cs => {
+      val sum = ctx.freshName("sum")
+      val m = ctx.freshName("m")
+      val c = ctx.freshName("c")
+      val bad = ctx.freshName("bad")
+      s"""
+         |boolean $bad = $cs.numElements() != $nSub;
+         |long $sum = 0L;
+         |if (!$bad) {
+         |  for (int $m = 0; $m < $nSub; $m++) {
+         |    if ($cs.isNullAt($m)) { $bad = true; break; }
+         |    int $c = $cs.getInt($m);
+         |    if ($c < 0 || $c >= $nCode) { $bad = true; break; }
+         |    $sum += $lutRef[$m * $nCode + $c];
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  // content-based equality for the Array field (see [[QuantizedDotsExpr]])
+  override def equals(other: Any): Boolean = other match {
+    case o: PqAdcExpr =>
+      child == o.child && nSub == o.nSub && nCode == o.nCode &&
+        java.util.Arrays.equals(lut, o.lut)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, Int.box(nSub), Int.box(nCode),
+      Int.box(java.util.Arrays.hashCode(lut)))
+
+  override def prettyName: String = "pq_adc"
+}

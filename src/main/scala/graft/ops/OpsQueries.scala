@@ -79,6 +79,10 @@ object OpsQueries {
     // the deterministic-quantizer twin of n42: same knnJoinCore plan,
     // md5-derived cells instead of trained KMeans ⇒ hash-checked
     "n60_knn_join_det" -> (Similarity.knnJoinDetQuery _),
+    // IVF-PQ: the memory-bounded ANN scan (codes + integer ADC ranking)
+    "n61_ivf_pq" -> (Similarity.ivfPqQuery _),
+    // per-domain quota on the TopKPerKey whole-operator
+    "n62_domain_cap" -> ((s, d) => Pipeline.domainCapQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -153,5 +157,8 @@ object OpsQueries {
     // the md5-quantizer twin closes the ANN family's oracle gap: only n42
     // (trained KMeans) stays rows-only, and n60 hash-checks its plan shape
     "n60_knn_join_det" -> Similarity.knnJoinDetOracle,
+    // integer codes + integer LUT: PQ ranking hash-matches cross-engine
+    "n61_ivf_pq" -> Similarity.ivfPqOracle,
+    "n62_domain_cap" -> Pipeline.domainCapOracle,
   )
 }

@@ -65,6 +65,67 @@ object Pipeline {
       |FROM r WHERE rk = 1
       |ORDER BY host""".stripMargin
 
+  // --------------------------------------------------- n62 per-domain quota
+  /**
+   * Per-domain quota enforcement — the crawl-balancing pass that keeps a
+   * corpus from being dominated by its largest hosts (the quota n24's
+   * per-domain aggregation exists to inform): every host keeps its
+   * `perHost` best documents by the n09 quality score (ties to the lowest
+   * doc_id), everything past the quota is dropped.
+   *
+   * Scale shape: scoring is map-side arithmetic; the quota cut runs on the
+   * custom [[graft.plans.TopKPerKey]] whole-operator — a bounded per-host
+   * heap on each input partition means at most `perHost` rows per (host,
+   * partition) reach the shuffle, so the exchange carries ~quota-sized
+   * groups even when one host owns half the crawl (the skew case that
+   * makes a window-rank-then-filter plan spill: a full sort of the
+   * dominant host's partition). The trailing rank is a window over the
+   * already-capped n_hosts·perHost rows, not the corpus.
+   */
+  def domainCapQuery(spark: SparkSession, dir: String,
+                     perHost: Int = 10): DataFrame = {
+    val scored = documents(spark, dir)
+      .select(col("doc_id"),
+        concat(col("source"), lit(".example-"), col("lang"), lit(".com")).as("host"),
+        TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
+    val top = graft.plans.TopKPerKey(scored, Seq(col("host")),
+      Seq(col("quality_score").desc, col("doc_id")), perHost)
+    top
+      .withColumn("rank", row_number().over(Window.partitionBy("host")
+        .orderBy(col("quality_score").desc, col("doc_id"))).cast("long"))
+      .select(col("host"), col("rank"), col("doc_id"), col("quality_score"))
+      .orderBy("host", "rank")
+  }
+
+  /** The n09 score arithmetic (bit-identical doubles), a row_number cut
+    * per host, quota = 10. */
+  val domainCapOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id,
+       |    source || '.example-' || lang || '.com' AS host,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          w -> w IN (${TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_cnt
+       |  FROM documents
+       |), s AS (
+       |  SELECT doc_id, host,
+       |    least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.25
+       |      + (CAST(n_stopwords AS DOUBLE) / n_words) * 0.25
+       |      + (CAST(alpha_cnt AS DOUBLE) / n_chars) * 0.25
+       |      + least((CAST(alpha_cnt AS DOUBLE) / n_words) / 8.0, 1.0) * 0.25 AS quality_score
+       |  FROM c
+       |), r AS (
+       |  SELECT host, doc_id, quality_score,
+       |    CAST(row_number() OVER (PARTITION BY host
+       |                            ORDER BY quality_score DESC, doc_id) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT host, rank, doc_id, quality_score
+       |FROM r WHERE rank <= 10
+       |ORDER BY host, rank""".stripMargin
+
   // ------------------------------------------------ n33 end-to-end pipeline
   /**
    * The composed pipeline: exact dedup (keep the lowest doc_id per md5

@@ -642,6 +642,166 @@ object Similarity {
       .orderBy("vec_id", "rank")
   }
 
+  // ------------------------------------------------------- n61 IVF-PQ
+
+  /** n61 PQ geometry: 64 dims = 8 subspaces × 8 dims, 16 codewords per
+    * subspace — codes are 8 small ints (4 bits of information each) per
+    * vector vs 256 bytes of raw floats, the ~30× index-size reduction
+    * that makes a 100 TB ANN index RAM-resident per executor. */
+  private val PqSubDim = 8
+  private val PqNSub = 8
+  private val PqNCode = 16
+
+  /** md5-derived INTEGER codewords (the [[ivfDirs]] construction at
+    * codeword scale, `pq_` namespace, flat (m, c, i) row-major): 5 hex
+    * digits → [0, 2²⁰) − 2¹⁹ ∈ [−2¹⁹, 2¹⁹) — the same range the ±0.5
+    * fixture components occupy after the 2²⁰ quantization, so argmin over
+    * integer squared distances is a meaningful (if untrained) codebook.
+    * Rebuilds identically from DuckDB md5 digit arithmetic. */
+  private lazy val pqCodebook: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(PqNSub * PqNCode * PqSubDim) { idx =>
+      val m = idx / (PqNCode * PqSubDim)
+      val c = (idx / PqSubDim) % PqNCode
+      val i = idx % PqSubDim
+      val hex = md.digest(s"pq_${m}_${c}_${i}".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString.substring(0, 5)
+      java.lang.Long.parseLong(hex, 16) - 524288L
+    }
+  }
+
+  /** Dev/spec accessors for the PQ geometry (the kernel spec rebuilds the
+    * codebook and LUT driver-side and pins the distributed results). */
+  private[graft] def debugPqCodebook: Array[Long] = pqCodebook
+  private[graft] def debugPqGeometry: (Int, Int, Int) = (PqSubDim, PqNSub, PqNCode)
+
+  /**
+   * n61 — IVF-PQ top-k, the full memory-bounded ANN scan a 100 TB
+   * deployment runs (Jégou et al., TPAMI 2011): vectors are PQ-ENCODED
+   * once at index build (map-side, codegen [[graft.functions.PqEncodeExpr]];
+   * at scale the codes table is what gets stored — 8 ints/vector, not 64
+   * floats), the query probes its `nProbe` best IVF cells (the n07
+   * deterministic coarse quantizer, integer argmax), and probed-cell
+   * members rank by ASYMMETRIC distance — `nSub` lookups into the query's
+   * per-subspace integer distance table ([[graft.functions.PqAdcExpr]]),
+   * never touching the raw vectors. Everything on the ranking path is
+   * 64-bit integer arithmetic, so the DuckDB oracle reproduces codes,
+   * LUT, and the final (adist ASC, vec_id) order bit-for-bit.
+   *
+   * The one query vector is a plan parameter (the n06/n07 single-probe
+   * convention — its LUT is built driver-side and ships as a literal);
+   * the batched many-query shape lives in n42/n60, where queries stay
+   * distributed. Top-k is TakeOrderedAndProject — no global sort.
+   *
+   * Planted-duplicate theorem (the spec's hard gate): the query's own
+   * code for subspace m is argmin_c lut[m][c], so an exact duplicate of
+   * the query — which shares its codes — attains Σ_m min_c lut[m][c],
+   * the global minimum of the ADC objective: a duplicate can never be
+   * out-ranked, only tied.
+   */
+  def ivfPqTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+                nProbe: Int = IvfNProbe): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    val scored = emb.select(col("vec_id"),
+      posexplode(dots).as(Seq("cell", "dot")))
+    // index build: PQ codes + IVF cell, one map-side pass (the
+    // double-evaluation bind from ivfTopK for the argmax)
+    val assigned = emb.select(col("vec_id"), col("label"),
+      graft.functions.ProductQuantization
+        .encode(v, pqCodebook, PqSubDim, PqNSub, PqNCode).as("codes"),
+      (element_at(transform(array(dots), a =>
+        array_position(a, array_max(a))), 1) - 1).as("cell"))
+    val probedCells = scored.filter(col("vec_id") === queryVecId)
+      .orderBy(desc("dot"), col("cell"))
+      .limit(nProbe)
+      .select("cell")
+    val qRow = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head()
+    val q = graft.functions.ProductQuantization.quantize(
+      qRow.getSeq[Float](0).map(_.toDouble))
+    val lut = graft.functions.ProductQuantization.distanceTable(
+      q, pqCodebook, PqSubDim, PqNSub, PqNCode)
+    assigned
+      .join(broadcast(probedCells), "cell")
+      .filter(col("vec_id") =!= queryVecId)
+      .select(col("vec_id"), col("label"),
+        graft.functions.ProductQuantization
+          .adc(col("codes"), lut, PqNSub, PqNCode).as("adist"))
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  def ivfPqQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTopK(embeddings(spark, dir))
+
+  /** The n61 twin computation in DuckDB: rebuild the integer [[ivfDirs]]
+    * and [[pqCodebook]] from md5 digit arithmetic, quantize components to
+    * `floor(x·2²⁰)`, compute every (vector, subspace, codeword) integer
+    * squared distance once — argmin rows become the codes, the query's
+    * rows become the LUT — assign IVF cells by BIGINT argmax dot, probe
+    * the query's top cells, and rank probed-cell members by the summed
+    * LUT lookups. Integer end to end: ties and the k-th boundary are
+    * identical in both engines by construction. */
+  val ivfPqOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), cb AS (
+       |  SELECT m, c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('pq_' || m || '_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (4 - d))) for d in range(5)]) AS BIGINT)
+       |      - 524288 AS comp
+       |  FROM range($PqNSub) t(m), range($PqNCode) u(c), range($PqSubDim) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), exq AS (
+       |  SELECT vec_id, i, i // $PqSubDim AS m, i % $PqSubDim AS si,
+       |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+       |  FROM ex
+       |), dots AS (
+       |  SELECT exq.vec_id, dirs.c, SUM(exq.q * dirs.comp) AS dot
+       |  FROM exq JOIN dirs ON dirs.i = exq.i
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT c AS cell FROM dots WHERE vec_id = 0
+       |  ORDER BY dot DESC, c LIMIT $IvfNProbe
+       |), d2 AS (
+       |  SELECT exq.vec_id, cb.m, cb.c,
+       |    SUM((exq.q - cb.comp) * (exq.q - cb.comp)) AS d2
+       |  FROM exq JOIN cb ON cb.m = exq.m AND cb.i = exq.si
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, c AS code FROM d2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, c) = 1
+       |), lut AS (
+       |  SELECT m, c, d2 FROM d2 WHERE vec_id = 0
+       |), adist AS (
+       |  SELECT codes.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adist
+       |  FROM codes JOIN lut ON lut.m = codes.m AND lut.c = codes.code
+       |  WHERE codes.vec_id <> 0
+       |  GROUP BY 1
+       |)
+       |SELECT a.vec_id, e.label, a.adist
+       |FROM adist a
+       |JOIN embeddings e ON e.vec_id = a.vec_id
+       |JOIN assigned ON assigned.vec_id = a.vec_id
+       |JOIN probed ON probed.cell = assigned.cell
+       |ORDER BY a.adist, a.vec_id
+       |LIMIT 5""".stripMargin
+
   /** All-pairs cosine (the n05 CTE chain, no threshold), symmetrized, then
     * the same (cosine DESC, nbr ASC) row_number cut. */
   val knnGraphOracle: String =

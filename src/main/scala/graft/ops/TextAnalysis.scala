@@ -76,6 +76,24 @@ object TextAnalysis {
   val qualityStopwords: Seq[String] =
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "on", "for")
 
+  /** The n09 fixed-weight quality score as one column expression over a
+    * text column — shared by n09 (which also surfaces the intermediate
+    * counters) and the n62 per-domain quota cut. Pure arithmetic on
+    * counts: the double is bit-identical across engines. */
+  def qualityScoreCol(text: Column): Column = {
+    val ws = split(lower(text), "\\s+")
+    val nChars = length(text).cast("long")
+    val nWords = size(ws).cast("long")
+    val stopCnt = size(filter(ws, w => w.isInCollection(qualityStopwords))).cast("long")
+    val alphaCnt = length(regexp_replace(text, "[^A-Za-z]", "")).cast("long")
+    val avgWordLen = alphaCnt.cast("double") / nWords
+    val stopRatio = stopCnt.cast("double") / nWords
+    val alphaRatio = alphaCnt.cast("double") / nChars
+    val lengthScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
+    lengthScore * 0.25 + stopRatio * 0.25 + alphaRatio * 0.25 +
+      least(avgWordLen / lit(8.0), lit(1.0)) * 0.25
+  }
+
   /** Heuristic document quality: length, word stats, stopword ratio, alpha
     * ratio — combined into a fixed-weight score. Pure arithmetic on counts,
     * so the double result is bit-identical across engines. */
@@ -89,9 +107,9 @@ object TextAnalysis {
     val avgWordLen = alphaCnt.cast("double") / nWords
     val stopRatio = stopCnt.cast("double") / nWords
     val alphaRatio = alphaCnt.cast("double") / nChars
-    val lengthScore = least(nChars.cast("double") / lit(500.0), lit(1.0))
-    val score = lengthScore * 0.25 + stopRatio * 0.25 + alphaRatio * 0.25 +
-      least(avgWordLen / lit(8.0), lit(1.0)) * 0.25
+    // the same expression tree qualityScoreCol builds — kept as the shared
+    // helper so n62 cannot drift from the n09 definition
+    val score = qualityScoreCol(text)
     documents(spark, dir)
       .select(col("doc_id"), nChars.as("n_chars"), nWords.as("n_words"),
         stopCnt.as("n_stopwords"), avgWordLen.as("avg_word_len"),

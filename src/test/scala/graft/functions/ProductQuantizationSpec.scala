@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkTestSession => T}
+import graft.queries.Tables
+
+/** The n61 IVF-PQ kernels: PQ codes and ADC distances must be 64-bit
+  * integer computations end to end so the DuckDB oracle rebuilds the
+  * ranking bit-for-bit (the [[QuantizedDotsSpec]] determinism treatment),
+  * and the planted-duplicate theorem — a duplicate of the query attains
+  * the global ADC minimum — must hold on the real query plan. */
+class ProductQuantizationSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  private val subDim = 8
+  private val nSub = 8
+  private val nCode = 16
+  private val dim = nSub * subDim
+
+  // md5-derived integer codebook — the Similarity `pq_` construction
+  private val codebook: Array[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nSub * nCode * subDim) { idx =>
+      val m = idx / (nCode * subDim)
+      val c = (idx / subDim) % nCode
+      val i = idx % subDim
+      val hex = md.digest(s"pq_${m}_${c}_${i}".getBytes("UTF-8"))
+        .take(3).map(b => f"$b%02x").mkString.substring(0, 5)
+      java.lang.Long.parseLong(hex, 16) - 524288L
+    }
+  }
+
+  test("spec codebook matches the Similarity construction") {
+    assert(java.util.Arrays.equals(codebook,
+      graft.ops.Similarity.debugPqCodebook))
+    assert(graft.ops.Similarity.debugPqGeometry === ((subDim, nSub, nCode)))
+  }
+
+  private def vecs() = Tables.embeddings(spark, T.sf0001)
+    .select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("u"))
+
+  test("pq_encode matches the driver argmin reference (codegen path)") {
+    val rows = vecs()
+      .select(col("vec_id"), col("u"),
+        ProductQuantization.encode(col("u"), codebook, subDim, nSub, nCode)
+          .as("codes"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val q = ProductQuantization.quantize(r.getSeq[Double](1))
+      val want = ProductQuantization.encodeLocal(q, codebook, subDim, nSub, nCode)
+      assert(r.getSeq[Int](2) === want.toSeq, s"vec ${r.getLong(0)}")
+    }
+  }
+
+  test("pq_adc matches the driver LUT-sum reference and composes with pq_encode") {
+    // the LUT of vector 0, built exactly as the n61 query builds it
+    val q0 = ProductQuantization.quantize(
+      vecs().filter(col("vec_id") === 0L).head().getSeq[Double](1))
+    val lut = ProductQuantization.distanceTable(q0, codebook, subDim, nSub, nCode)
+    val rows = vecs()
+      .select(col("vec_id"), col("u"),
+        ProductQuantization.adc(
+          ProductQuantization.encode(col("u"), codebook, subDim, nSub, nCode),
+          lut, nSub, nCode).as("adist"))
+      .collect()
+    rows.foreach { r =>
+      val q = ProductQuantization.quantize(r.getSeq[Double](1))
+      val codes = ProductQuantization.encodeLocal(q, codebook, subDim, nSub, nCode)
+      val want = codes.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum
+      assert(r.getLong(2) === want, s"vec ${r.getLong(0)}")
+    }
+    // self-ADC is the global minimum: vector 0's own codes pick the
+    // per-subspace argmin of its own LUT by definition
+    val self = rows.find(_.getLong(0) == 0L).get.getLong(2)
+    val floor = (0 until nSub)
+      .map(m => (0 until nCode).map(c => lut(m * nCode + c)).min).sum
+    assert(self === floor)
+    rows.foreach(r => assert(r.getLong(2) >= floor))
+  }
+
+  test("pq_adc null contract: wrong arity and out-of-range codes are null, not errors") {
+    val lut = Array.fill(nSub * nCode)(1L)
+    val schema = StructType(Seq(
+      StructField("codes", ArrayType(IntegerType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq.fill(nSub)(0).toArray.toSeq),       // valid: all-zero codes
+        Row(Seq.fill(nSub)(nCode).toArray.toSeq),   // out of range
+        Row(Seq(0, 1).toArray.toSeq),               // wrong arity
+        Row(null)),                                 // null input
+      schema)
+    val got = df.select(
+      ProductQuantization.adc(col("codes"), lut, nSub, nCode).as("adist"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(nSub.toLong), None, None, None))
+  }
+
+  test("planted duplicate of the query ranks first in ivfPqTopK") {
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val top = graft.ops.Similarity.ivfPqTopK(emb.unionByName(dup), k = 5)
+      .collect()
+    assert(top.nonEmpty)
+    // the duplicate shares the query's IVF cell (identical integer dots)
+    // so it survives probing, and its codes attain the ADC floor — it can
+    // be tied (same adist) but never out-ranked; no fixture vector ties
+    // the 64-component floor, so rank 1 is the duplicate itself
+    assert(top.head.getLong(0) === 999999L,
+      s"expected the planted duplicate first, got ${top.toSeq}")
+    val dupDist = top.head.getLong(2)
+    top.tail.foreach(r => assert(r.getLong(2) >= dupDist))
+  }
+
+  test("ADC ranking carries signal: top-10 by adist beats the candidate mean on true distance") {
+    // exact integer squared distance to vector 0, driver-side, as truth
+    val all = vecs().collect()
+    val q0 = ProductQuantization.quantize(
+      all.find(_.getLong(0) == 0L).get.getSeq[Double](1))
+    def trueD2(xs: Seq[Double]): Double = {
+      val q = ProductQuantization.quantize(xs)
+      q.indices.map { i => val d = (q(i) - q0(i)).toDouble; d * d }.sum
+    }
+    val truth = all.filter(_.getLong(0) != 0L)
+      .map(r => r.getLong(0) -> trueD2(r.getSeq[Double](1))).toMap
+    val top = graft.ops.Similarity
+      .ivfPqTopK(Tables.embeddings(spark, T.sf0001), k = 10)
+      .collect().map(_.getLong(0))
+    val topMean = top.map(truth).sum / top.length
+    val allMean = truth.values.sum / truth.size
+    assert(topMean < allMean,
+      f"ADC top-10 true-distance mean $topMean%.3g not below corpus mean $allMean%.3g")
+  }
+}
