@@ -83,6 +83,8 @@ object OpsQueries {
     "n61_ivf_pq" -> (Similarity.ivfPqQuery _),
     // per-domain quota on the TopKPerKey whole-operator
     "n62_domain_cap" -> ((s, d) => Pipeline.domainCapQuery(s, d)),
+    // the incremental twin of n61: foreachBatch encode, cell-bucketed levels
+    "n63_streaming_ivf_pq" -> ((s, d) => IncrementalAnn.streamingIvfPqQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -160,5 +162,8 @@ object OpsQueries {
     // integer codes + integer LUT: PQ ranking hash-matches cross-engine
     "n61_ivf_pq" -> Similarity.ivfPqOracle,
     "n62_domain_cap" -> Pipeline.domainCapOracle,
+    // encode/cell are per-row deterministic ⇒ the incremental index equals
+    // the batch n61 index exactly for any batching: the batch oracle verbatim
+    "n63_streaming_ivf_pq" -> Similarity.ivfPqOracle,
   )
 }

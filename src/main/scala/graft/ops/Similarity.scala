@@ -674,6 +674,53 @@ object Similarity {
     * codebook and LUT driver-side and pins the distributed results). */
   private[graft] def debugPqCodebook: Array[Long] = pqCodebook
   private[graft] def debugPqGeometry: (Int, Int, Int) = (PqSubDim, PqNSub, PqNCode)
+  private[graft] def debugIvfDirs: Array[Long] = ivfDirs
+  private[graft] def debugIvfGeometry: (Int, Int) = (IvfNList, IvfNProbe)
+
+  /** IVF cell of a double-vector column: integer argmax over [[ivfDirs]]
+    * (first index wins ties — exact in both engines; the n07 assignment,
+    * shared by n61 and the n63 incremental index). The dot-score array is
+    * bound to a lambda variable before argmax/array_position reference it
+    * (the interpreted-HOF re-evaluation bind). */
+  private[graft] def ivfCellCol(v: Column): Column = {
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    element_at(transform(array(dots), a =>
+      array_position(a, array_max(a))), 1) - 1
+  }
+
+  /** Driver-side twin of the IVF cell dots — integer arithmetic, so it
+    * agrees with [[graft.functions.QuantizedDots]] bit-for-bit (pinned in
+    * `ProductQuantizationSpec`); lets a single-probe query compute its
+    * probe set without a Spark job. */
+  private[graft] def ivfDotsLocal(q: Array[Long]): Array[Long] =
+    Array.tabulate(IvfNList) { c =>
+      var dot = 0L
+      var i = 0
+      val n = math.min(64, q.length)
+      while (i < n) { dot += q(i) * ivfDirs(c * 64 + i); i += 1 }
+      dot
+    }
+
+  /** The query's `nProbe` best cells by (dot DESC, cell ASC) — the n07
+    * probe rule, driver-side. */
+  private[graft] def probeCellsLocal(q: Array[Long],
+                                     nProbe: Int = IvfNProbe): Seq[Long] = {
+    val dots = ivfDotsLocal(q)
+    (0 until IvfNList).sortBy(c => (-dots(c), c)).take(nProbe).map(_.toLong)
+  }
+
+  /** PQ code column at the n61 geometry (codegen argmin encode). */
+  private[graft] def pqEncodeCol(v: Column): Column =
+    graft.functions.ProductQuantization
+      .encode(v, pqCodebook, PqSubDim, PqNSub, PqNCode)
+
+  /** ADC distance column for a quantized query vector (codegen lookup
+    * sum over the query's integer subspace-distance table). */
+  private[graft] def pqAdcCol(codes: Column, q: Array[Long]): Column =
+    graft.functions.ProductQuantization.adc(codes,
+      graft.functions.ProductQuantization.distanceTable(
+        q, pqCodebook, PqSubDim, PqNSub, PqNCode),
+      PqNSub, PqNCode)
 
   /**
    * n61 — IVF-PQ top-k, the full memory-bounded ANN scan a 100 TB
@@ -702,32 +749,21 @@ object Similarity {
   def ivfPqTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
                 nProbe: Int = IvfNProbe): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
-    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
-    val scored = emb.select(col("vec_id"),
-      posexplode(dots).as(Seq("cell", "dot")))
-    // index build: PQ codes + IVF cell, one map-side pass (the
-    // double-evaluation bind from ivfTopK for the argmax)
-    val assigned = emb.select(col("vec_id"), col("label"),
-      graft.functions.ProductQuantization
-        .encode(v, pqCodebook, PqSubDim, PqNSub, PqNCode).as("codes"),
-      (element_at(transform(array(dots), a =>
-        array_position(a, array_max(a))), 1) - 1).as("cell"))
-    val probedCells = scored.filter(col("vec_id") === queryVecId)
-      .orderBy(desc("dot"), col("cell"))
-      .limit(nProbe)
-      .select("cell")
+    // the one query vector is a plan parameter: probe set AND LUT are
+    // integer driver arithmetic (bit-equal to the kernels — pinned in
+    // ProductQuantizationSpec), so the probe needs no Spark job at all
     val qRow = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).head()
     val q = graft.functions.ProductQuantization.quantize(
       qRow.getSeq[Float](0).map(_.toDouble))
-    val lut = graft.functions.ProductQuantization.distanceTable(
-      q, pqCodebook, PqSubDim, PqNSub, PqNCode)
-    assigned
-      .join(broadcast(probedCells), "cell")
+    val cells = probeCellsLocal(q, nProbe)
+    // index build: PQ codes + IVF cell, one map-side pass
+    emb.select(col("vec_id"), col("label"),
+        pqEncodeCol(v).as("codes"), ivfCellCol(v).as("cell"))
+      .filter(col("cell").isInCollection(cells))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"),
-        graft.functions.ProductQuantization
-          .adc(col("codes"), lut, PqNSub, PqNCode).as("adist"))
+        pqAdcCol(col("codes"), q).as("adist"))
       .orderBy(col("adist"), col("vec_id"))
       .limit(k)
   }

@@ -118,6 +118,24 @@ class ProductQuantizationSpec extends AnyFunSuite {
     top.tail.foreach(r => assert(r.getLong(2) >= dupDist))
   }
 
+  test("ivfDotsLocal / probeCellsLocal match the QuantizedDots kernel and the n07 probe rule") {
+    val dirs = graft.ops.Similarity.debugIvfDirs
+    val (nList, nProbe) = graft.ops.Similarity.debugIvfGeometry
+    val rows = vecs()
+      .select(col("vec_id"), col("u"),
+        QuantizedDots(col("u"), dirs, 64, nList).as("dots"))
+      .collect()
+    rows.foreach { r =>
+      val q = ProductQuantization.quantize(r.getSeq[Double](1))
+      val local = graft.ops.Similarity.ivfDotsLocal(q)
+      assert(r.getSeq[Long](2) === local.toSeq, s"vec ${r.getLong(0)}")
+      // the probe rule: top nProbe by (dot DESC, cell ASC)
+      val want = local.zipWithIndex.sortBy { case (d, c) => (-d, c) }
+        .take(nProbe).map(_._2.toLong).toSeq
+      assert(graft.ops.Similarity.probeCellsLocal(q, nProbe) === want)
+    }
+  }
+
   test("ADC ranking carries signal: top-10 by adist beats the candidate mean on true distance") {
     // exact integer squared distance to vector 0, driver-side, as truth
     val all = vecs().collect()
