@@ -133,6 +133,70 @@ class IncrementalSoakSpec extends AnyFunSuite {
     full.unpersist()
   }
 
+  test("ANN index: 50-batch soak, compaction every 10, bounded files, exact final state") {
+    // the fourth state machine (round 14): the n63 IVF-PQ index — one
+    // write-once codes table, cell-bucketed levels — must obey the same
+    // cadence bounds, with the flat-cost claim trivially structural
+    // (per-batch work never reads existing state) and the final index
+    // row-identical to the batch n61 encode
+    val base = graft.SparkTestSession.tmpDir("n63-soak")
+    val root = base.resolve("state")
+    val index = new IncrementalIvfPqIndex(root)
+    val emb = graft.queries.Tables.embeddings(spark, T.sf0001).persist()
+
+    val batchSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    (0 until Batches).foreach { j =>
+      val t0 = System.nanoTime()
+      index.processBatch(
+        emb.filter(pmod(xxhash64(col("vec_id")), lit(Batches)) === j), j.toLong)
+      batchSecs += (System.nanoTime() - t0) / 1e9
+      assert(entries(root, "codes", "b").size <= Cadence,
+        s"parts exceeded the cadence at batch $j")
+      if ((j + 1) % Cadence == 0) {
+        assert(index.compact(spark).contains(j.toLong))
+        val expectLevels = ((j + 1) / Cadence - 1) % 4 + 1
+        assert(entries(root, "codes", "b").isEmpty, "parts survived compaction")
+        assert(entries(root, "codes", "c").size == expectLevels,
+          s"levels at batch $j: ${entries(root, "codes", "c")} (want $expectLevels)")
+        if (expectLevels == 1)
+          assert(entries(root, "codes", "c") == Seq(s"c$j"),
+            s"bin-pack did not collapse the chain: ${entries(root, "codes", "c")}")
+        assert(entries(root, "commits", "").isEmpty,
+          s"markers grew: ${entries(root, "commits", "")}")
+        assert(entries(root, "compactions", "").size == expectLevels)
+      }
+    }
+
+    // cost flatness (same loose 4x bound as the drift soak — here a ramp
+    // would mean per-batch work somehow acquired a state-sized term,
+    // which the write path makes structurally impossible)
+    val early = batchSecs.slice(5, 15).sum / 10
+    val late = batchSecs.slice(Batches - 10, Batches).sum / 10
+    assert(late < early * 4,
+      f"per-batch encode cost ramped: early=$early%.3f s late=$late%.3f s")
+
+    // final index row-identical to the batch encode, and the query
+    // answers the batch n61 result
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val want = emb.select(col("vec_id"),
+        Similarity.ivfCellCol(v).cast("long").as("cell"),
+        Similarity.pqEncodeCol(v).as("codes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    val got = index.debugCodes(spark).select("vec_id", "cell", "codes")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2)))
+      .sortBy(_._1).toSeq
+    assert(got === want, "soaked codes diverged from the batch encode")
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    val topGot = index.topK(spark, qv, excludeVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val topWant = Similarity.ivfPqTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(topGot === topWant, "soaked index query diverged from batch n61")
+    emb.unpersist()
+  }
+
   test("drift monitor: 50-batch soak, maintenance every 10, bounded files, exact final state") {
     // the third state machine (round-12 verdict #6): the n48 monitor
     // shares the base machinery, so the same cadence bounds must hold —
