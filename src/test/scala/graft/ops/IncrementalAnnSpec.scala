@@ -65,6 +65,25 @@ class IncrementalAnnSpec extends AnyFunSuite {
       "listing-pruned probe dropped or invented candidate rows")
   }
 
+  test("the probed-cell read plans PartitionFilters on pb — IVF pruning at listing time") {
+    val base = T.tmpDir("ann-prune")
+    val index = new IncrementalIvfPqIndex(base.resolve("state"))
+    (0 until 2).foreach { b =>
+      index.processBatch(emb.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong)
+    }
+    index.maintain(spark) // full merge -> cell-bucketed level
+    val top = index.topK(spark, queryVec, excludeVecId = 0L)
+    val p = top.queryExecution.executedPlan.toString
+    val partFilters = "PartitionFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(partFilters.isDefined, s"no PartitionFilters list in probe plan:\n$p")
+    assert(partFilters.get.group(1).contains("pb"),
+      s"probed read not pruned on pb:\n$p")
+    // pruning is listing-time: pb must NOT appear as a row-level filter
+    val pushed = "PushedFilters: \\[([^\\]]*)\\]".r.findFirstMatchIn(p)
+    assert(pushed.isDefined, s"no PushedFilters list in probe plan:\n$p")
+    assert(!pushed.get.group(1).contains("pb"), p)
+  }
+
   test("a planted duplicate arriving in a LATER batch is found by the index query") {
     val base = T.tmpDir("ann-late")
     val index = new IncrementalIvfPqIndex(base.resolve("state"))
