@@ -65,7 +65,6 @@ final class IncrementalIvfPqIndex(root: Path,
       .select(col("vec_id"), col("label"),
         Similarity.ivfCellCol(v).cast("long").as("cell"),
         Similarity.pqEncodeCol(v).as("codes"))
-      .select(col("vec_id"), col("label"), col("cell"), col("codes"))
       .write.mode("overwrite").parquet(partDir("codes", batchId).toString)
     commitBatch(batchId)
   }
@@ -115,39 +114,14 @@ object IncrementalAnn {
                           chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n63")
     val index = new IncrementalIvfPqIndex(base.resolve("state"))
-    stageChunks(Tables.embeddings(spark, dir), base.resolve("input"), chunks)
-    runStream(spark, base.resolve("input"), base.resolve("ckpt"), index)
+    StreamHarness.stageChunks(Tables.embeddings(spark, dir),
+      pmod(col("vec_id"), lit(chunks)), base.resolve("input"), chunks)
+    StreamHarness.run(spark, base.resolve("input"), base.resolve("ckpt"),
+      "graft:n63")(index.processBatch)
     index.maintain(spark)
     val qv = spark.read.parquet(base.resolve("input").toString)
       .filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
     index.topK(spark, qv, excludeVecId = 0L)
   }
 
-  /** The embeddings analogue of [[IncrementalDedup.stageChunks]] (that
-    * one chunks on doc_id): `chunks` single-file arrival slices keyed on
-    * vec_id, appended in order. */
-  private[graft] def stageChunks(emb: DataFrame, input: Path, chunks: Int,
-                                 from: Int = 0): Unit =
-    (from until chunks).foreach { c =>
-      emb.filter(pmod(col("vec_id"), lit(chunks)) === c)
-        .coalesce(1).write.mode("append").parquet(input.toString)
-    }
-
-  /** One AvailableNow run over whatever staged files the checkpoint has
-    * not seen yet (the n41 harness shape). */
-  private[graft] def runStream(spark: SparkSession, input: Path, ckpt: Path,
-                               index: IncrementalIvfPqIndex): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(input.toString).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input.toString)
-      .writeStream
-      .foreachBatch((df: DataFrame, id: Long) => index.processBatch(df, id))
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .queryName("graft:n63")
-      .start()
-    q.awaitTermination()
-  }
 }

@@ -422,27 +422,14 @@ object IncrementalDedup {
     * the final manifest is batching-invariant. */
   private[graft] def stageChunks(docs: DataFrame, input: Path, chunks: Int,
                                from: Int = 0): Unit =
-    (from until chunks).foreach { c =>
-      docs.filter(pmod(col("doc_id"), lit(chunks)) === c)
-        .coalesce(1).write.mode("append").parquet(input.toString)
-    }
+    StreamHarness.stageChunks(docs, pmod(col("doc_id"), lit(chunks)),
+      input, chunks, from)
 
   /** One AvailableNow run of the incremental pipeline over whatever staged
     * files the checkpoint has not seen yet. */
   private[graft] def runStream(spark: SparkSession, input: Path, ckpt: Path,
-                             index: IncrementalDedupIndex): Unit = {
-    val schema = spark.read.parquet(input.toString).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input.toString)
-      .writeStream
-      .foreachBatch((df: DataFrame, id: Long) => index.processBatch(df, id))
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .queryName("graft:n41")
-      .start()
-    q.awaitTermination()
-  }
+                             index: IncrementalDedupIndex): Unit =
+    StreamHarness.run(spark, input, ckpt, "graft:n41")(index.processBatch)
 
   /** n41: ingest the documents table as a 4-batch file stream through the
     * incremental index, COMPACT the part tables (putting the maintenance

@@ -142,18 +142,6 @@ object IncrementalDrift {
   }
 
   private[ops] def runStream(spark: SparkSession, input: Path, ckpt: Path,
-                             monitor: IncrementalDriftMonitor): Unit = {
-    import org.apache.spark.sql.streaming.Trigger
-    val schema = spark.read.parquet(input.toString).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input.toString)
-      .writeStream
-      .foreachBatch((df: DataFrame, id: Long) => monitor.processBatch(df, id))
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .queryName("graft:n48")
-      .start()
-    q.awaitTermination()
-  }
+                             monitor: IncrementalDriftMonitor): Unit =
+    StreamHarness.run(spark, input, ckpt, "graft:n48")(monitor.processBatch)
 }

@@ -354,10 +354,8 @@ object IncrementalEmbedDedup {
     * partner and the stream-static cross-batch join path would go untested. */
   private[graft] def stageChunks(corpus: DataFrame, input: Path,
                                chunks: Int): Unit =
-    (0 until chunks).foreach { c =>
-      corpus.filter(pmod(xxhash64(col("vec_id")), lit(chunks)) === c)
-        .coalesce(1).write.mode("append").parquet(input.toString)
-    }
+    StreamHarness.stageChunks(corpus,
+      pmod(xxhash64(col("vec_id")), lit(chunks)), input, chunks)
 
   /** The n37 corpus: embeddings as double vectors ∪ planted near-dup
     * copies ([[Dedup.plantedCopies]]), the construction whose qualifying
@@ -373,19 +371,8 @@ object IncrementalEmbedDedup {
   /** One AvailableNow run over whatever staged files the checkpoint has
     * not seen yet. */
   private[graft] def runStream(spark: SparkSession, input: Path, ckpt: Path,
-                             index: IncrementalEmbedIndex): Unit = {
-    val schema = spark.read.parquet(input.toString).schema
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(input.toString)
-      .writeStream
-      .foreachBatch((df: DataFrame, id: Long) => index.processBatch(df, id))
-      .option("checkpointLocation", ckpt.toString)
-      .trigger(Trigger.AvailableNow())
-      .queryName("graft:n52")
-      .start()
-    q.awaitTermination()
-  }
+                             index: IncrementalEmbedIndex): Unit =
+    StreamHarness.run(spark, input, ckpt, "graft:n52")(index.processBatch)
 
   /** The pinned geometry for a corpus of `n` vectors: what the batch path
     * would choose adaptively ([[Dedup.lshBitsFor]]), frozen up front. */

@@ -235,8 +235,7 @@ object Similarity {
     val scored = emb.select(col("vec_id"), col("label"), col("embedding"),
       posexplode(dots).as(Seq("cell", "dot")))
     val assigned = emb.select(col("vec_id"), col("label"), col("embedding"),
-      (element_at(transform(array(dots), a =>
-        array_position(a, array_max(a))), 1) - 1).as("cell"))
+      ivfCellCol(v).as("cell"))
     val probedCells = scored.filter(col("vec_id") === queryVecId)
       .orderBy(desc("dot"), col("cell"))
       .limit(nProbe)
@@ -471,8 +470,7 @@ object Similarity {
     // ivfTopK assignment, keyed for the index side of the join
     val index = emb.select(col("vec_id").as("nbr"),
       quantUnit(col("embedding")).as("un"),
-      (element_at(transform(array(dots), a =>
-        array_position(a, array_max(a))), 1) - 1).cast("int").as("cell"))
+      ivfCellCol(v).cast("int").as("cell"))
     val scored = emb
       .select(col("vec_id"), quantUnit(col("embedding")).as("u"),
         posexplode(dots).as(Seq("cell", "score")))
