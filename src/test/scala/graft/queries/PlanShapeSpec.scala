@@ -168,6 +168,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n39 does not plan the bounded-heap top-k operator:\n$p")
   }
 
+  test("n61 ivf-pq: codegen encode/ADC kernels, top-k with no global sort, no shuffle") {
+    val p = plan("n61_ivf_pq")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"n61 does not plan the PQ kernels:\n$p")
+    // probe set and LUT are plan literals (driver integer arithmetic), so
+    // the whole ranking is ONE shuffle-free scan stage
+    assert(!p.contains("Exchange"), s"n61 plans a shuffle:\n$p")
+  }
+
+  test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
+    val p = plan("n62_domain_cap")
+    assert(p.contains("TopKPerKey"),
+      s"n62 does not plan the bounded-heap quota cut:\n$p")
+  }
+
   test("n53 embedding deduped corpus: anti-join rollup, no cartesian") {
     // building this plan runs the label propagation first (the n41
     // precedent); the asserted plan is the anti-join + per-label rollup
