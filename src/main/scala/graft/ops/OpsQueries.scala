@@ -85,6 +85,8 @@ object OpsQueries {
     "n62_domain_cap" -> ((s, d) => Pipeline.domainCapQuery(s, d)),
     // the incremental twin of n61: foreachBatch encode, cell-bucketed levels
     "n63_streaming_ivf_pq" -> ((s, d) => IncrementalAnn.streamingIvfPqQuery(s, d)),
+    // split-aware decontamination: n02 near-dup pairs straddling the n14 split
+    "n64_split_leakage" -> (Pipeline.splitLeakageQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -165,5 +167,6 @@ object OpsQueries {
     // encode/cell are per-row deterministic ⇒ the incremental index equals
     // the batch n61 index exactly for any batching: the batch oracle verbatim
     "n63_streaming_ivf_pq" -> Similarity.ivfPqOracle,
+    "n64_split_leakage" -> Pipeline.splitLeakageOracle,
   )
 }

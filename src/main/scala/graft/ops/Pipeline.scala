@@ -126,6 +126,76 @@ object Pipeline {
        |FROM r WHERE rank <= 10
        |ORDER BY host, rank""".stripMargin
 
+  // ----------------------------------------------------- n64 split leakage
+  /**
+   * Train/test split-leakage detection — the decontamination check a
+   * training pipeline runs AFTER splitting: a test/validation document
+   * with a near-duplicate in train is leaked evaluation data (the n20/n44
+   * benchmark-contamination concern, turned inward on the corpus's own
+   * split). Composes two hash-matched primitives: the n02 MinHash-banded
+   * near-dup pair set (banded candidates, exact-Jaccard verify — never
+   * the n² pair space) joined against the n14 hash split on both
+   * endpoints, keeping pairs that STRADDLE splits. Both the pair set and
+   * the split rule are the shared implementations (`minHashNearDupPairs`,
+   * `Sampling.splitCol`), so this query cannot drift from n02/n14.
+   *
+   * Scale shape: the pair set is the n02 plan unchanged (its shuffle
+   * story is n02's); the split labels are map-side md5 arithmetic on the
+   * two id columns of the already-bounded pair stream — the straddle
+   * check adds NO new wide dependency.
+   */
+  def splitLeakageQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = documents(spark, dir)
+    Dedup.minHashNearDupPairs(docs)
+      .select(col("doc_a"), Sampling.splitCol(col("doc_a")).as("split_a"),
+        col("doc_b"), Sampling.splitCol(col("doc_b")).as("split_b"),
+        col("jaccard"))
+      .filter(col("split_a") =!= col("split_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The n02 exact-Jaccard pair SQL with the n14 split CASE applied to
+    * both endpoints and a straddle filter. */
+  val splitLeakageOracle: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS ws FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+      |                   for i in range(1, len(ws) - 1)]) AS shingles
+      |  FROM w WHERE len(ws) >= 3
+      |), ex AS (
+      |  SELECT doc_id, unnest(shingles) AS sh FROM sh
+      |), common AS (
+      |  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS n_common
+      |  FROM ex x JOIN ex y USING (sh)
+      |  WHERE x.doc_id < y.doc_id
+      |  GROUP BY 1, 2
+      |), sz AS (SELECT doc_id, len(shingles) AS sz FROM sh
+      |), p AS (
+      |  SELECT doc_a, doc_b,
+      |    CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) AS jaccard
+      |  FROM common
+      |  JOIN sz a ON a.doc_id = doc_a
+      |  JOIN sz b ON b.doc_id = doc_b
+      |  WHERE CAST(n_common AS DOUBLE) / (a.sz + b.sz - n_common) >= 0.8
+      |), s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 80 THEN 'train'
+      |         WHEN b < 90 THEN 'validation'
+      |         ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |          CAST(('0x' || substring(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 8))
+      |               AS UBIGINT) % 100 AS b
+      |        FROM documents)
+      |)
+      |SELECT p.doc_a, sa.split AS split_a, p.doc_b, sb.split AS split_b, p.jaccard
+      |FROM p
+      |JOIN s sa ON sa.doc_id = p.doc_a
+      |JOIN s sb ON sb.doc_id = p.doc_b
+      |WHERE sa.split <> sb.split
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
+
   // ------------------------------------------------ n33 end-to-end pipeline
   /**
    * The composed pipeline: exact dedup (keep the lowest doc_id per md5

@@ -25,17 +25,23 @@ object Sampling {
     conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** The n14 80/10/10 split label for a key column — shared with the n64
+    * split-leakage check so the split rule cannot drift (the
+    * qualityScoreCol treatment). */
+  def splitCol(key: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = hashBucket(key)
+    when(b < 80, "train").when(b < 90, "validation").otherwise("test")
+  }
+
   /**
    * Deterministic train/validation/test split by key hash: 80/10/10.
    * Filtering to one split is a map-side predicate (no shuffle), so the
    * split composes with partition pruning at any scale.
    */
   def hashSampleQuery(spark: SparkSession, dir: String): DataFrame = {
-    val b = hashBucket(col("doc_id"))
     documents(spark, dir)
-      .select(col("doc_id"), b.as("bucket"),
-        when(b < 80, "train").when(b < 90, "validation").otherwise("test")
-          .as("split"))
+      .select(col("doc_id"), hashBucket(col("doc_id")).as("bucket"),
+        splitCol(col("doc_id")).as("split"))
       .orderBy("doc_id")
   }
 
