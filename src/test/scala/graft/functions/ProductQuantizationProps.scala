@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+import org.scalacheck.rng.Seed
+
+import graft.{SparkTestSession => T}
+
+/**
+ * The PQ kernels as properties over RANDOM vectors — the fixture table
+ * only exercises ±0.5 uniform components, so these generators add what it
+ * cannot: negative/zero/tiny/large-within-contract magnitudes, short
+ * (zero-padded) vectors, and random codebooks — asserting the distributed
+ * kernels (codegen path, via collect) equal the driver references for
+ * every draw. The overflow contract bounds the generator (|x| ≤ 16 ⇒
+ * |q| ≤ 2²⁴, codeword |c| < 2²⁰ ⇒ squared terms ≤ 2⁵⁰, subspace sums
+ * ≤ 2⁵³ — inside Long range with headroom).
+ *
+ * Seed policy (round 6, repo-wide): pinned initial seed.
+ */
+object ProductQuantizationProps extends Properties("ProductQuantization") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withInitialSeed(Seed(20260815L)).withMinSuccessfulTests(10)
+
+  private lazy val spark = T.spark
+
+  private val subDim = 4
+  private val nSub = 4
+  private val nCode = 8
+  private val dim = subDim * nSub
+
+  private val component: Gen[Double] = Gen.oneOf(
+    Gen.choose(-16.0, 16.0),            // the contract's range
+    Gen.choose(-0.001, 0.001),          // near-zero (floor sign behavior)
+    Gen.const(0.0),
+    Gen.choose(-1.0, 1.0))
+
+  private val caseGen: Gen[(Seq[Seq[Double]], Array[Long])] = for {
+    nVecs <- Gen.choose(1, 12)
+    lens <- Gen.listOfN(nVecs, Gen.oneOf(Gen.const(dim), Gen.choose(0, dim)))
+    vecs <- Gen.sequence[Seq[Seq[Double]], Seq[Double]](
+      lens.map(l => Gen.listOfN(l, component).map(_.toSeq)))
+    cb <- Gen.listOfN(nSub * nCode * subDim, Gen.choose(-524288L, 524287L))
+  } yield (vecs, cb.toArray)
+
+  /** Driver twin of the kernel's zero-padded quantize (short vectors pad
+    * with absent components = 0, the PqEncodeExpr contract). */
+  private def quantPad(xs: Seq[Double]): Array[Long] = {
+    val q = new Array[Long](dim)
+    xs.take(dim).zipWithIndex.foreach { case (x, i) =>
+      q(i) = math.floor(x * QuantizedDots.Scale).toLong
+    }
+    q
+  }
+
+  private def toDf(vecs: Seq[Seq[Double]]) = {
+    val schema = StructType(Seq(
+      StructField("i", IntegerType),
+      StructField("v", ArrayType(DoubleType, containsNull = false))))
+    spark.createDataFrame(
+      java.util.Arrays.asList(vecs.zipWithIndex.map {
+        case (v, i) => Row(i, v) }: _*), schema)
+  }
+
+  property("pq_encode equals the driver argmin for random vectors and codebooks") =
+    forAll(caseGen) { case (vecs, cb) =>
+      val got = toDf(vecs)
+        .select(col("i"),
+          ProductQuantization.encode(col("v"), cb, subDim, nSub, nCode).as("codes"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        got(i) == ProductQuantization
+          .encodeLocal(quantPad(v), cb, subDim, nSub, nCode).toSeq
+      }
+    }
+
+  property("pq_adc equals the driver LUT sum for random vectors, queries, and codebooks") =
+    forAll(caseGen) { case (vecs, cb) =>
+      val q = quantPad(vecs.head)
+      val lut = ProductQuantization.distanceTable(q, cb, subDim, nSub, nCode)
+      val got = toDf(vecs)
+        .select(col("i"),
+          ProductQuantization.adc(
+            ProductQuantization.encode(col("v"), cb, subDim, nSub, nCode),
+            lut, nSub, nCode).as("adist"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        val codes = ProductQuantization.encodeLocal(quantPad(v), cb, subDim, nSub, nCode)
+        got(i) == codes.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum
+      }
+    }
+
+  property("self-ADC is the global minimum (the planted-duplicate floor), for any query") =
+    forAll(caseGen) { case (vecs, cb) =>
+      val q = quantPad(vecs.head)
+      val lut = ProductQuantization.distanceTable(q, cb, subDim, nSub, nCode)
+      val floor = (0 until nSub)
+        .map(m => (0 until nCode).map(c => lut(m * nCode + c)).min).sum
+      val selfCodes = ProductQuantization.encodeLocal(q, cb, subDim, nSub, nCode)
+      val self = selfCodes.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum
+      self == floor && vecs.forall { v =>
+        val codes = ProductQuantization.encodeLocal(quantPad(v), cb, subDim, nSub, nCode)
+        codes.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum >= floor
+      }
+    }
+}
