@@ -131,7 +131,23 @@ object Bench {
     // total repeated at the END of the line: the driver stores only the
     // tail of long stdout lines, and with 126 per-query entries the leading
     // "value" field falls outside the kept window
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}"""
+    println(line)
+    // ... and the WHOLE line persisted to a file: at 167 queries the
+    // stdout line outgrew the driver's tail capture (round-14 verdict #1 —
+    // BENCH_r14's stored tail kept only 46 of 167 per-query values, so the
+    // mechanical 2x check was blind to the rest). `tools/check_bench.py`
+    // reads this file directly; the stdout line stays for the driver.
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
+      Option(out.toAbsolutePath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] full JSON written to ${out.toAbsolutePath}")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not persist bench.json: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ import org.apache.spark.sql.streaming.Trigger
  */
 private[graft] object StreamHarness {
 
+  /** Lifetime count of [[run]] invocations in this JVM. Exists for the
+    * replay-registry invariant (`ReplayRegistrySpec`): a query whose
+    * build drives this harness pays the per-micro-batch scheduling floor
+    * and MUST be in `SparkEntry.replayQueries`, or its floor pollutes the
+    * bench's `batch_sec` bucket (the round-14 n63 defect). */
+  private[graft] val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** `chunks − from` single-file arrival slices of `df`, appended in
     * order — one micro-batch each under `maxFilesPerTrigger=1`. The
     * chunk key is the CALLER's contract (each index's fixtures and pins
@@ -35,6 +42,7 @@ private[graft] object StreamHarness {
     * contract the consumers implement). */
   def run(spark: SparkSession, input: Path, ckpt: Path, name: String)
          (onBatch: (DataFrame, Long) => Unit): Unit = {
+    runs.incrementAndGet()
     val schema = spark.read.parquet(input.toString).schema
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
