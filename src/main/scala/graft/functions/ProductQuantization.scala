@@ -102,10 +102,14 @@ object ProductQuantization {
 /**
  * `pq_encode`: per-subspace integer-exact codeword argmin of a
  * double-vector column against a flat codebook (codeword (m, c) occupies
- * `[(m·nCode + c)·subDim, …+subDim)`). Null on null input or null elements
- * (the [[DotProduct]] convention); a vector shorter than `nSub·subDim` is
- * zero-padded (absent components quantize to 0 — consistent across
- * engines since the fixture vectors are fixed-length anyway).
+ * `[(m·nCode + c)·subDim, …+subDim)`). Null on null input, null elements
+ * (the [[DotProduct]] convention), or a vector whose length is not
+ * exactly `nSub·subDim` — the length contract is EXPLICIT (round-14
+ * advice): the earlier zero-pad silently disagreed with the DuckDB
+ * oracle's join semantics (absent (m, si) rows contribute nothing there,
+ * cb² here), so a malformed vector now surfaces as a null code row —
+ * which the ranking paths drop ([[graft.ops.Similarity.ivfPqTopK]]
+ * filters null distances) — instead of a divergent hash.
  * Whole-stage-codegen'd: one fused quantize/encode loop nest.
  */
 case class PqEncodeExpr(child: Expression, codebook: Array[Long],
@@ -130,13 +134,14 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Long],
 
   override def nullSafeEval(input: Any): Any = {
     val xs = input.asInstanceOf[ArrayData]
-    val n = math.min(nSub * subDim, xs.numElements())
+    val n = nSub * subDim
+    if (xs.numElements() != n) return null
     var j = 0
     while (j < n) {
       if (xs.isNullAt(j)) return null
       j += 1
     }
-    val q = new Array[Long](nSub * subDim)
+    val q = new Array[Long](n)
     var i = 0
     while (i < n) {
       q(i) = math.floor(xs.getDouble(i) * QuantizedDots.Scale).toLong
@@ -185,15 +190,15 @@ case class PqEncodeExpr(child: Expression, codebook: Array[Long],
       val best = ctx.freshName("best")
       val bestD2 = ctx.freshName("bestD2")
       s"""
-         |int $n = java.lang.Math.min(${nSub * subDim}, $xs.numElements());
-         |boolean $hasNull = false;
-         |for (int $j = 0; $j < $n; $j++) {
-         |  if ($xs.isNullAt($j)) { $hasNull = true; break; }
+         |int $n = ${nSub * subDim};
+         |boolean $hasNull = $xs.numElements() != $n;
+         |for (int $j = 0; !$hasNull && $j < $n; $j++) {
+         |  if ($xs.isNullAt($j)) { $hasNull = true; }
          |}
          |if ($hasNull) {
          |  ${ev.isNull} = true;
          |} else {
-         |  long[] $q = new long[${nSub * subDim}];
+         |  long[] $q = new long[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    $q[$i] = (long) java.lang.Math.floor(
          |      $xs.getDouble($i) * ${QuantizedDots.Scale});

@@ -93,6 +93,9 @@ final class IncrementalIvfPqIndex(root: Path,
       .filter(col("vec_id") =!= excludeVecId)
       .select(col("vec_id"), col("label"),
         Similarity.pqAdcCol(col("codes"), q).as("adist"))
+      // nulls-ascending would rank a malformed (null-distance) row above
+      // every real neighbor — drop them, matching the batch n61 path
+      .filter(col("adist").isNotNull)
       .orderBy(col("adist"), col("vec_id"))
       .limit(k)
   }

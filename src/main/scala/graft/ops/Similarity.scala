@@ -762,6 +762,15 @@ object Similarity {
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"),
         pqAdcCol(col("codes"), q).as("adist"))
+      // a null ADC distance is the kernels' defensive contract for a
+      // malformed row (wrong-length vector ⇒ null codes; out-of-range
+      // code ⇒ null sum) — and Spark sorts nulls FIRST ascending, so
+      // without this filter a malformed row would OUTRANK every genuine
+      // neighbor (round-14 advice). Unreachable on this path today (a
+      // null embedding also nulls the cell and dies at the cell filter),
+      // but the ranking must agree with the defensive contract, not
+      // depend on its unreachability.
+      .filter(col("adist").isNotNull)
       .orderBy(col("adist"), col("vec_id"))
       .limit(k)
   }

@@ -13,11 +13,12 @@ import graft.{SparkTestSession => T}
  * The PQ kernels as properties over RANDOM vectors — the fixture table
  * only exercises ±0.5 uniform components, so these generators add what it
  * cannot: negative/zero/tiny/large-within-contract magnitudes, short
- * (zero-padded) vectors, and random codebooks — asserting the distributed
- * kernels (codegen path, via collect) equal the driver references for
- * every draw. The overflow contract bounds the generator (|x| ≤ 16 ⇒
- * |q| ≤ 2²⁴, codeword |c| < 2²⁰ ⇒ squared terms ≤ 2⁵⁰, subspace sums
- * ≤ 2⁵³ — inside Long range with headroom).
+ * (wrong-length ⇒ NULL, the round-15 explicit length contract) vectors,
+ * and random codebooks — asserting the distributed kernels (codegen path,
+ * via collect) equal the driver references for every draw. The overflow
+ * contract bounds the generator (|x| ≤ 16 ⇒ |q| ≤ 2²⁴, codeword
+ * |c| < 2²⁰ ⇒ squared terms ≤ 2⁵⁰, subspace sums ≤ 2⁵³ — inside Long
+ * range with headroom).
  *
  * Seed policy (round 6, repo-wide): pinned initial seed.
  */
@@ -47,8 +48,10 @@ object ProductQuantizationProps extends Properties("ProductQuantization") {
     cb <- Gen.listOfN(nSub * nCode * subDim, Gen.choose(-524288L, 524287L))
   } yield (vecs, cb.toArray)
 
-  /** Driver twin of the kernel's zero-padded quantize (short vectors pad
-    * with absent components = 0, the PqEncodeExpr contract). */
+  /** Driver quantize for FULL-LENGTH vectors (wrong-length vectors have
+    * no driver twin — the kernel contract makes them NULL, asserted
+    * directly below); the query side pads because the LUT builder is a
+    * driver choice, not the kernel's. */
   private def quantPad(xs: Seq[Double]): Array[Long] = {
     val q = new Array[Long](dim)
     xs.take(dim).zipWithIndex.foreach { case (x, i) =>
@@ -66,19 +69,22 @@ object ProductQuantizationProps extends Properties("ProductQuantization") {
         case (v, i) => Row(i, v) }: _*), schema)
   }
 
-  property("pq_encode equals the driver argmin for random vectors and codebooks") =
+  property("pq_encode equals the driver argmin for full vectors, NULL off-contract") =
     forAll(caseGen) { case (vecs, cb) =>
       val got = toDf(vecs)
         .select(col("i"),
           ProductQuantization.encode(col("v"), cb, subDim, nSub, nCode).as("codes"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getSeq[Int](1)))).toMap
       vecs.zipWithIndex.forall { case (v, i) =>
-        got(i) == ProductQuantization
-          .encodeLocal(quantPad(v), cb, subDim, nSub, nCode).toSeq
+        if (v.length != dim) got(i).isEmpty
+        else got(i).contains(ProductQuantization
+          .encodeLocal(quantPad(v), cb, subDim, nSub, nCode).toSeq)
       }
     }
 
-  property("pq_adc equals the driver LUT sum for random vectors, queries, and codebooks") =
+  property("pq_adc equals the driver LUT sum for full vectors, NULL off-contract") =
     forAll(caseGen) { case (vecs, cb) =>
       val q = quantPad(vecs.head)
       val lut = ProductQuantization.distanceTable(q, cb, subDim, nSub, nCode)
@@ -87,10 +93,15 @@ object ProductQuantizationProps extends Properties("ProductQuantization") {
           ProductQuantization.adc(
             ProductQuantization.encode(col("v"), cb, subDim, nSub, nCode),
             lut, nSub, nCode).as("adist"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
       vecs.zipWithIndex.forall { case (v, i) =>
-        val codes = ProductQuantization.encodeLocal(quantPad(v), cb, subDim, nSub, nCode)
-        got(i) == codes.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum
+        if (v.length != dim) got(i).isEmpty // null codes propagate to null adist
+        else {
+          val codes = ProductQuantization.encodeLocal(quantPad(v), cb, subDim, nSub, nCode)
+          got(i).contains(codes.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum)
+        }
       }
     }
 

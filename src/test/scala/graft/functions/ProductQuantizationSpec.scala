@@ -101,6 +101,42 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(Some(nSub.toLong), None, None, None))
   }
 
+  test("pq_encode length contract: a wrong-length vector is NULL, and a malformed row never displaces real neighbors") {
+    // the explicit contract (round-14 advice): the old zero-pad semantics
+    // silently disagreed with the DuckDB oracle's join (absent components
+    // contribute nothing there, cb^2 here) — off-contract input must be
+    // null in BOTH engines' eyes, i.e. absent from the ranking
+    val schema = StructType(Seq(
+      StructField("v", ArrayType(DoubleType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(Seq.fill(dim)(0.25)),       // on contract
+        Row(Seq.fill(dim / 2)(0.25)),   // short
+        Row(Seq.fill(dim + 1)(0.25)),   // long
+        Row(Seq.empty[Double])),        // empty
+      schema)
+    val got = df.select(
+      ProductQuantization.encode(col("v"), codebook, subDim, nSub, nCode)
+        .as("codes")).collect().map(!_.isNullAt(0))
+    assert(got.toSeq === Seq(true, false, false, false))
+
+    // end to end: a wrong-length vector lands in a valid IVF cell (the
+    // cell dots ignore missing components) but its codes/adist are null —
+    // it must be DROPPED from the top-k, not sorted nulls-first into
+    // rank 1, and the rest of the ranking must be byte-identical
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val malformed = emb.limit(1)
+      .select(lit(888888L).as("vec_id"),
+        slice(col("embedding"), 1, dim / 2).as("embedding"), col("label"))
+    val base = graft.ops.Similarity.ivfPqTopK(emb, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    val withBad = graft.ops.Similarity.ivfPqTopK(emb.unionByName(malformed), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
+    assert(!withBad.exists(_._1 == 888888L),
+      s"malformed row reached the top-k: $withBad")
+    assert(withBad === base, "malformed row perturbed the ranking")
+  }
+
   test("planted duplicate of the query ranks first in ivfPqTopK") {
     val emb = Tables.embeddings(spark, T.sf0001)
     val dup = emb.filter(col("vec_id") === 0L)
