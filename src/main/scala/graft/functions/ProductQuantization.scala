@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -46,6 +46,53 @@ object ProductQuantization {
   def adc(codes: Column, lut: Array[Long], nSub: Int, nCode: Int): Column =
     ColumnBridge.column(
       PqAdcExpr(ColumnBridge.expression(codes), lut, nSub, nCode))
+
+  /** `pq_sdc(codesA, codesB)`: the SYMMETRIC distance
+    * Σ_m pairTable[(m·nCode + a_m)·nCode + b_m] between two code arrays —
+    * the batched ranking kernel (Jégou et al. §IV.A): unlike ADC, the
+    * lookup table depends only on the CODEBOOK (every codeword pair's
+    * squared distance), so one nSub·nCode² plan literal serves every
+    * query-candidate pair and the many-query kNN join can rank on codes
+    * without ever shipping per-query LUTs or touching raw vectors. */
+  def sdc(codesA: Column, codesB: Column, pairTable: Array[Long],
+          nSub: Int, nCode: Int): Column =
+    ColumnBridge.column(
+      PqSdcExpr(ColumnBridge.expression(codesA),
+        ColumnBridge.expression(codesB), pairTable, nSub, nCode))
+
+  /** The SDC pair table for a codebook: entry `(m·nCode + c1)·nCode + c2`
+    * is the integer squared distance between codewords (m, c1) and
+    * (m, c2) — nSub·nCode² longs, a plan constant (2 KiB at the n61
+    * geometry). Driver twin doubles as the spec reference. */
+  def pairDistanceTable(codebook: Array[Long], subDim: Int, nSub: Int,
+                        nCode: Int): Array[Long] = {
+    require(codebook.length == nSub * nCode * subDim,
+      s"codebook length ${codebook.length} != ${nSub * nCode * subDim}")
+    val out = new Array[Long](nSub * nCode * nCode)
+    var m = 0
+    while (m < nSub) {
+      var c1 = 0
+      while (c1 < nCode) {
+        var c2 = 0
+        while (c2 < nCode) {
+          val o1 = (m * nCode + c1) * subDim
+          val o2 = (m * nCode + c2) * subDim
+          var d2 = 0L
+          var i = 0
+          while (i < subDim) {
+            val d = codebook(o1 + i) - codebook(o2 + i)
+            d2 += d * d
+            i += 1
+          }
+          out((m * nCode + c1) * nCode + c2) = d2
+          c2 += 1
+        }
+        c1 += 1
+      }
+      m += 1
+    }
+    out
+  }
 
   /** Driver-side twin of the kernel's quantize step (shared scale). */
   def quantize(xs: Seq[Double]): Array[Long] =
@@ -96,6 +143,111 @@ object ProductQuantization {
       }
       best
     }
+  }
+
+  /**
+   * TRAINED per-subspace codebooks (Jégou et al. §III: k-means on the
+   * subvectors), fully deterministic — farthest-point init from sample
+   * point 0 instead of a seeded RNG, a fixed Lloyd iteration count, and
+   * centroids rounded back to the integer codeword domain, so the same
+   * training sample always yields the same codebook (the repo's
+   * no-RNG-anywhere discipline applied to training). Driver-side by
+   * design: at 100 TB codebooks train on a BOUNDED sample (here the
+   * caller's collected rows; see `Similarity.trainedPqCodebook` for the
+   * hash-sampled cap) while encode/rank stay distributed — the trained
+   * flat array rides the plan exactly like the md5 codebook.
+   *
+   * Measured motivation (round-15 `ProbePqRecall`, sf0.1): the untrained
+   * md5 codebook's bulk recall@5 vs exact cosine is 0.038; this training
+   * lifts it to ~0.13 at identical geometry/cost — the ×3.5 gap the
+   * round-14 verdict asked to price before shipping a trained variant.
+   */
+  def trainCodebook(sample: Array[Array[Long]], subDim: Int, nSub: Int,
+                    nCode: Int, iters: Int = 10): Array[Long] = {
+    require(sample.nonEmpty, "PQ training needs a nonempty sample")
+    require(sample.forall(_.length == nSub * subDim),
+      "every training vector must have nSub*subDim components")
+    val flat = new Array[Long](nSub * nCode * subDim)
+    var m = 0
+    while (m < nSub) {
+      val sub = sample.map(q => q.slice(m * subDim, (m + 1) * subDim))
+      val ctr = trainSubCodebook(sub, nCode, iters)
+      var c = 0
+      while (c < nCode) {
+        var i = 0
+        while (i < subDim) {
+          flat((m * nCode + c) * subDim + i) = ctr(c)(i)
+          i += 1
+        }
+        c += 1
+      }
+      m += 1
+    }
+    flat
+  }
+
+  /** Lloyd's k-means over integer points: deterministic farthest-point
+    * init (point 0 seeds; each next codeword is the point farthest from
+    * the chosen set — spreads codewords with no RNG), `iters` update
+    * rounds, empty cells keep their previous centroid, result rounded to
+    * Long. With fewer distinct points than `k` the duplicate codewords
+    * are harmless (argmin takes the first). */
+  private[graft] def trainSubCodebook(points: Array[Array[Long]], k: Int,
+                                      iters: Int): Array[Array[Long]] = {
+    val n = points.length
+    val d = points.head.length
+    def d2(a: Array[Long], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < d) { val df = a(i) - b(i); s += df * df; i += 1 }
+      s
+    }
+    val ctr = Array.ofDim[Double](k, d)
+    var i = 0
+    while (i < d) { ctr(0)(i) = points(0)(i).toDouble; i += 1 }
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var far = 0; var farD = -1.0
+      var p = 0
+      while (p < n) {
+        val dd = math.min(minD(p), d2(points(p), ctr(c - 1)))
+        minD(p) = dd
+        if (dd > farD) { farD = dd; far = p }
+        p += 1
+      }
+      i = 0
+      while (i < d) { ctr(c)(i) = points(far)(i).toDouble; i += 1 }
+      c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.ofDim[Double](k, d)
+      val cnt = new Array[Long](k)
+      var p = 0
+      while (p < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var cc = 0
+        while (cc < k) {
+          val dd = d2(points(p), ctr(cc))
+          if (dd < bestD) { bestD = dd; best = cc }
+          cc += 1
+        }
+        cnt(best) += 1
+        i = 0
+        while (i < d) { sums(best)(i) += points(p)(i); i += 1 }
+        p += 1
+      }
+      var cc = 0
+      while (cc < k) {
+        if (cnt(cc) > 0) {
+          i = 0
+          while (i < d) { ctr(cc)(i) = sums(cc)(i) / cnt(cc); i += 1 }
+        }
+        cc += 1
+      }
+      it += 1
+    }
+    ctr.map(_.map(x => math.round(x)))
   }
 }
 
@@ -329,4 +481,101 @@ case class PqAdcExpr(child: Expression, lut: Array[Long], nSub: Int,
       Int.box(java.util.Arrays.hashCode(lut)))
 
   override def prettyName: String = "pq_adc"
+}
+
+/**
+ * `pq_sdc`: the symmetric PQ distance of two code arrays against a fixed
+ * codeword-pair distance table (`table[(m·nCode + c1)·nCode + c2]` = the
+ * integer squared distance between codewords (m, c1) and (m, c2)). Null
+ * on null input, null elements, wrong arity, or a code outside
+ * `[0, nCode)` on either side (the [[PqAdcExpr]] defensive contract,
+ * applied to both operands). Whole-stage-codegen'd: `nSub` table lookups
+ * and adds per PAIR — the kernel that lets the batched kNN join's
+ * verify step scan 8-int code arrays instead of 64-double vectors.
+ */
+case class PqSdcExpr(left: Expression, right: Expression,
+                     table: Array[Long], nSub: Int, nCode: Int)
+  extends BinaryExpression {
+
+  require(table.length == nSub * nCode * nCode,
+    s"pair table length ${table.length} != nSub*nCode^2 = ${nSub * nCode * nCode}")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<int> arguments, got $other")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ca = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    if (ca.numElements() != nSub || cb.numElements() != nSub) return null
+    var sum = 0L
+    var m = 0
+    while (m < nSub) {
+      if (ca.isNullAt(m) || cb.isNullAt(m)) return null
+      val c1 = ca.getInt(m)
+      val c2 = cb.getInt(m)
+      if (c1 < 0 || c1 >= nCode || c2 < 0 || c2 >= nCode) return null
+      sum += table((m * nCode + c1) * nCode + c2)
+      m += 1
+    }
+    sum
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("pairTable", table, "long[]")
+    nullSafeCodeGen(ctx, ev, (ca, cb) => {
+      val sum = ctx.freshName("sum")
+      val m = ctx.freshName("m")
+      val c1 = ctx.freshName("c1")
+      val c2 = ctx.freshName("c2")
+      val bad = ctx.freshName("bad")
+      s"""
+         |boolean $bad = $ca.numElements() != $nSub || $cb.numElements() != $nSub;
+         |long $sum = 0L;
+         |if (!$bad) {
+         |  for (int $m = 0; $m < $nSub; $m++) {
+         |    if ($ca.isNullAt($m) || $cb.isNullAt($m)) { $bad = true; break; }
+         |    int $c1 = $ca.getInt($m);
+         |    int $c2 = $cb.getInt($m);
+         |    if ($c1 < 0 || $c1 >= $nCode || $c2 < 0 || $c2 >= $nCode) {
+         |      $bad = true; break;
+         |    }
+         |    $sum += $tRef[($m * $nCode + $c1) * $nCode + $c2];
+         |  }
+         |}
+         |if ($bad) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $sum;
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  // content-based equality for the Array field (see [[QuantizedDotsExpr]])
+  override def equals(other: Any): Boolean = other match {
+    case o: PqSdcExpr =>
+      left == o.left && right == o.right && nSub == o.nSub &&
+        nCode == o.nCode && java.util.Arrays.equals(table, o.table)
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    java.util.Objects.hash(left, right, Int.box(nSub), Int.box(nCode),
+      Int.box(java.util.Arrays.hashCode(table)))
+
+  override def prettyName: String = "pq_sdc"
 }

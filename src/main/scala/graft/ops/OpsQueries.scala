@@ -87,6 +87,11 @@ object OpsQueries {
     "n63_streaming_ivf_pq" -> ((s, d) => IncrementalAnn.streamingIvfPqQuery(s, d)),
     // split-aware decontamination: n02 near-dup pairs straddling the n14 split
     "n64_split_leakage" -> (Pipeline.splitLeakageQuery _),
+    // the batched many-query PQ ranking: n60's join scanning codes via SDC
+    "n65_pq_knn_join" -> (Similarity.pqKnnJoinQuery _),
+    // trained-codebook IVF-PQ (Lloyd's, SQL-inexpressible): rows-only,
+    // recall-gated in PqRecallSpec — the n42/n60 pairing beside n61
+    "n66_ivf_pq_trained" -> (Similarity.ivfPqTrainedQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -168,5 +173,9 @@ object OpsQueries {
     // the batch n61 index exactly for any batching: the batch oracle verbatim
     "n63_streaming_ivf_pq" -> Similarity.ivfPqOracle,
     "n64_split_leakage" -> Pipeline.splitLeakageOracle,
+    // codes, pair table, and SDC sums are all integer: hash-matched
+    "n65_pq_knn_join" -> Similarity.pqKnnJoinOracle,
+    // n66 omitted: Lloyd-trained codebook is SQL-inexpressible (rows-only;
+    // recall and planted-floor bounded by PqRecallSpec)
   )
 }

@@ -408,18 +408,25 @@ object Similarity {
                           k: Int, nProbe: Int,
                           verify: (Column, Column) => Column =
                             graft.functions.DotProduct(_, _),
-                          scoreName: String = "cosine"): DataFrame = {
+                          scoreName: String = "cosine",
+                          ascending: Boolean = false): DataFrame = {
     val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
       Seq(col("score").desc, col("cell")), nProbe)
-    val cands = probed.select(col("vec_id"), col("u"), col("cell"))
+    val ord = if (ascending) col(scoreName).asc else col(scoreName).desc
+    val scored = probed.select(col("vec_id"), col("u"), col("cell"))
       .join(index, "cell")
       .filter(col("vec_id") =!= col("nbr"))
       .withColumn(scoreName, verify(col("u"), col("un")))
+    // ascending ranks DISTANCES, where a defensive-null score would sort
+    // nulls-first into the top-k (the n61 ADC lesson) — drop them; the
+    // descending similarity paths (n42/n60) keep their pinned plans
+    val cands = if (ascending) scored.filter(col(scoreName).isNotNull)
+                else scored
     val top = graft.plans.TopKPerKey(cands.select("vec_id", "nbr", scoreName),
-      Seq(col("vec_id")), Seq(col(scoreName).desc, col("nbr")), k)
+      Seq(col("vec_id")), Seq(ord, col("nbr")), k)
     top
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
-        .Window.partitionBy("vec_id").orderBy(col(scoreName).desc, col("nbr")))
+        .Window.partitionBy("vec_id").orderBy(ord, col("nbr")))
         .cast("long"))
       .select(col("vec_id"), col("rank"), col("nbr"), col(scoreName))
       .orderBy("vec_id", "rank")
@@ -543,6 +550,131 @@ object Similarity {
        |  FROM s
        |)
        |SELECT vec_id, rank, nbr, score_q
+       |FROM r
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
+  // ------------------------------------------- n65 SDC batched PQ ranking
+
+  /** SDC codeword-pair distance table for the md5 [[pqCodebook]] —
+    * nSub·nCode² = 2048 longs, a 16 KiB plan constant shared by EVERY
+    * query-candidate pair (unlike the ADC LUT, which is per-query). */
+  private lazy val pqPairTable: Array[Long] =
+    graft.functions.ProductQuantization
+      .pairDistanceTable(pqCodebook, PqSubDim, PqNSub, PqNCode)
+
+  /**
+   * n65 — the batched many-query PQ ranking (round-14 verdict #5): the
+   * n60 kNN-join plan with the verify step scanning PQ CODES instead of
+   * raw vectors. n61's ADC ships a per-query LUT as a plan literal —
+   * impossible when every vector is a query — so the batched shape uses
+   * the SYMMETRIC distance (Jégou et al. §IV.A): one codeword-pair table
+   * ([[pqPairTable]], depends only on the codebook) serves all pairs,
+   * and the codegen [[graft.functions.PqSdcExpr]] kernel does nSub=8
+   * lookups per pair where n60's DotProduct does 64 multiply-adds over
+   * 64-double arrays. This is the composition that makes a 100 TB
+   * semantic-dedup scan CODES end to end: the shuffled candidate stream
+   * carries 8-int arrays (~32 B/row) instead of 64-double unit vectors
+   * (~512 B/row) — the dominant exchange shrinks ~16× — and the raw
+   * vectors are never read past the one encode pass.
+   *
+   * Everything is 64-bit integer arithmetic (codes, pair table, sums),
+   * so the DuckDB oracle rebuilds the full join bit-for-bit and the
+   * query is HASH-checked like n60 — no rows-only concession.
+   */
+  def pqKnnJoin(emb: DataFrame, k: Int = 3,
+                nProbe: Int = IvfNProbe): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    val index = emb.select(col("vec_id").as("nbr"),
+      pqEncodeCol(v).as("un"),
+      ivfCellCol(v).cast("int").as("cell"))
+    val scored = emb.select(col("vec_id"), pqEncodeCol(v).as("u"),
+      posexplode(dots).as(Seq("cell", "score")))
+    knnJoinCore(scored, index, k, nProbe,
+      verify = (a, b) => graft.functions.ProductQuantization
+        .sdc(a, b, pqPairTable, PqNSub, PqNCode),
+      scoreName = "sdist", ascending = true)
+  }
+
+  def pqKnnJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    pqKnnJoin(embeddings(spark, dir))
+
+  /** The n65 twin in DuckDB: the [[knnJoinDetOracle]] cell structure
+    * (md5 dirs, BIGINT dots, per-vector assignment + nProbe probe), the
+    * [[ivfPqOracle]] codes (integer argmin per subspace), a codeword-pair
+    * distance table from the codebook self-join, and the summed SDC
+    * lookups ranked (sdist ASC, nbr) per query — integer end to end. */
+  // lazy: the PQ geometry vals are declared further down the object; a
+  // strict val here would interpolate their pre-init zeros into the SQL
+  lazy val pqKnnJoinOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), cb AS (
+       |  SELECT m, c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('pq_' || m || '_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (4 - d))) for d in range(5)]) AS BIGINT)
+       |      - 524288 AS comp
+       |  FROM range($PqNSub) t(m), range($PqNCode) u(c), range($PqSubDim) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), exq AS (
+       |  SELECT vec_id, i, i // $PqSubDim AS m, i % $PqSubDim AS si,
+       |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+       |  FROM ex
+       |), dots AS (
+       |  SELECT exq.vec_id, dirs.c, SUM(exq.q * dirs.comp) AS dot
+       |  FROM exq JOIN dirs ON dirs.i = exq.i
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) <= $IvfNProbe
+       |), d2 AS (
+       |  SELECT exq.vec_id, cb.m, cb.c,
+       |    SUM((exq.q - cb.comp) * (exq.q - cb.comp)) AS d2
+       |  FROM exq JOIN cb ON cb.m = exq.m AND cb.i = exq.si
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, c AS code FROM d2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, c) = 1
+       |), pd AS (
+       |  SELECT a.m, a.c AS c1, b.c AS c2,
+       |    SUM((a.comp - b.comp) * (a.comp - b.comp)) AS d2
+       |  FROM cb a JOIN cb b ON a.m = b.m AND a.i = b.i
+       |  GROUP BY 1, 2, 3
+       |), pairs AS (
+       |  SELECT q.vec_id, ix.vec_id AS nbr
+       |  FROM probed q JOIN assigned ix
+       |    ON ix.cell = q.cell AND ix.vec_id <> q.vec_id
+       |), s AS (
+       |  SELECT p.vec_id, p.nbr,
+       |    CAST(SUM(pd.d2) AS BIGINT) AS sdist
+       |  FROM pairs p
+       |  JOIN codes ca ON ca.vec_id = p.vec_id
+       |  JOIN codes cn ON cn.vec_id = p.nbr AND cn.m = ca.m
+       |  JOIN pd ON pd.m = ca.m AND pd.c1 = ca.code AND pd.c2 = cn.code
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT vec_id, nbr, sdist,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY sdist, nbr) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT vec_id, rank, nbr, sdist
        |FROM r
        |WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin
@@ -745,7 +877,14 @@ object Similarity {
    * out-ranked, only tied.
    */
   def ivfPqTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
-                nProbe: Int = IvfNProbe): DataFrame = {
+                nProbe: Int = IvfNProbe): DataFrame =
+    ivfPqRank(emb, pqCodebook, queryVecId, k, nProbe)
+
+  /** The shared IVF-PQ single-query plan, parameterized on the codebook —
+    * n61 passes the md5 [[pqCodebook]] (oracle-reproducible), n66 the
+    * Lloyd-trained one (better recall, SQL-inexpressible training). */
+  private def ivfPqRank(emb: DataFrame, codebook: Array[Long],
+                        queryVecId: Long, k: Int, nProbe: Int): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     // the one query vector is a plan parameter: probe set AND LUT are
     // integer driver arithmetic (bit-equal to the kernels — pinned in
@@ -755,13 +894,18 @@ object Similarity {
     val q = graft.functions.ProductQuantization.quantize(
       qRow.getSeq[Float](0).map(_.toDouble))
     val cells = probeCellsLocal(q, nProbe)
+    val lut = graft.functions.ProductQuantization.distanceTable(
+      q, codebook, PqSubDim, PqNSub, PqNCode)
     // index build: PQ codes + IVF cell, one map-side pass
     emb.select(col("vec_id"), col("label"),
-        pqEncodeCol(v).as("codes"), ivfCellCol(v).as("cell"))
+        graft.functions.ProductQuantization
+          .encode(v, codebook, PqSubDim, PqNSub, PqNCode).as("codes"),
+        ivfCellCol(v).as("cell"))
       .filter(col("cell").isInCollection(cells))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"),
-        pqAdcCol(col("codes"), q).as("adist"))
+        graft.functions.ProductQuantization
+          .adc(col("codes"), lut, PqNSub, PqNCode).as("adist"))
       // a null ADC distance is the kernels' defensive contract for a
       // malformed row (wrong-length vector ⇒ null codes; out-of-range
       // code ⇒ null sum) — and Spark sorts nulls FIRST ascending, so
@@ -777,6 +921,55 @@ object Similarity {
 
   def ivfPqQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(embeddings(spark, dir))
+
+  // -------------------------------------------- n66 trained-codebook PQ
+
+  /** n66 training-sample rule: a deterministic hash sample (the n14
+    * primitive — no RNG, so the same table always trains the same
+    * codebook) capped at [[PqTrainCap]] collected rows. The cap is the
+    * broadcast-threshold pattern: at 100 TB codebook training is a
+    * bounded-sample driver step (Jégou et al. train on a subset too);
+    * the sample NEVER scales with the corpus. */
+  private val PqTrainSampleMod = 4
+  private val PqTrainCap = 65536
+
+  /** Lloyd-trained per-subspace codebooks from the shipped sample rule —
+    * deterministic end to end (hash sample, sorted collect, farthest-point
+    * init, fixed iterations): same table in, same codebook out, which is
+    * what lets the driver's rows-only check stay stable across runs. */
+  private[graft] def trainedPqCodebook(emb: DataFrame): Array[Long] = {
+    val sample = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(PqTrainSampleMod)) === 0)
+      .sort("vec_id")
+      .limit(PqTrainCap)
+      .select(transform(col("embedding"), x => x.cast("double")).as("v"))
+      .collect()
+      .map(r => graft.functions.ProductQuantization.quantize(r.getSeq[Double](0)))
+    graft.functions.ProductQuantization
+      .trainCodebook(sample, PqSubDim, PqNSub, PqNCode)
+  }
+
+  /**
+   * n66 — IVF-PQ top-k on a TRAINED codebook: the n61 plan verbatim
+   * (same coarse quantizer, same probe rule, same codegen encode/ADC
+   * kernels, same geometry) with per-subspace Lloyd-trained codewords
+   * ([[graft.functions.ProductQuantization.trainCodebook]]) instead of
+   * the md5 construction. Measured motivation (round-14 verdict #3,
+   * priced by `ProbePqRecall` at sf0.1): bulk recall@5 vs exact cosine
+   * is 0.038 with the md5 codebook and ~0.13 trained — a ×3.5 retrieval-
+   * quality gap at identical scan cost, on uniform-random vectors (the
+   * PQ worst case: no cluster structure, 32-bit codes resolving weakly
+   * separated neighbors). Lloyd's is SQL-inexpressible, so this is the
+   * n42-style rows-only entry (recall-gated in `PqRecallSpec`) beside
+   * the hash-matched n61 — the same trained/deterministic pairing as
+   * n42/n60.
+   */
+  def ivfPqTrainedTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+                       nProbe: Int = IvfNProbe): DataFrame =
+    ivfPqRank(emb, trainedPqCodebook(emb), queryVecId, k, nProbe)
+
+  def ivfPqTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqTrainedTopK(embeddings(spark, dir))
 
   /** The n61 twin computation in DuckDB: rebuild the integer [[ivfDirs]]
     * and [[pqCodebook]] from md5 digit arithmetic, quantize components to

@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ProductQuantization
+import graft.ops.Similarity
+
+/**
+ * Dev tool: retrieval quality of the n61 IVF-PQ path against exact cosine
+ * neighbors (round-14 verdict #2/#3 — "gate PQ recall; measure before
+ * building a trained codebook"). For every vector as query, compares
+ * four rankings' top-k overlap with the exact cosine top-k:
+ *
+ *   ivf_exact — exact cosine restricted to the probed cells (the coarse
+ *               quantizer's recall CEILING: what a perfect codebook
+ *               could attain under the same nProbe/nlist dial);
+ *   adc_md5   — the shipped n61 ranking (probed cells + md5-codebook ADC);
+ *   adc_md5_noivf — md5 ADC with no cell restriction (isolates PQ loss
+ *               from coarse-quantizer loss);
+ *   adc_trained — ADC with the SHIPPED n66 trained codebook
+ *               (`Similarity.trainedPqCodebook`: hash-sampled, capped,
+ *               deterministic Lloyd's — the Jegou et al. construction),
+ *               same geometry, pricing what md5's oracle-reproducibility
+ *               costs in retrieval quality.
+ *
+ * All arithmetic is the driver twins pinned bit-equal to the kernels
+ * (`ProductQuantizationSpec`), so the numbers ARE the shipped ranking's.
+ * Results recorded in BASELINE.md; the suite gate (`PqRecallSpec`) pins
+ * floors from this probe's quiet numbers.
+ *
+ * Usage: runMain graft.tools.ProbePqRecall [sfDir] [k]
+ */
+object ProbePqRecall {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val k = args.lift(1).map(_.toInt).getOrElse(5)
+    val spark = Sessions.local(8, logLevel = "ERROR")
+    val (subDim, nSub, nCode) = Similarity.debugPqGeometry
+    val (_, nProbe) = Similarity.debugIvfGeometry
+    val cbMd5 = Similarity.debugPqCodebook
+
+    val emb = graft.queries.Tables.embeddings(spark, sfDir)
+    val rows = emb
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2)
+    val n = vecs.length
+    val qs = vecs.map(v => ProductQuantization.quantize(v.toSeq))
+    val cells = qs.map(q => Similarity.probeCellsLocal(q, 1).head)
+    val units = vecs.map { v =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      if (nrm == 0) v else v.map(_ / nrm)
+    }
+    // the SHIPPED n66 construction: hash-sampled, capped, deterministic
+    val cbTrained = Similarity.trainedPqCodebook(emb)
+
+    def topIdx(scores: Array[Double], self: Int, asc: Boolean,
+               keep: Int => Boolean = _ => true): Seq[Int] =
+      (0 until n).filter(j => j != self && keep(j) && !scores(j).isNaN)
+        .sortBy(j => (if (asc) scores(j) else -scores(j), ids(j)))
+        .take(k)
+
+    var rIvfExact = 0.0; var rMd5 = 0.0; var rMd5NoIvf = 0.0; var rTrained = 0.0
+    val codesMd5 = qs.map(q => ProductQuantization.encodeLocal(q, cbMd5, subDim, nSub, nCode))
+    val codesTr = qs.map(q => ProductQuantization.encodeLocal(q, cbTrained, subDim, nSub, nCode))
+
+    (0 until n).foreach { self =>
+      val u = units(self)
+      val cos = units.map(w => (0 until u.length).map(i => u(i) * w(i)).sum)
+      val exact = topIdx(cos, self, asc = false).toSet
+      val probed = Similarity.probeCellsLocal(qs(self), nProbe).toSet
+      val inProbe: Int => Boolean = j => probed.contains(cells(j))
+      val lutMd5 = ProductQuantization.distanceTable(qs(self), cbMd5, subDim, nSub, nCode)
+      val lutTr = ProductQuantization.distanceTable(qs(self), cbTrained, subDim, nSub, nCode)
+      def adist(codes: Array[Array[Int]], lut: Array[Long]): Array[Double] =
+        codes.map(cs => cs.zipWithIndex.map { case (c, m) => lut(m * nCode + c) }.sum.toDouble)
+      val aMd5 = adist(codesMd5, lutMd5)
+      val aTr = adist(codesTr, lutTr)
+      def recall(got: Seq[Int]): Double = got.toSet.intersect(exact).size.toDouble / exact.size
+      rIvfExact += recall(topIdx(cos, self, asc = false, inProbe))
+      rMd5 += recall(topIdx(aMd5, self, asc = true, inProbe))
+      rMd5NoIvf += recall(topIdx(aMd5, self, asc = true))
+      rTrained += recall(topIdx(aTr, self, asc = true, inProbe))
+    }
+    println(f"PQRECALL sf=$sfDir n=$n k=$k nProbe=$nProbe/${Similarity.debugIvfGeometry._1} " +
+      f"ivf_exact=${rIvfExact / n}%.4f adc_md5=${rMd5 / n}%.4f " +
+      f"adc_md5_noivf=${rMd5NoIvf / n}%.4f adc_trained=${rTrained / n}%.4f")
+    spark.stop()
+  }
+}

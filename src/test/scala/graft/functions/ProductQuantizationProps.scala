@@ -105,6 +105,33 @@ object ProductQuantizationProps extends Properties("ProductQuantization") {
       }
     }
 
+  property("pq_sdc equals the driver pair-table sum for full vectors, NULL off-contract") =
+    forAll(caseGen) { case (vecs, cb) =>
+      val pt = ProductQuantization.pairDistanceTable(cb, subDim, nSub, nCode)
+      // pair every vector with the first FULL-LENGTH one (if none, the
+      // lit side is a synthetic all-zero code array — still on contract)
+      val ref = vecs.find(_.length == dim)
+        .map(v => ProductQuantization.encodeLocal(quantPad(v), cb, subDim, nSub, nCode))
+        .getOrElse(Array.fill(nSub)(0))
+      val refLit = org.apache.spark.sql.functions.lit(ref)
+      val got = toDf(vecs)
+        .select(col("i"),
+          ProductQuantization.sdc(
+            ProductQuantization.encode(col("v"), cb, subDim, nSub, nCode),
+            refLit, pt, nSub, nCode).as("s"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      vecs.zipWithIndex.forall { case (v, i) =>
+        if (v.length != dim) got(i).isEmpty // null codes ⇒ null sdist
+        else {
+          val cs = ProductQuantization.encodeLocal(quantPad(v), cb, subDim, nSub, nCode)
+          got(i).contains(cs.zipWithIndex.map { case (c, m) =>
+            pt((m * nCode + c) * nCode + ref(m)) }.sum)
+        }
+      }
+    }
+
   property("self-ADC is the global minimum (the planted-duplicate floor), for any query") =
     forAll(caseGen) { case (vecs, cb) =>
       val q = quantPad(vecs.head)

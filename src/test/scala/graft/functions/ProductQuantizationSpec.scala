@@ -101,6 +101,63 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(Some(nSub.toLong), None, None, None))
   }
 
+  test("pq_sdc matches the driver pair-table reference; table is symmetric with a zero diagonal") {
+    val pt = ProductQuantization.pairDistanceTable(codebook, subDim, nSub, nCode)
+    // structural identities of the codeword-pair table
+    (0 until nSub).foreach { m =>
+      (0 until nCode).foreach { c1 =>
+        assert(pt((m * nCode + c1) * nCode + c1) === 0L)
+        (0 until nCode).foreach { c2 =>
+          assert(pt((m * nCode + c1) * nCode + c2)
+            === pt((m * nCode + c2) * nCode + c1))
+        }
+      }
+    }
+    // the distributed kernel vs the driver sum, on real-table code pairs:
+    // every vector against vector 0's codes (the n65 verify shape)
+    val rows = vecs()
+      .select(col("vec_id"), col("u"),
+        ProductQuantization.encode(col("u"), codebook, subDim, nSub, nCode)
+          .as("codes"))
+      .collect()
+    val codes0 = rows.find(_.getLong(0) == 0L).get.getSeq[Int](2).toArray
+    val c0 = org.apache.spark.sql.functions.lit(codes0)
+    val got = vecs()
+      .select(col("vec_id"),
+        ProductQuantization.sdc(
+          ProductQuantization.encode(col("u"), codebook, subDim, nSub, nCode),
+          c0, pt, nSub, nCode).as("sdist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](2)
+      val want = cs.zipWithIndex.map { case (c, m) =>
+        pt((m * nCode + c) * nCode + codes0(m)) }.sum
+      assert(got(r.getLong(0)) === want, s"vec ${r.getLong(0)}")
+    }
+    // sdist(a, a) = 0: identical codes are SDC-indistinguishable
+    assert(got(0L) === 0L)
+  }
+
+  test("pq_sdc null contract: wrong arity and out-of-range codes on either side are null") {
+    val pt = Array.fill(nSub * nCode * nCode)(1L)
+    val okCodes = Seq.fill(nSub)(0)
+    val schema = StructType(Seq(
+      StructField("a", ArrayType(IntegerType, containsNull = true)),
+      StructField("b", ArrayType(IntegerType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(okCodes, okCodes),                 // valid pair
+        Row(okCodes, Seq.fill(nSub)(nCode)),   // right out of range
+        Row(Seq(0, 1), okCodes),               // left wrong arity
+        Row(null, okCodes),                    // left null
+        Row(okCodes, null)),                   // right null
+      schema)
+    val got = df.select(
+      ProductQuantization.sdc(col("a"), col("b"), pt, nSub, nCode).as("s"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(nSub.toLong), None, None, None, None))
+  }
+
   test("pq_encode length contract: a wrong-length vector is NULL, and a malformed row never displaces real neighbors") {
     // the explicit contract (round-14 advice): the old zero-pad semantics
     // silently disagreed with the DuckDB oracle's join (absent components

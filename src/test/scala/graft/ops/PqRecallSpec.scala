@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ProductQuantization
+import graft.{SparkTestSession => T}
+import graft.queries.Tables
+
+/**
+ * Retrieval-quality gates for the PQ family (round-14 verdict #2): n61
+ * and n63 hash-match their own definition, so these are the assertions
+ * that the definition RETRIEVES — bulk recall@5 against the exact cosine
+ * ranking at sf0.1, and planted near-duplicate recall end-to-end through
+ * the n63 incremental index. Every computation here is deterministic
+ * (md5 codebook; hash-sampled no-RNG Lloyd training; integer kernels),
+ * so the measured values are exact and the floors are real contracts,
+ * not statistical hopes. The full four-way decomposition (IVF ceiling /
+ * md5 / no-IVF / trained) lives in `ProbePqRecall`; quiet numbers in
+ * BASELINE.md ("PQ retrieval quality").
+ */
+class PqRecallSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("bulk recall@5 at sf0.1: trained codebook clears its floor and beats md5 by >=2.5x; IVF ceiling holds") {
+    val emb = Tables.embeddings(spark, sf01)
+    val (subDim, nSub, nCode) = Similarity.debugPqGeometry
+    val (_, nProbe) = Similarity.debugIvfGeometry
+    val cbMd5 = Similarity.debugPqCodebook
+    val cbTr = Similarity.trainedPqCodebook(emb)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    // codes and cells from the SHIPPED distributed kernels (one pass);
+    // ranking arithmetic below is the driver twins, pinned bit-equal in
+    // ProductQuantizationSpec — the numbers are the n61/n66 rankings'
+    val rows = emb.select(col("vec_id"), v.as("u"),
+        Similarity.ivfCellCol(v).cast("long").as("cell"),
+        ProductQuantization.encode(v, cbMd5, subDim, nSub, nCode).as("cm"),
+        ProductQuantization.encode(v, cbTr, subDim, nSub, nCode).as("ct"))
+      .collect().sortBy(_.getLong(0))
+    val n = rows.length
+    val ids = rows.map(_.getLong(0))
+    val units = rows.map { r =>
+      val a = r.getSeq[Double](1).toArray
+      val nrm = math.sqrt(a.map(x => x * x).sum)
+      if (nrm == 0) a else a.map(_ / nrm)
+    }
+    val qs = rows.map(r => ProductQuantization.quantize(r.getSeq[Double](1)))
+    val cells = rows.map(_.getLong(2))
+    val cm = rows.map(_.getSeq[Int](3).toArray)
+    val ct = rows.map(_.getSeq[Int](4).toArray)
+
+    val k = 5
+    def topIdx(score: Array[Double], self: Int, asc: Boolean,
+               keep: Int => Boolean): Set[Int] =
+      (0 until n).filter(j => j != self && keep(j))
+        .sortBy(j => (if (asc) score(j) else -score(j), ids(j)))
+        .take(k).toSet
+
+    // every 4th vector as query: 500 deterministic queries — the recall
+    // mean is exact either way, the subsample keeps the suite fast
+    val queries = (0 until n).filter(ids(_) % 4 == 0)
+    var rIvf = 0.0; var rMd5 = 0.0; var rTr = 0.0
+    queries.foreach { self =>
+      val u = units(self)
+      val cos = units.map { w =>
+        var s = 0.0; var i = 0
+        while (i < u.length) { s += u(i) * w(i); i += 1 }
+        s
+      }
+      val exact = topIdx(cos, self, asc = false, _ => true)
+      val probed = Similarity.probeCellsLocal(qs(self), nProbe).toSet
+      val inP: Int => Boolean = j => probed.contains(cells(j))
+      val lutM = ProductQuantization.distanceTable(qs(self), cbMd5, subDim, nSub, nCode)
+      val lutT = ProductQuantization.distanceTable(qs(self), cbTr, subDim, nSub, nCode)
+      def adist(codes: Array[Array[Int]], lut: Array[Long]): Array[Double] =
+        codes.map { cs =>
+          var s = 0L; var m = 0
+          while (m < nSub) { s += lut(m * nCode + cs(m)); m += 1 }
+          s.toDouble
+        }
+      def recall(got: Set[Int]): Double =
+        got.intersect(exact).size.toDouble / exact.size
+      rIvf += recall(topIdx(cos, self, asc = false, inP))
+      rMd5 += recall(topIdx(adist(cm, lutM), self, asc = true, inP))
+      rTr += recall(topIdx(adist(ct, lutT), self, asc = true, inP))
+    }
+    val (ivf, md5R, tr) = (rIvf / queries.size, rMd5 / queries.size, rTr / queries.size)
+    info(f"recall@5 sf0.1 (${queries.size} queries): ivf_exact=$ivf%.4f adc_md5=$md5R%.4f adc_trained=$tr%.4f")
+    // floors from the round-15 quiet measurement (ivf 0.72 / md5 0.038 /
+    // trained 0.12 on the full query set) with headroom for a future
+    // testdata regeneration — uniform-random vectors are the PQ worst
+    // case (no cluster structure; 32-bit codes resolve weakly separated
+    // neighbors), which is exactly why the trained gate matters
+    assert(ivf >= 0.60, f"IVF probe ceiling $ivf%.4f below 0.60")
+    assert(md5R >= 0.02, f"md5-codebook recall $md5R%.4f below 0.02")
+    assert(tr >= 0.08, f"trained-codebook recall $tr%.4f below 0.08")
+    assert(tr >= 2.5 * md5R,
+      f"training no longer pays: trained=$tr%.4f vs md5=$md5R%.4f — " +
+        "if deliberate, retire n66 and update BASELINE.md")
+  }
+
+  test("planted near-duplicates are retrieved through the n63 incremental index") {
+    // the end-to-end asymmetry an ANN index promises a semantic-dedup
+    // pipeline: a ~0.9996-cosine partner ingested in a LATER batch must
+    // surface in the PQ top-k even though bulk recall on uniform-random
+    // neighbors is low — near-identical vectors share cells and (mostly)
+    // codes, so their ADC distance sits at/near the planted floor
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val copies = Dedup.plantedCopies(sample)
+      .select(col("vec_id"),
+        transform(col("v"), x => x.cast("float")).as("embedding"),
+        lit(0).as("label"))
+    val base = T.tmpDir("pq-recall")
+    val index = new IncrementalIvfPqIndex(base.resolve("state"))
+    index.processBatch(emb, 0L)
+    index.processBatch(copies, 1L)   // partners arrive after the corpus
+    index.maintain(spark)
+    val origs = sample.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    val hits = origs.count { case (id, vec) =>
+      index.topK(spark, vec, k = 3, excludeVecId = id)
+        .collect().exists(_.getLong(0) == id + Dedup.PlantOffset)
+    }
+    val recall = hits.toDouble / origs.length
+    info(f"planted near-dup recall@3 through the incremental index: $recall%.3f ($hits of ${origs.length})")
+    assert(recall >= 0.9, f"planted recall $recall%.3f below the 0.9 gate")
+  }
+
+  test("the planted-duplicate floor holds for the TRAINED codebook too (any-codebook theorem)") {
+    // the floor theorem is codebook-independent: the query's own codes
+    // attain the per-subspace LUT argmin, so an exact duplicate can tie
+    // but never be out-ranked — assert it on the shipped n66 plan
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    val top = Similarity.ivfPqTrainedTopK(emb.unionByName(dup), k = 5).collect()
+    assert(top.nonEmpty)
+    assert(top.head.getLong(0) === 999999L,
+      s"expected the planted duplicate first, got ${top.toSeq}")
+    top.tail.foreach(r => assert(r.getLong(2) >= top.head.getLong(2)))
+  }
+}

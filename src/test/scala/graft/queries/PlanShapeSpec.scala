@@ -178,6 +178,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"n61 plans a shuffle:\n$p")
   }
 
+  test("n65 pq knn join: SDC kernel over codes, TopKPerKey cuts, cell equi-join, no cartesian") {
+    val p = assertNoPairBlowup("n65_pq_knn_join")
+    assert(p.contains("TopKPerKey"),
+      s"n65 does not plan the bounded-heap top-k operator:\n$p")
+    // the verify step must be the codegen SDC kernel scanning CODE arrays
+    // (8 ints/row) — the whole point of the batched PQ shape is that the
+    // candidate exchange never carries raw embeddings
+    assert(p.contains("pq_sdc") && p.contains("pq_encode"),
+      s"n65 does not plan the PQ kernels:\n$p")
+    assert("hashpartitioning\\(cell#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n65 candidate join neither shuffles on cell nor broadcasts:\n$p")
+  }
+
+  test("n66 trained ivf-pq: the n61 shuffle-free scan shape, trained codebook as plan literal") {
+    val p = plan("n66_ivf_pq_trained")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"n66 does not plan the PQ kernels:\n$p")
+    // training is a bounded driver step; the ranking plan itself must
+    // stay ONE shuffle-free scan stage, exactly like n61
+    assert(!p.contains("Exchange"), s"n66 plans a shuffle:\n$p")
+  }
+
   test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
     val p = plan("n62_domain_cap")
     assert(p.contains("TopKPerKey"),
