@@ -224,9 +224,21 @@ object Corpus {
    * the native Catalyst expression; the synthetic URL embeds source + lang
    * so the oracle can reconstruct the host by concatenation.
    */
-  def domainExtractQuery(spark: SparkSession, dir: String): DataFrame = {
-    val url = concat(lit("https://"), col("source"), lit(".example-"),
+  /** The corpus's synthetic URL (the fixture embeds source + lang, so a
+    * SQL oracle reconstructs the parts by concatenation). */
+  private[graft] def syntheticUrl: Column =
+    concat(lit("https://"), col("source"), lit(".example-"),
       col("lang"), lit(".com/doc/"), col("doc_id"), lit("?ref="), col("source"))
+
+  /** THE extracted host: `parse_url(url, HOST)` over [[syntheticUrl]] —
+    * the one host expression every domain-keyed operator shares (n24
+    * aggregation, n32 canonicalization, n62 quota). Keying a governance
+    * operator on anything else would let it drift from the extraction
+    * chain it is meant to govern (round-14 verdict #6). */
+  private[graft] def hostCol: Column = parse_url(syntheticUrl, lit("HOST"))
+
+  def domainExtractQuery(spark: SparkSession, dir: String): DataFrame = {
+    val url = syntheticUrl
     documents(spark, dir)
       .select(parse_url(url, lit("HOST")).as("host"),
         parse_url(url, lit("PATH")).as("path"),

@@ -33,8 +33,7 @@ object Pipeline {
   def hostCanonicalQuery(spark: SparkSession, dir: String): DataFrame = {
     val ws = split(lower(col("text")), "\\s+")
     val scored = documents(spark, dir)
-      .select(col("doc_id"),
-        concat(col("source"), lit(".example-"), col("lang"), lit(".com")).as("host"),
+      .select(col("doc_id"), Corpus.hostCol.as("host"),
         size(ws).cast("long").as("n_words"),
         size(array_distinct(ws)).cast("long").as("n_distinct"))
       .select(col("doc_id"), col("host"), col("n_words"), col("n_distinct"),
@@ -81,12 +80,16 @@ object Pipeline {
    * makes a window-rank-then-filter plan spill: a full sort of the
    * dominant host's partition). The trailing rank is a window over the
    * already-capped n_hosts·perHost rows, not the corpus.
+   *
+   * The quota key is the SHARED extracted host ([[Corpus.hostCol]]:
+   * `parse_url` over the corpus URL — the n24/n32 expression), so the
+   * operator composes with the extraction chain it governs instead of
+   * fabricating its own key (round-14 verdict #6).
    */
   def domainCapQuery(spark: SparkSession, dir: String,
                      perHost: Int = 10): DataFrame = {
     val scored = documents(spark, dir)
-      .select(col("doc_id"),
-        concat(col("source"), lit(".example-"), col("lang"), lit(".com")).as("host"),
+      .select(col("doc_id"), Corpus.hostCol.as("host"),
         TextAnalysis.qualityScoreCol(col("text")).as("quality_score"))
     val top = graft.plans.TopKPerKey(scored, Seq(col("host")),
       Seq(col("quality_score").desc, col("doc_id")), perHost)
