@@ -8,6 +8,10 @@ holds the line's suffix) against it:
 
     python3 tools/check_bench.py BENCH_r14.json [--max-ratio 2.0]
 
+With no argument it reads target/bench.json — the complete line
+graft.Bench persists on every run (round-15: the stdout tail the driver
+stores truncates past ~46 queries, the file never does).
+
 Prints every query whose value exceeds max-ratio x its recorded min,
 plus queries missing on either side. Exit 1 on any breach.
 """
@@ -56,7 +60,8 @@ def load_bench(path):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("bench")
+    ap.add_argument("bench", nargs="?",
+                    default=str(BASELINE.parent / "target" / "bench.json"))
     ap.add_argument("--max-ratio", type=float, default=2.0)
     args = ap.parse_args()
 
