@@ -412,19 +412,24 @@ object Similarity {
                           ascending: Boolean = false): DataFrame = {
     val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
       Seq(col("score").desc, col("cell")), nProbe)
-    val ord = if (ascending) col(scoreName).asc else col(scoreName).desc
-    val scored = probed.select(col("vec_id"), col("u"), col("cell"))
+    // ascending ranks DISTANCES, where a defensive-null score would sort
+    // nulls-first into the top-k (the n61 ADC lesson) — rank NULLS LAST
+    // so a malformed row can never displace a genuine candidate, and
+    // drop any null stragglers AFTER the cut (≤ n·k rows). A pre-cut
+    // isNotNull filter instead gets PUSHED INTO the join condition,
+    // where it re-evaluates the verify kernel for every candidate pair
+    // and breaks the join→project→heap codegen pipeline — measured 42 s
+    // vs 11 s on a 200M-pair corpus (ProbePqJoinScale, BASELINE r15).
+    val ord = if (ascending) col(scoreName).asc_nulls_last
+              else col(scoreName).desc
+    val cands = probed.select(col("vec_id"), col("u"), col("cell"))
       .join(index, "cell")
       .filter(col("vec_id") =!= col("nbr"))
       .withColumn(scoreName, verify(col("u"), col("un")))
-    // ascending ranks DISTANCES, where a defensive-null score would sort
-    // nulls-first into the top-k (the n61 ADC lesson) — drop them; the
-    // descending similarity paths (n42/n60) keep their pinned plans
-    val cands = if (ascending) scored.filter(col(scoreName).isNotNull)
-                else scored
     val top = graft.plans.TopKPerKey(cands.select("vec_id", "nbr", scoreName),
       Seq(col("vec_id")), Seq(ord, col("nbr")), k)
-    top
+    val kept = if (ascending) top.filter(col(scoreName).isNotNull) else top
+    kept
       .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
         .Window.partitionBy("vec_id").orderBy(ord, col("nbr")))
         .cast("long"))
@@ -599,6 +604,26 @@ object Similarity {
 
   def pqKnnJoinQuery(spark: SparkSession, dir: String): DataFrame =
     pqKnnJoin(embeddings(spark, dir))
+
+  /** Dev-only variant with a pluggable verify (cost isolation probes). */
+  private[graft] def pqKnnJoinDev(emb: DataFrame,
+                                  verify: (Column, Column) => Column,
+                                  k: Int = 3,
+                                  nProbe: Int = IvfNProbe,
+                                  breakIndexStage: Boolean = false,
+                                  mergeJoin: Boolean = false): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    val index0 = emb.select(col("vec_id").as("nbr"),
+      pqEncodeCol(v).as("un"),
+      ivfCellCol(v).cast("int").as("cell"))
+    val index1 = if (breakIndexStage) index0.repartition(col("cell")) else index0
+    val index = if (mergeJoin) index1.hint("merge") else index1
+    val scored = emb.select(col("vec_id"), pqEncodeCol(v).as("u"),
+      posexplode(dots).as(Seq("cell", "score")))
+    knnJoinCore(scored, index, k, nProbe, verify,
+      scoreName = "sdist", ascending = true)
+  }
 
   /** The n65 twin in DuckDB: the [[knnJoinDetOracle]] cell structure
     * (md5 dirs, BIGINT dots, per-vector assignment + nProbe probe), the

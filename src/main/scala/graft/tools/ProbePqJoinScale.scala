@@ -1,0 +1,70 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.functions._
+
+/**
+ * Dev probe: the n65 claim at scale — the batched PQ kNN join (SDC over
+ * codes) vs the float-verify twin n60 on the SAME corpus, measured on
+ * wall time AND actual shuffle volume (a TaskEnd listener sums shuffle
+ * bytes written per run). The 100 TB argument is the exchange: both
+ * plans move every candidate through the cell equi-join, but n60's
+ * verify side carries 64-double unit vectors (~512 B/row) where n65's
+ * carries 8-int code arrays (~32 B/row) — this probe prints the ratio
+ * instead of asserting it from the schema. Compare work grows as
+ * n²·nProbe/nlist (the IVF dial), so N is capped at ×10 of the bench
+ * table locally. Results in BASELINE.md ("n65 at scale").
+ *
+ * Usage: runMain graft.tools.ProbePqJoinScale [N ...] (default 2000 6000 20000)
+ */
+object ProbePqJoinScale {
+  def main(args: Array[String]): Unit = {
+    val ns = if (args.nonEmpty) args.toSeq.map(_.toLong)
+             else Seq(2000L, 6000L, 20000L)
+    val spark = Sessions.local(32, logLevel = "ERROR")
+    val base = graft.queries.Tables.scratchDir("pqjoinscale")
+
+    val shuffleBytes = new AtomicLong(0L)
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    })
+    // (runSec, shuffleMiB) of the better of two runs by wall time
+    def measure(thunk: => Unit): (Double, Double) =
+      (1 to 2).map { _ =>
+        shuffleBytes.set(0L)
+        val t0 = System.nanoTime()
+        thunk
+        val s = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (s, shuffleBytes.get() / 1048576.0)
+      }.minBy(_._1)
+
+    ns.foreach { n =>
+      val dir = base.resolve(s"n$n").toString
+      val comps = transform(sequence(lit(0), lit(63)), i =>
+        (pmod(xxhash64(col("id"), i), lit(1000001L)).cast("double")
+          / 1000000.0 - 0.5).cast("float"))
+      spark.range(n).select(col("id").as("vec_id"), comps.as("embedding"),
+          lit(0).as("label"))
+        .repartition(32).write.mode("overwrite").parquet(s"$dir/emb.parquet")
+      val emb = spark.read.parquet(s"$dir/emb.parquet")
+
+      val (floatS, floatMiB) = measure {
+        graft.ops.Similarity.knnJoinDet(emb)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val (sdcS, sdcMiB) = measure {
+        graft.ops.Similarity.pqKnnJoin(emb)
+          .write.format("noop").mode("overwrite").save()
+      }
+      println(f"PQJOINSCALE n=$n%d n60_float=$floatS%.2f s ($floatMiB%.1f MiB shuffled) " +
+        f"n65_sdc=$sdcS%.2f s ($sdcMiB%.1f MiB shuffled) " +
+        f"time x${floatS / sdcS}%.2f shuffle x${floatMiB / sdcMiB}%.2f")
+    }
+    spark.stop()
+  }
+}
