@@ -92,6 +92,13 @@ object OpsQueries {
     // trained-codebook IVF-PQ (Lloyd's, SQL-inexpressible): rows-only,
     // recall-gated in PqRecallSpec — the n42/n60 pairing beside n61
     "n66_ivf_pq_trained" -> (Similarity.ivfPqTrainedQuery _),
+    // the incremental twin of n62: batch-local TopKPerKey cuts appended,
+    // host-bucketed levels, selection associativity ⇒ batch answer
+    "n67_streaming_domain_cap" ->
+      ((s, d) => IncrementalQuota.streamingDomainCapQuery(s, d)),
+    // int8 scalar-quantized kNN join: the n60 plan scanning 64-byte SQ8
+    // codes — ×8 smaller exchange at near-exact ranking fidelity
+    "n68_sq8_knn_join" -> (Similarity.sq8KnnJoinQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -177,5 +184,10 @@ object OpsQueries {
     "n65_pq_knn_join" -> Similarity.pqKnnJoinOracle,
     // n66 omitted: Lloyd-trained codebook is SQL-inexpressible (rows-only;
     // recall and planted-floor bounded by PqRecallSpec)
+    // bounded selection is associative ⇒ the incremental quota equals the
+    // batch n62 answer exactly for any batching: the batch oracle verbatim
+    "n67_streaming_domain_cap" -> Pipeline.domainCapOracle,
+    // clamped int8 codes + integer dots: hash-matched like n60/n65
+    "n68_sq8_knn_join" -> Similarity.sq8KnnJoinOracle,
   )
 }

@@ -704,6 +704,111 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin
 
+  // ------------------------------------------- n68 SQ8 batched kNN join
+
+  /**
+   * n68 — the batched kNN join on INT8 scalar-quantized vectors (the
+   * FAISS "SQ8" layout): the n60 [[knnJoinCore]] plan with the verify
+   * step scanning 64-byte int8 code BINARYs instead of 64-double unit
+   * vectors. The middle rung of the compression ladder the family now
+   * spans — n60 floats (512 B/row, exact), n68 SQ8 (64 B/row, ×8
+   * smaller, per-dimension resolution kept), n65 PQ-SDC (32 B/row, ×16
+   * smaller, resolution traded away) — and in practice the highest-
+   * fidelity layout that still shrinks the candidate exchange by an
+   * order of magnitude: codes rank by the codegen
+   * [[graft.functions.Sq8DotExpr]] integer dot, whose top-3 agreement
+   * with the exact n60 ranking measures 0.94 (gated ≥ 0.9 in `Sq8Spec`;
+   * PQ needs a trained codebook to clear recall 0.12 at the same k —
+   * BASELINE round 15).
+   *
+   * Everything is integer end to end — the shared bit-identical unit
+   * vector quantizes with ONE double product per component
+   * (`clamp(floor(u·127))`), scores are 64-bit integer sums — so the
+   * DuckDB oracle rebuilds the full join and the query is HASH-checked
+   * like n60/n65.
+   */
+  def sq8KnnJoin(emb: DataFrame, k: Int = 3,
+                 nProbe: Int = IvfNProbe): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    def codes(c: Column): Column =
+      graft.functions.ScalarQuantization.encode(Dedup.unitVector(c), 64)
+    val index = emb.select(col("vec_id").as("nbr"),
+      codes(col("embedding")).as("un"),
+      ivfCellCol(v).cast("int").as("cell"))
+    val scored = emb.select(col("vec_id"), codes(col("embedding")).as("u"),
+      posexplode(dots).as(Seq("cell", "score")))
+    knnJoinCore(scored, index, k, nProbe,
+      verify = (a, b) => graft.functions.ScalarQuantization.dot(a, b),
+      scoreName = "sq8dot")
+  }
+
+  def sq8KnnJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    sq8KnnJoin(embeddings(spark, dir))
+
+  /** The n68 twin in DuckDB: the [[knnJoinDetOracle]] cell structure
+    * (md5 dirs, BIGINT dots, assignment + nProbe probe), with the probed
+    * pairs ranked by the integer dot of the clamped int8 codes
+    * (`clamp(floor(u·127))` — one exact double product per component
+    * over the bit-identical unit vector, then a BIGINT sum). */
+  val sq8KnnJoinOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), dots AS (
+       |  SELECT vec_id, c,
+       |    SUM(CAST(floor(x * 1048576.0) AS BIGINT) * comp) AS dot
+       |  FROM ex JOIN dirs USING (i)
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) <= $IvfNProbe
+       |), exd AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), nr AS (
+       |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM exd GROUP BY vec_id
+       |), uv AS (
+       |  SELECT exd.vec_id,
+       |    least(127, greatest(-127,
+       |      CAST(floor((v / nrm) * 127.0) AS BIGINT))) AS q, i
+       |  FROM exd JOIN nr USING (vec_id)
+       |), pairs AS (
+       |  SELECT q.vec_id, ix.vec_id AS nbr
+       |  FROM probed q JOIN assigned ix
+       |    ON ix.cell = q.cell AND ix.vec_id <> q.vec_id
+       |), s AS (
+       |  SELECT p.vec_id, p.nbr,
+       |    CAST(SUM(a.q * b.q) AS BIGINT) AS sq8dot
+       |  FROM pairs p
+       |  JOIN uv a ON a.vec_id = p.vec_id
+       |  JOIN uv b ON b.vec_id = p.nbr AND b.i = a.i
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT vec_id, nbr, sq8dot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY sq8dot DESC, nbr) AS BIGINT) AS rank
+       |  FROM s
+       |)
+       |SELECT vec_id, rank, nbr, sq8dot
+       |FROM r
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
   // ----------------------------------------- n35 exact per-label centroids
 
   /**

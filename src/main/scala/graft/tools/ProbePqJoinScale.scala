@@ -61,9 +61,15 @@ object ProbePqJoinScale {
         graft.ops.Similarity.pqKnnJoin(emb)
           .write.format("noop").mode("overwrite").save()
       }
+      val (sq8S, sq8MiB) = measure {
+        graft.ops.Similarity.sq8KnnJoin(emb)
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"PQJOINSCALE n=$n%d n60_float=$floatS%.2f s ($floatMiB%.1f MiB shuffled) " +
         f"n65_sdc=$sdcS%.2f s ($sdcMiB%.1f MiB shuffled) " +
-        f"time x${floatS / sdcS}%.2f shuffle x${floatMiB / sdcMiB}%.2f")
+        f"n68_sq8=$sq8S%.2f s ($sq8MiB%.1f MiB shuffled) " +
+        f"time x${floatS / sdcS}%.2f shuffle x${floatMiB / sdcMiB}%.2f " +
+        f"sq8_time x${floatS / sq8S}%.2f sq8_shuffle x${floatMiB / sq8MiB}%.2f")
     }
     spark.stop()
   }

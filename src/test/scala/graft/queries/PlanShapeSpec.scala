@@ -192,6 +192,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n65 candidate join neither shuffles on cell nor broadcasts:\n$p")
   }
 
+  test("n68 sq8 knn join: SQ8 kernels over code binaries, TopKPerKey cuts, cell equi-join, no cartesian") {
+    val p = assertNoPairBlowup("n68_sq8_knn_join")
+    assert(p.contains("TopKPerKey"),
+      s"n68 does not plan the bounded-heap top-k operator:\n$p")
+    // the verify step must be the codegen SQ8 dot scanning 64-byte code
+    // BINARYs — the candidate exchange never carries raw embeddings
+    assert(p.contains("sq8_dot") && p.contains("sq8_encode"),
+      s"n68 does not plan the SQ8 kernels:\n$p")
+    assert("hashpartitioning\\(cell#\\d+".r.findFirstIn(p).isDefined
+      || p.contains("BroadcastHashJoin"),
+      s"n68 candidate join neither shuffles on cell nor broadcasts:\n$p")
+  }
+
   test("n66 trained ivf-pq: the n61 shuffle-free scan shape, trained codebook as plan literal") {
     val p = plan("n66_ivf_pq_trained")
     assert(p.contains("TakeOrderedAndProject"), p)
