@@ -197,6 +197,58 @@ class IncrementalSoakSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("quota index: 50-batch soak, compaction every 10, bounded files, exact final state") {
+    // the fifth state machine (round 15): the n67 per-domain quota — one
+    // append-only cands table whose batch path never reads prior state
+    // (flat cost structural, like the ANN index), with full merges
+    // additionally COLLAPSING the level to the resolved keeper set
+    val base = graft.SparkTestSession.tmpDir("n67-soak")
+    val root = base.resolve("state")
+    val quota = new IncrementalQuota(root)
+    val docs = graft.queries.Tables.documents(spark, T.sf0001).persist()
+
+    val batchSecs = new scala.collection.mutable.ArrayBuffer[Double]
+    (0 until Batches).foreach { j =>
+      val t0 = System.nanoTime()
+      quota.processBatch(
+        docs.filter(pmod(xxhash64(col("doc_id")), lit(Batches)) === j), j.toLong)
+      batchSecs += (System.nanoTime() - t0) / 1e9
+      assert(entries(root, "cands", "b").size <= Cadence,
+        s"parts exceeded the cadence at batch $j")
+      if ((j + 1) % Cadence == 0) {
+        quota.maintain(spark)
+        val expectLevels = ((j + 1) / Cadence - 1) % 4 + 1
+        assert(entries(root, "cands", "b").isEmpty, "parts survived compaction")
+        assert(entries(root, "cands", "c").size == expectLevels,
+          s"levels at batch $j: ${entries(root, "cands", "c")} (want $expectLevels)")
+        if (expectLevels == 1) {
+          assert(entries(root, "cands", "c") == Seq(s"c$j"),
+            s"bin-pack did not collapse the chain: ${entries(root, "cands", "c")}")
+          // the full merge's level is the RESOLVED keeper set: raw rows
+          // == admitted rows, bounded at hosts × perHost forever
+          assert(quota.debugCands(spark).count()
+            == quota.finalQuota(spark).count(),
+            "full merge did not collapse the level to the resolved set")
+        }
+        assert(entries(root, "commits", "").isEmpty,
+          s"markers grew: ${entries(root, "commits", "")}")
+        assert(entries(root, "compactions", "").size == expectLevels)
+      }
+    }
+
+    val early = batchSecs.slice(5, 15).sum / 10
+    val late = batchSecs.slice(Batches - 10, Batches).sum / 10
+    assert(late < early * 4,
+      f"per-batch quota cost ramped: early=$early%.3f s late=$late%.3f s")
+
+    val got = quota.finalQuota(spark).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val expected = Pipeline.domainCapQuery(spark, T.sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got === expected, "soaked final quota diverged from the batch n62 answer")
+    docs.unpersist()
+  }
+
   test("drift monitor: 50-batch soak, maintenance every 10, bounded files, exact final state") {
     // the third state machine (round-12 verdict #6): the n48 monitor
     // shares the base machinery, so the same cadence bounds must hold —
