@@ -99,6 +99,10 @@ object OpsQueries {
     // int8 scalar-quantized kNN join: the n60 plan scanning 64-byte SQ8
     // codes — ×8 smaller exchange at near-exact ranking fidelity
     "n68_sq8_knn_join" -> (Similarity.sq8KnnJoinQuery _),
+    // the ingest-gate twin of n44: per-batch Bloom screen + exact verify
+    // against the static benchmark grams; verdicts are per-row functions
+    "n69_streaming_decontam" ->
+      ((s, d) => IncrementalDecontam.streamingDecontamQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -189,5 +193,8 @@ object OpsQueries {
     "n67_streaming_domain_cap" -> Pipeline.domainCapOracle,
     // clamped int8 codes + integer dots: hash-matched like n60/n65
     "n68_sq8_knn_join" -> Similarity.sq8KnnJoinOracle,
+    // per-row verdicts ⇒ the gate equals the batch n44 answer for any
+    // batching: the batch oracle verbatim
+    "n69_streaming_decontam" -> Corpus.bloomDecontamOracle,
   )
 }
