@@ -76,9 +76,11 @@ object Pipeline {
    * custom [[graft.plans.TopKPerKey]] whole-operator — a bounded per-host
    * heap on each input partition means at most `perHost` rows per (host,
    * partition) reach the shuffle, so the exchange carries ~quota-sized
-   * groups even when one host owns half the crawl (the skew case that
-   * makes a window-rank-then-filter plan spill: a full sort of the
-   * dominant host's partition). The trailing rank is a window over the
+   * groups even when one host owns half the crawl, and no partition is
+   * ever sorted (Spark's own `WindowGroupLimit` rewrite bounds the
+   * window-rank plan's exchange too, but full-sorts every input
+   * partition first — measured ×2.8 slower at 20M skewed rows,
+   * `ProbeQuotaSkew`/BASELINE). The trailing rank is a window over the
    * already-capped n_hosts·perHost rows, not the corpus.
    *
    * The quota key is the SHARED extracted host ([[Corpus.hostCol]]:
