@@ -86,10 +86,33 @@ object ProbePqScale {
           .orderBy(desc("score"), col("vec_id")).limit(5)
           .write.format("noop").mode("overwrite").save()
       }
+      // the SQ8 middle rung (n68): 64-byte int8 code binaries — size and
+      // the integer-dot ranking scan against the query's own codes
+      val sq8EncodeS = minOf2 {
+        emb.select(col("vec_id"),
+          graft.functions.ScalarQuantization.encode(
+            graft.ops.Dedup.unitVector(col("embedding")), 64).as("sq8"))
+          .write.mode("overwrite").parquet(s"$dir/sq8.parquet")
+      }
+      val sq8B = du(s"$dir/sq8.parquet")
+      val sq8 = spark.read.parquet(s"$dir/sq8.parquet")
+      val qn = {
+        val xs = qf.map(_.toDouble)
+        val nrm = math.sqrt(xs.map(x => x * x).sum)
+        graft.functions.ScalarQuantization.encodeLocal(xs.map(_ / nrm))
+      }
+      val sq8S = minOf2 {
+        sq8.select(col("vec_id"),
+          graft.functions.ScalarQuantization.dot(col("sq8"), lit(qn)).as("d"))
+          .orderBy(desc("d"), col("vec_id")).limit(5)
+          .write.format("noop").mode("overwrite").save()
+      }
       println(f"PQSCALE n=$n%d encode=$encodeS%.2f s " +
         f"raw=${rawB / 1048576.0}%.1f MiB codes=${codeB / 1048576.0}%.1f MiB " +
         f"(x${rawB.toDouble / codeB}%.1f smaller) " +
-        f"adc_scan=$adcS%.2f s cosine_scan=$cosS%.2f s")
+        f"sq8=${sq8B / 1048576.0}%.1f MiB (x${rawB.toDouble / sq8B}%.1f smaller, " +
+        f"encode $sq8EncodeS%.2f s) " +
+        f"adc_scan=$adcS%.2f s sq8_scan=$sq8S%.2f s cosine_scan=$cosS%.2f s")
       spark.catalog.clearCache()
     }
     spark.stop()
