@@ -964,4 +964,88 @@ object Corpus {
       |FROM ch JOIN f USING (h)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
+
+  // ----------------------------------------------- n70 dataset card
+
+  /**
+   * Per-source dataset card — the corpus report a training run publishes
+   * with its data: document and token counts, language spread, mean
+   * quality, and the exact-duplicate rate, one row per source, all from
+   * the SHARED per-doc expressions (n10's whitespace token count, n09's
+   * [[TextAnalysis.qualityScoreCol]], n01's md5 fingerprint), so the
+   * card cannot drift from the operators it summarizes.
+   *
+   * Exactness: counts and token sums are BIGINTs; the mean quality uses
+   * the n35 integer treatment — per-doc `floor(qs·2^20)` (qs is
+   * bit-identical across engines) summed in BIGINT, ONE double division
+   * at the end — so no float accumulation anywhere and the card
+   * hash-matches its oracle.
+   *
+   * Scale shape: one corpus scan; the duplicate flag is a count window
+   * on the fingerprint (the n01 shuffle key), then one partial-aggregated
+   * rollup on source. S rows out; no join, nothing collected.
+   */
+  def datasetCardQuery(spark: SparkSession, dir: String): DataFrame = {
+    val base = documents(spark, dir).select(
+      col("source"), col("lang"), col("doc_id"),
+      size(split(col("text"), "\\s+")).cast("long").as("nw"),
+      floor(TextAnalysis.qualityScoreCol(col("text")) * lit(1048576.0))
+        .cast("long").as("qq"),
+      md5(col("text")).as("fp"))
+    val flagged = base.withColumn("nfp",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("fp")))
+    flagged.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nw")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("qq")).as("sum_q"),
+        sum(when(col("nfp") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+        col("sum_q"),
+        (col("sum_q").cast("double")
+          / (col("n_docs") * lit(1048576L)).cast("double")).as("mean_quality"),
+        col("dup_docs"),
+        (col("dup_docs").cast("double") / col("n_docs").cast("double"))
+          .as("dup_frac"))
+      .orderBy("source")
+  }
+
+  /** The card's per-doc expressions are n10/n09/n01's SQL verbatim; the
+    * outer BIGINT casts follow the d98 HUGEINT rule. */
+  val datasetCardOracle: String =
+    s"""WITH c AS (
+       |  SELECT doc_id, source, lang,
+       |    CAST(length(text) AS BIGINT) AS n_chars,
+       |    CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_words,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+       |          w -> w IN (${TextAnalysis.qualityStopwords.map(w => s"'$w'").mkString(", ")}))) AS BIGINT) AS n_stopwords,
+       |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS alpha_cnt,
+       |    CAST(len(string_split_regex(text, '\\s+')) AS BIGINT) AS nw,
+       |    md5(text) AS fp
+       |  FROM documents
+       |), b AS (
+       |  SELECT doc_id, source, lang, nw, fp,
+       |    CAST(floor((least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.25
+       |      + (CAST(n_stopwords AS DOUBLE) / n_words) * 0.25
+       |      + (CAST(alpha_cnt AS DOUBLE) / n_chars) * 0.25
+       |      + least((CAST(alpha_cnt AS DOUBLE) / n_words) / 8.0, 1.0) * 0.25)
+       |      * 1048576.0) AS BIGINT) AS qq
+       |  FROM c
+       |), f AS (
+       |  SELECT b.*, COUNT(*) OVER (PARTITION BY fp) AS nfp FROM b
+       |)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(nw) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |  CAST(SUM(qq) AS BIGINT) AS sum_q,
+       |  CAST(CAST(SUM(qq) AS BIGINT) AS DOUBLE)
+       |    / CAST(COUNT(*) * 1048576 AS DOUBLE) AS mean_quality,
+       |  CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       |  CAST(SUM(CASE WHEN nfp > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+       |FROM f
+       |GROUP BY source
+       |ORDER BY source""".stripMargin
 }

@@ -103,6 +103,9 @@ object OpsQueries {
     // against the static benchmark grams; verdicts are per-row functions
     "n69_streaming_decontam" ->
       ((s, d) => IncrementalDecontam.streamingDecontamQuery(s, d)),
+    // the per-source dataset card: n10/n09/n01's shared expressions
+    // rolled up into the corpus report a training run publishes
+    "n70_dataset_card" -> (Corpus.datasetCardQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,5 +199,7 @@ object OpsQueries {
     // per-row verdicts ⇒ the gate equals the batch n44 answer for any
     // batching: the batch oracle verbatim
     "n69_streaming_decontam" -> Corpus.bloomDecontamOracle,
+    // integer counts/sums + two exact final divisions: hash-matched
+    "n70_dataset_card" -> Corpus.datasetCardOracle,
   )
 }
