@@ -27,7 +27,7 @@ object SparkEntry {
       Set("n41_streaming_manifest", "n48_streaming_drift",
         "n52_streaming_embedding_clusters", "n58_streaming_media_clusters",
         "n63_streaming_ivf_pq", "n67_streaming_domain_cap",
-        "n69_streaming_decontam",
+        "n69_streaming_decontam", "n71_streaming_sq8_knn",
         "d97_dsv2_stream", "d98_dsv2_stream_sink")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -34,9 +34,10 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, 
 object ScalarQuantization {
 
   /** `sq8_encode(vec, dim)`: the int8 code vector as a dim-byte BINARY.
-    * Null when the input is null, has a null element, or its length is
-    * not `dim` (the PqEncodeExpr length contract — a malformed vector
-    * must surface as a droppable null, not a divergent hash). */
+    * Null when the input is null, has a null element, a NON-FINITE
+    * element (NaN/±Inf — a zero-norm embedding's unit vector), or its
+    * length is not `dim` (the PqEncodeExpr length contract — a malformed
+    * vector must surface as a droppable null, not a divergent hash). */
   def encode(vec: Column, dim: Int): Column =
     ColumnBridge.column(Sq8EncodeExpr(ColumnBridge.expression(vec), dim))
 
@@ -47,9 +48,14 @@ object ScalarQuantization {
     ColumnBridge.column(
       Sq8DotExpr(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Driver-side twin of the encode step (spec reference). */
+  /** Driver-side twin of the encode step (spec reference). Requires
+    * finite components — the kernel returns NULL for a non-finite
+    * element (see [[Sq8EncodeExpr]]); the twin throws instead of
+    * silently encoding `(long) floor(NaN) == 0`. */
   def encodeLocal(xs: Seq[Double]): Array[Byte] =
     xs.map { x =>
+      require(java.lang.Double.isFinite(x),
+        s"sq8 encodeLocal on a non-finite component $x — the kernel nulls here")
       val v = math.floor(x * 127.0).toLong
       math.max(-127L, math.min(127L, v)).toByte
     }.toArray
@@ -97,7 +103,15 @@ case class Sq8EncodeExpr(child: Expression, dim: Int)
     val out = new Array[Byte](dim)
     var i = 0
     while (i < dim) {
-      var v = math.floor(xs.getDouble(i) * 127.0).toLong
+      val x = xs.getDouble(i)
+      // non-finite components (a zero-norm embedding unit-normalizes to
+      // NaN) encode to NULL like null elements, not to a silent code 0:
+      // `(long) floor(NaN)` is 0 on the JVM while the DuckDB oracle's
+      // CAST(floor(NaN*127) AS BIGINT) errors — the defensive-null
+      // contract keeps both engines agreeing that the row ranks out
+      // (round-15 advice; shared with the PqEncodeExpr length contract)
+      if (!java.lang.Double.isFinite(x)) return null
+      var v = math.floor(x * 127.0).toLong
       if (v < -127L) v = -127L
       if (v > 127L) v = 127L
       out(i) = v.toByte
@@ -111,6 +125,7 @@ case class Sq8EncodeExpr(child: Expression, dim: Int)
       val hasNull = ctx.freshName("hasNull")
       val j = ctx.freshName("j")
       val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
       val v = ctx.freshName("v")
       val out = ctx.freshName("out")
       s"""
@@ -118,16 +133,21 @@ case class Sq8EncodeExpr(child: Expression, dim: Int)
          |for (int $j = 0; !$hasNull && $j < $dim; $j++) {
          |  if ($xs.isNullAt($j)) { $hasNull = true; }
          |}
-         |if ($hasNull) {
-         |  ${ev.isNull} = true;
-         |} else {
-         |  byte[] $out = new byte[$dim];
-         |  for (int $i = 0; $i < $dim; $i++) {
-         |    long $v = (long) java.lang.Math.floor($xs.getDouble($i) * 127.0);
+         |byte[] $out = new byte[$dim];
+         |for (int $i = 0; !$hasNull && $i < $dim; $i++) {
+         |  double $x = $xs.getDouble($i);
+         |  if (!java.lang.Double.isFinite($x)) {
+         |    $hasNull = true;
+         |  } else {
+         |    long $v = (long) java.lang.Math.floor($x * 127.0);
          |    if ($v < -127L) $v = -127L;
          |    if ($v > 127L) $v = 127L;
          |    $out[$i] = (byte) $v;
          |  }
+         |}
+         |if ($hasNull) {
+         |  ${ev.isNull} = true;
+         |} else {
          |  ${ev.value} = $out;
          |}
        """.stripMargin

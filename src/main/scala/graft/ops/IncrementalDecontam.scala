@@ -33,6 +33,16 @@ import graft.queries.Tables
  * instead of the corpus. Per-batch cost ∝ batch; the Bloom stage is
  * invisible to the result (n44's provable-prefilter contract), so the
  * gate admits EXACTLY the documents the exact screen admits.
+ *
+ * INGEST CONTRACT (round-15 advice): each document arrives exactly once
+ * ACROSS batches. Replay of a committed batchId is absorbed (the marker
+ * short-circuit), but the same doc_id delivered under two DIFFERENT
+ * batch ids is appended twice — the gate is per-row and keeps no doc_id
+ * state to dedupe against (doing so would make the per-batch cost ∝
+ * index, the term this design exists to avoid). Upstream exactly-once
+ * delivery is the same assumption the batch n44 screen makes of its
+ * input table; a source that can re-deliver should route through the
+ * dedup index (n41) first.
  */
 final class IncrementalDecontam(root: Path, benchGrams: DataFrame,
                                 fpp: Double = 0.03,
@@ -101,7 +111,13 @@ object IncrementalDecontam {
     * `chunks`-batch file stream through the decontamination gate, run
     * the maintenance pass (inside the driver's oracle gate, as the other
     * incremental cells do), then emit the admitted set. Oracle: the
-    * batch n44 [[Corpus.bloomDecontamOracle]] verbatim. */
+    * batch n44 [[Corpus.bloomDecontamOracle]] verbatim.
+    *
+    * CACHING CONTRACT (the n44 convention, round-15 advice): the gate's
+    * persisted bench-gram frame stays cached until the session-level
+    * `clearCache` the oracle-gated runners (Verify/Bench/PlanAudit) issue
+    * after consuming the result — `gate.release()` here would unpersist
+    * under the still-lazy returned frame. */
   def streamingDecontamQuery(spark: SparkSession, dir: String,
                              chunks: Int = 4): DataFrame = {
     val base = Tables.scratchDir("n69")

@@ -106,6 +106,17 @@ object OpsQueries {
     // the per-source dataset card: n10/n09/n01's shared expressions
     // rolled up into the corpus report a training run publishes
     "n70_dataset_card" -> (Corpus.datasetCardQuery _),
+    // the incremental twin of n68: SQ8 codes + precomputed probe sets
+    // ingested per batch, cell-bucketed levels — the ×8-narrower state
+    "n71_streaming_sq8_knn" ->
+      ((s, d) => IncrementalSq8.streamingSq8KnnQuery(s, d)),
+    // residual IVF-PQ (Jégou §IV-A): codes on q − centroid(cell), LUT
+    // rebuilt per probed cell — md5 codebook ⇒ hash-checked plumbing
+    "n72_ivf_pq_residual" -> (Similarity.ivfPqResidualQuery _),
+    // the residual plan on a Lloyd-trained codebook at the canonical
+    // k*=256 resolution: recall 0.31 vs n66's 0.12 / n61's 0.04
+    // (ProbePqRecall sf0.1; gated in PqRecallSpec) — rows-only like n66
+    "n73_ivf_pq_residual_trained" -> (Similarity.ivfPqResidualTrainedQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -201,5 +212,12 @@ object OpsQueries {
     "n69_streaming_decontam" -> Corpus.bloomDecontamOracle,
     // integer counts/sums + two exact final divisions: hash-matched
     "n70_dataset_card" -> Corpus.datasetCardOracle,
+    // codes/cells/probe sets are per-row functions ⇒ the incremental
+    // index equals the batch n68 join for any batching: oracle verbatim
+    "n71_streaming_sq8_knn" -> Similarity.sq8KnnJoinOracle,
+    // centroids/residuals/codes/per-cell LUTs all integer ⇒ hash-matched
+    "n72_ivf_pq_residual" -> Similarity.ivfPqResidualOracle,
+    // n73 omitted: Lloyd-trained codebook is SQL-inexpressible (rows-only;
+    // recall floor + planted-duplicate theorem gated in PqRecallSpec)
   )
 }

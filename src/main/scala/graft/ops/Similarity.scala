@@ -412,6 +412,19 @@ object Similarity {
                           ascending: Boolean = false): DataFrame = {
     val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
       Seq(col("score").desc, col("cell")), nProbe)
+    knnJoinVerify(probed, index, k, verify, scoreName, ascending)
+  }
+
+  /** The join→verify→top-k tail of [[knnJoinCore]], shared with the
+    * incremental n71 index, whose probe cut is precomputed AT INGEST
+    * (the per-row probed-cells array) — the streaming form skips the
+    * first TopKPerKey shuffle entirely. `probed` carries
+    * (vec_id, u, cell) with ≤ nProbe rows per query. */
+  private[graft] def knnJoinVerify(probed: DataFrame, index: DataFrame,
+                                   k: Int,
+                                   verify: (Column, Column) => Column,
+                                   scoreName: String,
+                                   ascending: Boolean): DataFrame = {
     // ascending ranks DISTANCES, where a defensive-null score would sort
     // nulls-first into the top-k (the n61 ADC lesson) — rank NULLS LAST
     // so a malformed row can never displace a genuine candidate, and
@@ -948,6 +961,27 @@ object Similarity {
       array_position(a, array_max(a))), 1) - 1
   }
 
+  /** The nProbe best cells of a double-vector column, as a map-side
+    * array (dot DESC, cell ASC — the n07 probe rule): an 8-element
+    * comparator sort per row, no shuffle. Equal by construction to the
+    * TopKPerKey cut [[knnJoinCore]] applies to the posexploded scores
+    * (integer dots ⇒ no float ties; the comparator is total), so an
+    * index can precompute its members' probe sets AT INGEST — the n71
+    * incremental kNN join reads them back instead of re-shuffling the
+    * score stream (pinned against the batch cut in `IncrementalSq8Spec`).
+    * Element 1 is the vector's own assignment cell ([[ivfCellCol]]). */
+  private[graft] def probedCellsCol(v: Column,
+                                    nProbe: Int = IvfNProbe): Column = {
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    val pairs = zip_with(dots, sequence(lit(0), lit(IvfNList - 1)),
+      (d, c) => struct(d.as("dot"), c.as("cell")))
+    val sorted = array_sort(pairs, (l, r) =>
+      when(l.getField("dot") > r.getField("dot"), lit(-1))
+        .when(l.getField("dot") < r.getField("dot"), lit(1))
+        .otherwise(l.getField("cell") - r.getField("cell")))
+    transform(slice(sorted, 1, nProbe), s => s.getField("cell"))
+  }
+
   /** Driver-side twin of the IVF cell dots — integer arithmetic, so it
     * agrees with [[graft.functions.QuantizedDots]] bit-for-bit (pinned in
     * `ProductQuantizationSpec`); lets a single-probe query compute its
@@ -1101,6 +1135,174 @@ object Similarity {
   def ivfPqTrainedQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqTrainedTopK(embeddings(spark, dir))
 
+  // ------------------------------------------- n72 residual IVF-PQ
+
+  /**
+   * Per-cell integer centroids: the component-wise mean of each IVF
+   * cell's quantized members, with TRUNCATING integer division — the
+   * same rounding in Spark (`div`), DuckDB (`//` on BIGINT), and Scala
+   * (`/` on Long), so the centroid table rebuilds bit-for-bit in the
+   * oracle. One scan + one (cell, component) partial aggregate
+   * (map-side combine carries it; the shuffle is IvfNList×64 keyed
+   * partials), collected to a plan constant of IvfNList×64 longs — the
+   * bounded-collect class of [[trainedPqCodebook]]: the result NEVER
+   * scales with the corpus, at 100 TB this is the one-pass statistics
+   * job every IVF build already runs. A cell with no members keeps the
+   * zero centroid (its residual degenerates to the raw vector —
+   * harmless: an empty cell also contributes no candidates).
+   */
+  private[graft] def cellCentroids(emb: DataFrame): Array[Array[Long]] = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val qInt = transform(v, x =>
+      floor(x * lit(graft.functions.QuantizedDots.Scale)).cast("long"))
+    val rows = emb
+      .select(ivfCellCol(v).cast("long").as("cell"), qInt.as("q"))
+      .select(col("cell"), posexplode(col("q")).as(Seq("i", "qi")))
+      .groupBy("cell", "i")
+      .agg(expr("sum(qi) div count(*)").as("ctr"))
+      .collect()
+    val out = Array.ofDim[Long](IvfNList, 64)
+    rows.foreach(r => out(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
+    out
+  }
+
+  /** Driver-side residual of a quantized vector against a centroid row
+    * (spec twin of the plan-side zip_with). */
+  private[graft] def residualLocal(q: Array[Long],
+                                   ctr: Array[Long]): Array[Long] =
+    Array.tabulate(q.length)(i => q(i) - ctr(i))
+
+  /**
+   * The shared RESIDUAL IVF-PQ single-query plan (Jégou et al. TPAMI
+   * 2011 §IV-A, round-15 verdict #2): codes are computed on
+   * r = q − centroid(cell) instead of the raw quantized vector, and the
+   * query's LUT is rebuilt PER PROBED CELL from its residual in that
+   * cell — a candidate ranks under its own cell's LUT (the when-chain
+   * over the nProbe probed cells; each arm is the same codegen
+   * [[graft.functions.PqAdcExpr]] with a different plan-literal table).
+   * Same kernels, same geometry, one integer subtraction at encode time:
+   * the residual rides into the existing double-vector encode kernel as
+   * (q − c)/2²⁰ — exact in binary floating point (the numerator is an
+   * integer below 2²¹ and the divisor a power of two), so the kernel's
+   * internal floor(x·2²⁰) recovers q − c bit-for-bit and the whole plan
+   * stays integer end to end ⇒ the md5-codebook variant is HASH-checked
+   * like n61. `nCode` is a parameter: the md5 variant keeps the n61
+   * geometry (16 codewords), the trained variant ships the canonical
+   * 256-codeword resolution (Jégou et al. use k* = 256).
+   */
+  private def ivfPqResidualRank(emb: DataFrame, codebook: Array[Long],
+                                ctr: Array[Array[Long]], nCode: Int,
+                                queryVecId: Long, k: Int,
+                                nProbe: Int): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val qRow = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head()
+    val q = graft.functions.ProductQuantization.quantize(
+      qRow.getSeq[Float](0).map(_.toDouble))
+    val cells = probeCellsLocal(q, nProbe)
+    // one LUT per probed cell, from the query's residual IN that cell
+    val luts: Map[Long, Array[Long]] = cells.map { c =>
+      c -> graft.functions.ProductQuantization.distanceTable(
+        residualLocal(q, ctr(c.toInt)), codebook, PqSubDim, PqNSub, nCode)
+    }.toMap
+    val qInt = transform(v, x =>
+      floor(x * lit(graft.functions.QuantizedDots.Scale)).cast("long"))
+    val ctrLit = array(ctr.map(row => array(row.map(lit(_)): _*)): _*)
+    val resid = zip_with(col("q"),
+      element_at(ctrLit, (col("cell") + 1).cast("int")),
+      (a, b) => (a - b).cast("double") /
+        lit(graft.functions.QuantizedDots.Scale))
+    val adist = cells.tail.foldLeft(
+      when(col("cell") === cells.head, graft.functions.ProductQuantization
+        .adc(col("codes"), luts(cells.head), PqNSub, nCode))) { (acc, c) =>
+      acc.when(col("cell") === c, graft.functions.ProductQuantization
+        .adc(col("codes"), luts(c), PqNSub, nCode))
+    }
+    emb.select(col("vec_id"), col("label"), qInt.as("q"),
+        ivfCellCol(v).as("cell"))
+      .filter(col("cell").isInCollection(cells))
+      .filter(col("vec_id") =!= queryVecId)
+      .withColumn("codes", graft.functions.ProductQuantization
+        .encode(resid, codebook, PqSubDim, PqNSub, nCode))
+      .select(col("vec_id"), col("label"), adist.as("adist"))
+      // the defensive-null ranking contract (see ivfPqRank)
+      .filter(col("adist").isNotNull)
+      .orderBy(col("adist"), col("vec_id"))
+      .limit(k)
+  }
+
+  /** n72 — residual IVF-PQ top-k on the md5 codebook: the n61 plan with
+    * residual encoding, hash-checked end to end (centroids, residuals,
+    * codes, per-cell LUTs all rebuild in DuckDB integer arithmetic).
+    * Recall on the uniform-random fixture is ~n61's (residuals only pay
+    * when the codebook fits their distribution — priced in
+    * `ProbePqRecall`); what this variant buys is ORACLE COVERAGE of the
+    * residual plumbing the trained n73 ranking runs on. */
+  def ivfPqResidualTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+                        nProbe: Int = IvfNProbe): DataFrame =
+    ivfPqResidualRank(emb, pqCodebook, cellCentroids(emb), PqNCode,
+      queryVecId, k, nProbe)
+
+  def ivfPqResidualQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTopK(embeddings(spark, dir))
+
+  // ----------------------------------- n73 trained residual IVF-PQ (k*=256)
+
+  /** The canonical IVFADC code resolution: 256 codewords = 8 bits per
+    * subspace (Jégou et al. TPAMI 2011 use k* = 256 throughout). The
+    * n61/n66/n72 geometry kept 16 codewords so the md5 codebook could
+    * rebuild in DuckDB digit arithmetic; the trained ranking has no such
+    * constraint, and the resolution — not the residual — turns out to be
+    * the dominant quality term on the uniform-random fixture (measured,
+    * `ProbePqRecall` sf0.1: trained16 0.120 → trained256 0.309 →
+    * trained256+residual 0.311 against the 0.72 probe ceiling). Codes
+    * stay 8 small ints; storage is unchanged. */
+  private val PqNCodeHi = 256
+
+  /** Lloyd-trained codebook over RESIDUALS at the k*=256 resolution —
+    * the n66 sample rule (deterministic hash sample, capped, sorted)
+    * with one subtraction against the member's cell centroid before
+    * training. Same no-RNG discipline: same table in, same codebook out. */
+  private[graft] def trainedResidualCodebook(emb: DataFrame,
+                                             ctr: Array[Array[Long]]): Array[Long] = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val sample = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(PqTrainSampleMod)) === 0)
+      .sort("vec_id")
+      .limit(PqTrainCap)
+      .select(v.as("v"), ivfCellCol(v).cast("long").as("cell"))
+      .collect()
+      .map { r =>
+        val q = graft.functions.ProductQuantization.quantize(r.getSeq[Double](0))
+        residualLocal(q, ctr(r.getLong(1).toInt))
+      }
+    graft.functions.ProductQuantization
+      .trainCodebook(sample, PqSubDim, PqNSub, PqNCodeHi)
+  }
+
+  /**
+   * n73 — residual IVF-PQ top-k, TRAINED codebook at the canonical
+   * 256-codeword resolution: the round-15 verdict's quality rung,
+   * measured at recall@5 = 0.311 on the sf0.1 uniform-random fixture —
+   * 2.6× the 16-codeword trained n66 (0.120) and 8× the hash-matched
+   * md5 n61 (0.038), against the 0.72 nProbe=4 probe ceiling — at
+   * IDENTICAL scan cost and storage (8 code ints per vector; the LUT
+   * grows to 8×256 longs, still a plan literal). Lloyd's is
+   * SQL-inexpressible ⇒ rows-only like n66, with the recall floor gated
+   * in `PqRecallSpec`; the residual/centroid PLUMBING it runs on is the
+   * hash-matched n72 plan verbatim.
+   */
+  def ivfPqResidualTrainedTopK(emb: DataFrame, queryVecId: Long = 0L,
+                               k: Int = 5,
+                               nProbe: Int = IvfNProbe): DataFrame = {
+    val ctr = cellCentroids(emb)
+    ivfPqResidualRank(emb, trainedResidualCodebook(emb, ctr), ctr,
+      PqNCodeHi, queryVecId, k, nProbe)
+  }
+
+  def ivfPqResidualTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTrainedTopK(embeddings(spark, dir))
+
   /** The n61 twin computation in DuckDB: rebuild the integer [[ivfDirs]]
     * and [[pqCodebook]] from md5 digit arithmetic, quantize components to
     * `floor(x·2²⁰)`, compute every (vector, subspace, codeword) integer
@@ -1165,6 +1367,90 @@ object Similarity {
        |JOIN embeddings e ON e.vec_id = a.vec_id
        |JOIN assigned ON assigned.vec_id = a.vec_id
        |JOIN probed ON probed.cell = assigned.cell
+       |ORDER BY a.adist, a.vec_id
+       |LIMIT 5""".stripMargin
+
+  /** The n72 twin in DuckDB: the [[ivfPqOracle]] rebuild extended with
+    * the residual plumbing — per-cell integer centroids (truncating
+    * `//`, matching Spark's `div`), residuals for every vector against
+    * its OWN cell, codes from residuals, and the query's LUT rebuilt per
+    * probed cell from ITS residual, joined through the candidate's
+    * assigned cell. Integer end to end; ties identical by construction. */
+  val ivfPqResidualOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), cb AS (
+       |  SELECT m, c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('pq_' || m || '_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (4 - d))) for d in range(5)]) AS BIGINT)
+       |      - 524288 AS comp
+       |  FROM range($PqNSub) t(m), range($PqNCode) u(c), range($PqSubDim) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), exq AS (
+       |  SELECT vec_id, i, i // $PqSubDim AS m, i % $PqSubDim AS si,
+       |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+       |  FROM ex
+       |), dots AS (
+       |  SELECT exq.vec_id, dirs.c, SUM(exq.q * dirs.comp) AS dot
+       |  FROM exq JOIN dirs ON dirs.i = exq.i
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT c AS cell FROM dots WHERE vec_id = 0
+       |  ORDER BY dot DESC, c LIMIT $IvfNProbe
+       |), ctr AS (
+       |  SELECT assigned.cell, exq.i, SUM(exq.q) // COUNT(*) AS ctr
+       |  FROM exq JOIN assigned ON assigned.vec_id = exq.vec_id
+       |  GROUP BY 1, 2
+       |), rq AS (
+       |  SELECT exq.vec_id, exq.m, exq.si, exq.q - ctr.ctr AS r
+       |  FROM exq
+       |  JOIN assigned ON assigned.vec_id = exq.vec_id
+       |  JOIN ctr ON ctr.cell = assigned.cell AND ctr.i = exq.i
+       |), d2 AS (
+       |  SELECT rq.vec_id, cb.m, cb.c,
+       |    SUM((rq.r - cb.comp) * (rq.r - cb.comp)) AS d2
+       |  FROM rq JOIN cb ON cb.m = rq.m AND cb.i = rq.si
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, c AS code FROM d2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, c) = 1
+       |), qrq AS (
+       |  SELECT probed.cell, exq.m, exq.si, exq.q - ctr.ctr AS r
+       |  FROM exq
+       |  CROSS JOIN probed
+       |  JOIN ctr ON ctr.cell = probed.cell AND ctr.i = exq.i
+       |  WHERE exq.vec_id = 0
+       |), lut AS (
+       |  SELECT qrq.cell, cb.m, cb.c,
+       |    SUM((qrq.r - cb.comp) * (qrq.r - cb.comp)) AS d2
+       |  FROM qrq JOIN cb ON cb.m = qrq.m AND cb.i = qrq.si
+       |  GROUP BY 1, 2, 3
+       |), adist AS (
+       |  SELECT codes.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adist
+       |  FROM codes
+       |  JOIN assigned ON assigned.vec_id = codes.vec_id
+       |  JOIN lut ON lut.cell = assigned.cell
+       |          AND lut.m = codes.m AND lut.c = codes.code
+       |  WHERE codes.vec_id <> 0
+       |  GROUP BY 1
+       |)
+       |SELECT a.vec_id, e.label, a.adist
+       |FROM adist a
+       |JOIN embeddings e ON e.vec_id = a.vec_id
        |ORDER BY a.adist, a.vec_id
        |LIMIT 5""".stripMargin
 

@@ -21,7 +21,14 @@ import graft.ops.Similarity
  *               (`Similarity.trainedPqCodebook`: hash-sampled, capped,
  *               deterministic Lloyd's — the Jegou et al. construction),
  *               same geometry, pricing what md5's oracle-reproducibility
- *               costs in retrieval quality.
+ *               costs in retrieval quality;
+ *   adc_md5_res / adc_trained_res — RESIDUAL encoding (Jégou et al.
+ *               §IV-A, round-15 verdict #2): codes are computed on
+ *               q − centroid(cell) (integer per-cell member means), the
+ *               query's LUT is rebuilt per probed cell from ITS residual,
+ *               with the md5 codebook and a codebook Lloyd-trained on the
+ *               residuals respectively. Same kernels, same geometry, one
+ *               subtraction at encode time.
  *
  * All arithmetic is the driver twins pinned bit-equal to the kernels
  * (`ProductQuantizationSpec`), so the numbers ARE the shipped ranking's.
@@ -57,6 +64,39 @@ object ProbePqRecall {
     // the SHIPPED n66 construction: hash-sampled, capped, deterministic
     val cbTrained = Similarity.trainedPqCodebook(emb)
 
+    // residual machinery (round-15 verdict #2): integer per-cell member
+    // means (truncating division — the shipped `cellCentroids` rule),
+    // residuals against the OWN cell, and a codebook trained on residuals
+    val (nList, _) = Similarity.debugIvfGeometry
+    val dim = vecs.head.length
+    val ctr = Array.ofDim[Long](nList, dim)
+    val cnt = new Array[Long](nList)
+    (0 until n).foreach { j =>
+      val c = cells(j).toInt
+      cnt(c) += 1
+      var i = 0
+      while (i < dim) { ctr(c)(i) += qs(j)(i); i += 1 }
+    }
+    (0 until nList).foreach { c =>
+      if (cnt(c) > 0) {
+        var i = 0
+        while (i < dim) { ctr(c)(i) /= cnt(c); i += 1 }
+      }
+    }
+    val resids = (0 until n).map { j =>
+      val c = cells(j).toInt
+      Array.tabulate(dim)(i => qs(j)(i) - ctr(c)(i))
+    }.toArray
+    val cbTrainedRes = ProductQuantization
+      .trainCodebook(resids, subDim, nSub, nCode)
+    // the canonical IVFADC code resolution (Jégou et al. use k* = 256
+    // codewords = 8 bits per subspace; the shipped n61 geometry's 16 was
+    // sized for the DuckDB oracle's md5 rebuild) — priced here at both
+    // raw and residual encodings before any geometry change ships
+    val nCode256 = 256
+    val cbTr256 = ProductQuantization.trainCodebook(qs, subDim, nSub, nCode256)
+    val cbTrRes256 = ProductQuantization.trainCodebook(resids, subDim, nSub, nCode256)
+
     def topIdx(scores: Array[Double], self: Int, asc: Boolean,
                keep: Int => Boolean = _ => true): Seq[Int] =
       (0 until n).filter(j => j != self && keep(j) && !scores(j).isNaN)
@@ -64,8 +104,14 @@ object ProbePqRecall {
         .take(k)
 
     var rIvfExact = 0.0; var rMd5 = 0.0; var rMd5NoIvf = 0.0; var rTrained = 0.0
+    var rMd5Res = 0.0; var rTrainedRes = 0.0
+    var rTrained256 = 0.0; var rTrainedRes256 = 0.0
     val codesMd5 = qs.map(q => ProductQuantization.encodeLocal(q, cbMd5, subDim, nSub, nCode))
     val codesTr = qs.map(q => ProductQuantization.encodeLocal(q, cbTrained, subDim, nSub, nCode))
+    val codesMd5Res = resids.map(r => ProductQuantization.encodeLocal(r, cbMd5, subDim, nSub, nCode))
+    val codesTrRes = resids.map(r => ProductQuantization.encodeLocal(r, cbTrainedRes, subDim, nSub, nCode))
+    val codesTr256 = qs.map(q => ProductQuantization.encodeLocal(q, cbTr256, subDim, nSub, nCode256))
+    val codesTrRes256 = resids.map(r => ProductQuantization.encodeLocal(r, cbTrRes256, subDim, nSub, nCode256))
 
     (0 until n).foreach { self =>
       val u = units(self)
@@ -84,10 +130,34 @@ object ProbePqRecall {
       rMd5 += recall(topIdx(aMd5, self, asc = true, inProbe))
       rMd5NoIvf += recall(topIdx(aMd5, self, asc = true))
       rTrained += recall(topIdx(aTr, self, asc = true, inProbe))
+      // residual ranking: the query's LUT is rebuilt per probed cell from
+      // its residual IN that cell; a candidate ranks under its own cell's
+      // LUT (Jégou et al. §IV-A — asymmetric distance on residuals)
+      def adistRes(codes: Array[Array[Int]], cb: Array[Long], nc: Int): Array[Double] = {
+        val lutByCell = probed.toSeq.map { c =>
+          val r = Array.tabulate(qs(self).length)(i => qs(self)(i) - ctr(c.toInt)(i))
+          c -> ProductQuantization.distanceTable(r, cb, subDim, nSub, nc)
+        }.toMap
+        Array.tabulate(n) { j =>
+          lutByCell.get(cells(j)) match {
+            case Some(lut) =>
+              codes(j).zipWithIndex.map { case (c, m) => lut(m * nc + c) }.sum.toDouble
+            case None => Double.NaN // unprobed cell: excluded by inProbe anyway
+          }
+        }
+      }
+      rMd5Res += recall(topIdx(adistRes(codesMd5Res, cbMd5, nCode), self, asc = true, inProbe))
+      rTrainedRes += recall(topIdx(adistRes(codesTrRes, cbTrainedRes, nCode), self, asc = true, inProbe))
+      val lut256 = ProductQuantization.distanceTable(qs(self), cbTr256, subDim, nSub, nCode256)
+      val a256 = codesTr256.map(cs => cs.zipWithIndex.map { case (c, m) => lut256(m * nCode256 + c) }.sum.toDouble)
+      rTrained256 += recall(topIdx(a256, self, asc = true, inProbe))
+      rTrainedRes256 += recall(topIdx(adistRes(codesTrRes256, cbTrRes256, nCode256), self, asc = true, inProbe))
     }
     println(f"PQRECALL sf=$sfDir n=$n k=$k nProbe=$nProbe/${Similarity.debugIvfGeometry._1} " +
       f"ivf_exact=${rIvfExact / n}%.4f adc_md5=${rMd5 / n}%.4f " +
-      f"adc_md5_noivf=${rMd5NoIvf / n}%.4f adc_trained=${rTrained / n}%.4f")
+      f"adc_md5_noivf=${rMd5NoIvf / n}%.4f adc_trained=${rTrained / n}%.4f " +
+      f"adc_md5_res=${rMd5Res / n}%.4f adc_trained_res=${rTrainedRes / n}%.4f " +
+      f"adc_trained256=${rTrained256 / n}%.4f adc_trained_res256=${rTrainedRes256 / n}%.4f")
     spark.stop()
   }
 }

@@ -61,6 +61,40 @@ class Sq8Spec extends AnyFunSuite {
     assert(mism.head.isNullAt(0), "mismatched code lengths must dot to null")
   }
 
+  test("non-finite components (a zero-norm unit vector) encode to null, not code 0") {
+    // round-15 advice: (long) floor(NaN) is 0 on the JVM, so without the
+    // finiteness guard a zero-norm embedding would silently encode to the
+    // all-zero code while the DuckDB oracle errors — the kernel nulls
+    // instead, in BOTH the codegen and interpreted paths
+    import spark.implicits._
+    Seq(Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity).foreach { bad =>
+      val v = Seq((1L, Seq.fill(63)(0.1) :+ bad)).toDF("id", "u")
+      val cg = v.select(ScalarQuantization.encode(col("u"), 64).as("c")).collect()
+      assert(cg.head.isNullAt(0), s"codegen path must null on $bad")
+      // interpreted path: evaluate the catalyst expression directly
+      val lit = org.apache.spark.sql.catalyst.expressions.Literal.create(
+        Seq.fill(63)(0.1) :+ bad,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+      assert(Sq8EncodeExpr(lit, 64).eval(null) == null,
+        s"interpreted path must null on $bad")
+    }
+    // upstream today, a zero-norm embedding never reaches the kernel:
+    // under ANSI mode (the session default) unitVector's x/0.0 raises
+    // DIVIDE_BY_ZERO at normalization — pin that, so if normalization
+    // is ever relaxed to NaN semantics the kernel guard above is what
+    // keeps the ranking honest
+    val z = Seq((1L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    val divByZero = intercept[Exception] {
+      z.select(ScalarQuantization
+        .encode(graft.ops.Dedup.unitVector(col("embedding")), 64).as("c")).collect()
+    }
+    assert(divByZero.getMessage.contains("DIVIDE_BY_ZERO"),
+      s"expected the ANSI normalization error, got: ${divByZero.getMessage.take(120)}")
+    intercept[IllegalArgumentException] {
+      ScalarQuantization.encodeLocal(Seq(Double.NaN))
+    }
+  }
+
   test("clamp endpoints: components at ±1 code to ±127, and the clamp engages past them") {
     assert(ScalarQuantization.encodeLocal(Seq(1.0)).head === 127.toByte)
     assert(ScalarQuantization.encodeLocal(Seq(-1.0)).head === (-127).toByte)

@@ -57,10 +57,20 @@ class PqRecallSpec extends AnyFunSuite {
         .sortBy(j => (if (asc) score(j) else -score(j), ids(j)))
         .take(k).toSet
 
+    // residual machinery (round-15 verdict #2 / round-16): shipped
+    // centroids + the n73 trained-residual codebook at k* = 256
+    val ctr = Similarity.cellCentroids(emb)
+    val cbRes = Similarity.trainedResidualCodebook(emb, ctr)
+    val nCodeHi = cbRes.length / (nSub * subDim)
+    val resids = (0 until n).map(j =>
+      Similarity.residualLocal(qs(j), ctr(cells(j).toInt))).toArray
+    val cr = resids.map(r =>
+      ProductQuantization.encodeLocal(r, cbRes, subDim, nSub, nCodeHi))
+
     // every 4th vector as query: 500 deterministic queries — the recall
     // mean is exact either way, the subsample keeps the suite fast
     val queries = (0 until n).filter(ids(_) % 4 == 0)
-    var rIvf = 0.0; var rMd5 = 0.0; var rTr = 0.0
+    var rIvf = 0.0; var rMd5 = 0.0; var rTr = 0.0; var rRes = 0.0
     queries.foreach { self =>
       val u = units(self)
       val cos = units.map { w =>
@@ -84,9 +94,24 @@ class PqRecallSpec extends AnyFunSuite {
       rIvf += recall(topIdx(cos, self, asc = false, inP))
       rMd5 += recall(topIdx(adist(cm, lutM), self, asc = true, inP))
       rTr += recall(topIdx(adist(ct, lutT), self, asc = true, inP))
+      // the n73 ranking: per-probed-cell LUTs from the query's residual
+      val lutByCell = probed.toSeq.map { c =>
+        c -> ProductQuantization.distanceTable(
+          Similarity.residualLocal(qs(self), ctr(c.toInt)),
+          cbRes, subDim, nSub, nCodeHi)
+      }.toMap
+      val aRes = Array.tabulate(n) { j =>
+        lutByCell.get(cells(j)).fold(Double.MaxValue) { lut =>
+          var s = 0L; var m = 0
+          while (m < nSub) { s += lut(m * nCodeHi + cr(j)(m)); m += 1 }
+          s.toDouble
+        }
+      }
+      rRes += recall(topIdx(aRes, self, asc = true, inP))
     }
     val (ivf, md5R, tr) = (rIvf / queries.size, rMd5 / queries.size, rTr / queries.size)
-    info(f"recall@5 sf0.1 (${queries.size} queries): ivf_exact=$ivf%.4f adc_md5=$md5R%.4f adc_trained=$tr%.4f")
+    val res = rRes / queries.size
+    info(f"recall@5 sf0.1 (${queries.size} queries): ivf_exact=$ivf%.4f adc_md5=$md5R%.4f adc_trained=$tr%.4f adc_residual256=$res%.4f")
     // floors from the round-15 quiet measurement (ivf 0.72 / md5 0.038 /
     // trained 0.12 on the full query set) with headroom for a future
     // testdata regeneration — uniform-random vectors are the PQ worst
@@ -98,6 +123,39 @@ class PqRecallSpec extends AnyFunSuite {
     assert(tr >= 2.5 * md5R,
       f"training no longer pays: trained=$tr%.4f vs md5=$md5R%.4f — " +
         "if deliberate, retire n66 and update BASELINE.md")
+    // the round-15 verdict #2 target was ≥ 2× n66's 0.120: measured 0.31
+    // (the resolution rung — k* 16→256 — carries it; the residual adds
+    // ~1% on the uniform fixture, see ProbePqRecall). Floor with the
+    // same regeneration headroom policy as the gates above.
+    assert(res >= 0.22, f"n73 residual-trained recall $res%.4f below 0.22")
+    assert(res >= 2.0 * tr,
+      f"the k*=256 residual rung no longer pays: res=$res%.4f vs trained16=$tr%.4f — " +
+        "if deliberate, retire n73 and update BASELINE.md")
+  }
+
+  test("shipped cellCentroids equals the driver-twin computation (residual parity)") {
+    // the recall numbers above rank with driver twins; this pins the
+    // shipped Spark centroid job (ivfCellCol + posexplode + `div`) to
+    // the local truncating-mean they assume, at sf0.001
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val got = Similarity.cellCentroids(emb)
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble))
+    val (nList, _) = Similarity.debugIvfGeometry
+    val want = Array.ofDim[Long](nList, 64)
+    val cnt = new Array[Long](nList)
+    rows.foreach { v =>
+      val q = ProductQuantization.quantize(v)
+      val c = Similarity.probeCellsLocal(q, 1).head.toInt
+      cnt(c) += 1
+      (0 until 64).foreach(i => want(c)(i) += q(i))
+    }
+    (0 until nList).foreach { c =>
+      if (cnt(c) > 0) (0 until 64).foreach(i => want(c)(i) /= cnt(c))
+    }
+    (0 until nList).foreach { c =>
+      assert(got(c).toSeq === want(c).toSeq, s"centroid mismatch in cell $c")
+    }
   }
 
   test("planted near-duplicates are retrieved through the n63 incremental index") {

@@ -58,12 +58,47 @@ def load_bench(path):
     return {k: float(v) for k, v in qs}
 
 
+def diff_mode(path_a, path_b):
+    """Two run files: print per-query ratios side by side (round-15
+    verdict #7 — this replaces the three manual probe runs the round-15
+    breach adjudication needed)."""
+    a, b = load_bench(path_a), load_bench(path_b)
+    mins = load_mins()
+    common = sorted(set(a) & set(b))
+    print(f"{'query':34s} {'A':>8s} {'B':>8s} {'B/A':>6s} {'A/min':>6s} "
+          f"{'B/min':>6s}")
+    for q in common:
+        va, vb = a[q], b[q]
+        ratio = vb / va if va > 0 else float("nan")
+        m = mins.get(q)
+        am = f"{va / m:6.2f}" if m else "     -"
+        bm = f"{vb / m:6.2f}" if m else "     -"
+        flag = " <<" if (m and (va > 2 * m) != (vb > 2 * m)) else ""
+        print(f"{q:34s} {va:8.2f} {vb:8.2f} {ratio:6.2f} {am} {bm}{flag}")
+    only_a = sorted(set(a) - set(b))
+    only_b = sorted(set(b) - set(a))
+    if only_a:
+        print(f"only in A: {', '.join(only_a)}")
+    if only_b:
+        print(f"only in B: {', '.join(only_b)}")
+    sa = sum(v for v in a.values() if v > 0)
+    sb = sum(v for v in b.values() if v > 0)
+    print(f"{len(common)} common queries; totals A={sa:.1f}s B={sb:.1f}s; "
+          "'<<' marks queries whose 2x-of-min verdict differs between runs")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("bench", nargs="?",
                     default=str(BASELINE.parent / "target" / "bench.json"))
+    ap.add_argument("bench_b", nargs="?", default=None,
+                    help="second run file: switch to side-by-side diff mode")
     ap.add_argument("--max-ratio", type=float, default=2.0)
     args = ap.parse_args()
+
+    if args.bench_b:
+        diff_mode(args.bench, args.bench_b)
+        return
 
     mins = load_mins()
     bench = load_bench(args.bench)
