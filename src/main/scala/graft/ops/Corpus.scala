@@ -1048,4 +1048,53 @@ object Corpus {
        |FROM f
        |GROUP BY source
        |ORDER BY source""".stripMargin
+
+  // ------------------------------------- n74 dataset card + near-dup rate
+
+  /**
+   * n74 — the n70 dataset card extended with the NEAR-dup rate (round-15
+   * verdict #6): a real data card reports both duplicate classes, and
+   * the near-dup verdicts come from the n38 manifest VERBATIM
+   * ([[Dedup.dedupManifestQuery]] — banded candidates, exact verify,
+   * min-label closure, the hash-matched pipeline), so the card cannot
+   * disagree with the dedup operator it summarizes.
+   *
+   * Scale shape: the card half is n70's single scan + rollup; the
+   * manifest half is the n38 pipeline the corpus runs anyway, REDUCED to
+   * S per-source counts before the join — so the glue is one
+   * broadcast-sized left join on source, not a second corpus-wide join.
+   */
+  def datasetCardNearDupQuery(spark: SparkSession, dir: String): DataFrame = {
+    val nd = Dedup.dedupManifestQuery(spark, dir)
+      .groupBy("source")
+      .agg(sum(when(col("verdict") === "near_dup", 1L).otherwise(0L))
+        .as("near_dup_docs"))
+    datasetCardQuery(spark, dir)
+      .join(broadcast(nd), Seq("source"), "left")
+      .withColumn("near_dup_docs", coalesce(col("near_dup_docs"), lit(0L)))
+      .withColumn("near_dup_frac",
+        col("near_dup_docs").cast("double") / col("n_docs").cast("double"))
+      .orderBy("source")
+  }
+
+  /** The n70 card oracle and the n38 manifest oracle composed as CTEs —
+    * both hash-matched on their own, so the extension is mechanical. */
+  val datasetCardNearDupOracle: String =
+    s"""WITH man AS (
+       |${Dedup.dedupManifestOracle}
+       |), card AS (
+       |$datasetCardOracle
+       |)
+       |SELECT card.*,
+       |  COALESCE(nd.near_dup_docs, 0) AS near_dup_docs,
+       |  CAST(COALESCE(nd.near_dup_docs, 0) AS DOUBLE)
+       |    / CAST(card.n_docs AS DOUBLE) AS near_dup_frac
+       |FROM card
+       |LEFT JOIN (
+       |  SELECT source,
+       |    CAST(SUM(CASE WHEN verdict = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS near_dup_docs
+       |  FROM man GROUP BY source
+       |) nd USING (source)
+       |ORDER BY source""".stripMargin
 }

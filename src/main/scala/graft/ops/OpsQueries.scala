@@ -117,6 +117,9 @@ object OpsQueries {
     // k*=256 resolution: recall 0.31 vs n66's 0.12 / n61's 0.04
     // (ProbePqRecall sf0.1; gated in PqRecallSpec) — rows-only like n66
     "n73_ivf_pq_residual_trained" -> (Similarity.ivfPqResidualTrainedQuery _),
+    // the n70 card + the near-dup rate from the n38 manifest verdicts,
+    // reduced to S per-source counts before a broadcast join
+    "n74_card_neardup" -> (Corpus.datasetCardNearDupQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +222,7 @@ object OpsQueries {
     "n72_ivf_pq_residual" -> Similarity.ivfPqResidualOracle,
     // n73 omitted: Lloyd-trained codebook is SQL-inexpressible (rows-only;
     // recall floor + planted-duplicate theorem gated in PqRecallSpec)
+    // the n70 and n38 oracles composed as CTEs: hash-matched
+    "n74_card_neardup" -> Corpus.datasetCardNearDupOracle,
   )
 }

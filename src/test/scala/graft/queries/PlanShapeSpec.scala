@@ -215,6 +215,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"n66 plans a shuffle:\n$p")
   }
 
+  test("n72 residual ivf-pq: the n61 shuffle-free scan shape with residual encode and per-cell LUT chain") {
+    val p = plan("n72_ivf_pq_residual")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"n72 does not plan the PQ kernels:\n$p")
+    // centroids are a separate bounded job collected to a plan literal;
+    // the ranking itself must stay ONE shuffle-free scan stage like n61
+    assert(!p.contains("Exchange"), s"n72 plans a shuffle:\n$p")
+    // the per-probed-cell LUT dispatch is a CASE chain of ADC arms, one
+    // per probed cell — all codegen, no join against a LUT table
+    assert("(?s)CASE WHEN.*pq_adc.*pq_adc".r.findFirstIn(p).isDefined,
+      s"n72 does not plan the per-cell LUT when-chain:\n$p")
+  }
+
+  test("n73 trained residual ivf-pq: the n72 shape, trained k*=256 codebook as plan literal") {
+    val p = plan("n73_ivf_pq_residual_trained")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"n73 does not plan the PQ kernels:\n$p")
+    assert(!p.contains("Exchange"), s"n73 plans a shuffle:\n$p")
+  }
+
+  test("n74 card+neardup: the n70 rollup joined to S-row manifest counts by broadcast, no cartesian") {
+    val p = assertNoPairBlowup("n74_card_neardup")
+    assert(p.contains("BroadcastHashJoin"),
+      s"n74 manifest-count join is not a broadcast:\n$p")
+  }
+
   test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
     val p = plan("n62_domain_cap")
     assert(p.contains("TopKPerKey"),
