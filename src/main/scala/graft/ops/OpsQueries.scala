@@ -120,6 +120,12 @@ object OpsQueries {
     // the n70 card + the near-dup rate from the n38 manifest verdicts,
     // reduced to S per-source counts before a broadcast join
     "n74_card_neardup" -> (Corpus.datasetCardNearDupQuery _),
+    // IVFADC-R (Jégou §V): ADC shortlist at R=100, exact integer re-rank
+    // of only those R vectors — integer end to end ⇒ hash-checked
+    "n75_ivf_pq_rerank" -> (Similarity.ivfPqRerankQuery _),
+    // the re-rank over the trained-residual-256 shortlist: recall@5 0.71
+    // vs the 0.72 IVF probe ceiling at sf0.1 (gated in PqRecallSpec)
+    "n76_ivf_pq_rerank_trained" -> (Similarity.ivfPqResidualTrainedRerankQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -224,5 +230,9 @@ object OpsQueries {
     // recall floor + planted-duplicate theorem gated in PqRecallSpec)
     // the n70 and n38 oracles composed as CTEs: hash-matched
     "n74_card_neardup" -> Corpus.datasetCardNearDupOracle,
+    // shortlist boundary and re-rank scores both integer: hash-matched
+    "n75_ivf_pq_rerank" -> Similarity.ivfPqRerankOracle,
+    // n76 omitted: trained codebook (rows-only; recall ceiling gated in
+    // PqRecallSpec — the re-rank mechanics are n75's, hash-matched there)
   )
 }

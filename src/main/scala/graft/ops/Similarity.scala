@@ -1303,6 +1303,78 @@ object Similarity {
   def ivfPqResidualTrainedQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqResidualTrainedTopK(embeddings(spark, dir))
 
+  // ------------------------- n75/n76 IVFADC-R: exact re-rank of the shortlist
+
+  /**
+   * The exact re-rank tail (Jégou et al. TPAMI 2011 §V, "IVFADC-R"):
+   * given an ADC shortlist of R candidates, fetch ONLY those R full
+   * vectors by key (a broadcast-semi of R ids against the vector store —
+   * at 100 TB this is R point lookups, never a second corpus scan) and
+   * re-score them with the exact integer quantized dot (the n60 verify:
+   * unit vectors quantized once to integral doubles, codegen
+   * [[graft.functions.DotProduct]], every partial sum an exact integer —
+   * order-independent, so the re-rank hash-matches in DuckDB). This is
+   * the standard two-stage retrieval economics: the wide scan reads
+   * 8-int codes, the 512-byte vectors are touched R times per query.
+   *
+   * Measured motivation (`ProbePqRecall` sf0.1, R=100): recall@5 jumps
+   * to 0.29 over the md5 shortlist (vs 0.04 ranking on ADC alone) and to
+   * **0.71 over the trained-residual-256 shortlist — the 0.72 IVF probe
+   * ceiling**, i.e. the re-rank recovers ~98% of what the coarse
+   * quantizer admits; code resolution stops mattering once the shortlist
+   * captures the true neighbors.
+   */
+  private def exactRerank(emb: DataFrame, shortlist: DataFrame,
+                          queryVecId: Long, k: Int): DataFrame = {
+    val qv = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
+    // driver twin of Dedup.unitVector + the n60 quantUnit (same fold
+    // order: sequential sum of squares, one division, floor(u·2^20))
+    val nrm = math.sqrt(qv.map(x => x * x).sum)
+    val qu = (if (nrm == 0) qv else qv.map(_ / nrm))
+      .map(x => math.floor(x * 1048576.0))
+    val quLit = array(qu.map(lit(_)): _*)
+    def quantUnit(c: Column): Column =
+      transform(Dedup.unitVector(c), x =>
+        floor(x * lit(1048576.0)).cast("double"))
+    emb.join(broadcast(shortlist.select("vec_id")), "vec_id")
+      .select(col("vec_id"), col("label"),
+        graft.functions.DotProduct(quantUnit(col("embedding")), quLit)
+          .cast("long").as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** n75 — IVFADC-R on the md5 codebook: the n61 shuffle-free ADC scan
+    * cut at R instead of k, then the exact integer re-rank — every stage
+    * integer ⇒ HASH-checked end to end (shortlist membership, re-rank
+    * scores, and the final order all rebuild in DuckDB). */
+  def ivfPqRerankTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
+                      r: Int = 100, nProbe: Int = IvfNProbe): DataFrame =
+    exactRerank(emb,
+      ivfPqRank(emb, pqCodebook, queryVecId, r, nProbe), queryVecId, k)
+
+  def ivfPqRerankQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqRerankTopK(embeddings(spark, dir))
+
+  /** n76 — IVFADC-R over the TRAINED residual-256 shortlist (the n73
+    * plan cut at R): the shipped quality ceiling — measured recall@5
+    * 0.71 vs the 0.72 probe ceiling at sf0.1. Rows-only like n66/n73
+    * (the trained codebook is SQL-inexpressible); the re-rank mechanics
+    * are the hash-matched n75's verbatim and the recall floor is gated
+    * in `PqRecallSpec`. */
+  def ivfPqResidualTrainedRerankTopK(emb: DataFrame, queryVecId: Long = 0L,
+                                     k: Int = 5, r: Int = 100,
+                                     nProbe: Int = IvfNProbe): DataFrame = {
+    val ctr = cellCentroids(emb)
+    val shortlist = ivfPqResidualRank(emb,
+      trainedResidualCodebook(emb, ctr), ctr, PqNCodeHi, queryVecId, r, nProbe)
+    exactRerank(emb, shortlist, queryVecId, k)
+  }
+
+  def ivfPqResidualTrainedRerankQuery(spark: SparkSession, dir: String): DataFrame =
+    ivfPqResidualTrainedRerankTopK(embeddings(spark, dir))
+
   /** The n61 twin computation in DuckDB: rebuild the integer [[ivfDirs]]
     * and [[pqCodebook]] from md5 digit arithmetic, quantize components to
     * `floor(x·2²⁰)`, compute every (vector, subspace, codeword) integer
@@ -1452,6 +1524,91 @@ object Similarity {
        |FROM adist a
        |JOIN embeddings e ON e.vec_id = a.vec_id
        |ORDER BY a.adist, a.vec_id
+       |LIMIT 5""".stripMargin
+
+  /** The n75 twin in DuckDB: the [[ivfPqOracle]] rebuild cut at R = 100
+    * (shortlist membership is integer-exact, so both engines agree on
+    * the R-th boundary), then the n60-style exact quantized-dot re-rank
+    * over the shortlist — unit vectors, floor(u·2²⁰) BIGINT products,
+    * (qdot DESC, vec_id) final order. Integer end to end. */
+  val ivfPqRerankOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), cb AS (
+       |  SELECT m, c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('pq_' || m || '_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (4 - d))) for d in range(5)]) AS BIGINT)
+       |      - 524288 AS comp
+       |  FROM range($PqNSub) t(m), range($PqNCode) u(c), range($PqSubDim) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), exq AS (
+       |  SELECT vec_id, i, i // $PqSubDim AS m, i % $PqSubDim AS si,
+       |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+       |  FROM ex
+       |), dots AS (
+       |  SELECT exq.vec_id, dirs.c, SUM(exq.q * dirs.comp) AS dot
+       |  FROM exq JOIN dirs ON dirs.i = exq.i
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT c AS cell FROM dots WHERE vec_id = 0
+       |  ORDER BY dot DESC, c LIMIT $IvfNProbe
+       |), d2 AS (
+       |  SELECT exq.vec_id, cb.m, cb.c,
+       |    SUM((exq.q - cb.comp) * (exq.q - cb.comp)) AS d2
+       |  FROM exq JOIN cb ON cb.m = exq.m AND cb.i = exq.si
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, c AS code FROM d2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, c) = 1
+       |), lut AS (
+       |  SELECT m, c, d2 FROM d2 WHERE vec_id = 0
+       |), adist AS (
+       |  SELECT codes.vec_id, CAST(SUM(lut.d2) AS BIGINT) AS adist
+       |  FROM codes JOIN lut ON lut.m = codes.m AND lut.c = codes.code
+       |  WHERE codes.vec_id <> 0
+       |  GROUP BY 1
+       |), short AS (
+       |  SELECT a.vec_id
+       |  FROM adist a
+       |  JOIN assigned ON assigned.vec_id = a.vec_id
+       |  JOIN probed ON probed.cell = assigned.cell
+       |  ORDER BY a.adist, a.vec_id
+       |  LIMIT 100
+       |), exd AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), nr AS (
+       |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM exd GROUP BY vec_id
+       |), uv AS (
+       |  SELECT exd.vec_id, v / nrm AS u, i FROM exd JOIN nr USING (vec_id)
+       |), qdot AS (
+       |  SELECT s.vec_id,
+       |    CAST(SUM(CAST(floor(a.u * 1048576.0) AS BIGINT) *
+       |             CAST(floor(b.u * 1048576.0) AS BIGINT)) AS BIGINT) AS qdot
+       |  FROM short s
+       |  JOIN uv a ON a.vec_id = s.vec_id
+       |  JOIN uv b ON b.vec_id = 0 AND b.i = a.i
+       |  GROUP BY 1
+       |)
+       |SELECT q.vec_id, e.label, q.qdot
+       |FROM qdot q
+       |JOIN embeddings e ON e.vec_id = q.vec_id
+       |ORDER BY q.qdot DESC, q.vec_id
        |LIMIT 5""".stripMargin
 
   /** All-pairs cosine (the n05 CTE chain, no threshold), symmetrized, then

@@ -71,6 +71,7 @@ class PqRecallSpec extends AnyFunSuite {
     // mean is exact either way, the subsample keeps the suite fast
     val queries = (0 until n).filter(ids(_) % 4 == 0)
     var rIvf = 0.0; var rMd5 = 0.0; var rTr = 0.0; var rRes = 0.0
+    var rRerank = 0.0
     queries.foreach { self =>
       val u = units(self)
       val cos = units.map { w =>
@@ -108,10 +109,17 @@ class PqRecallSpec extends AnyFunSuite {
         }
       }
       rRes += recall(topIdx(aRes, self, asc = true, inP))
+      // the n76 ranking: exact re-rank of the trained-residual shortlist
+      // (IVFADC-R, R=100) — recall should sit AT the probe ceiling
+      val shortlist = (0 until n)
+        .filter(j => j != self && inP(j) && aRes(j) != Double.MaxValue)
+        .sortBy(j => (aRes(j), ids(j))).take(100)
+      rRerank += recall(shortlist.sortBy(j => (-cos(j), ids(j))).take(k).toSet)
     }
     val (ivf, md5R, tr) = (rIvf / queries.size, rMd5 / queries.size, rTr / queries.size)
     val res = rRes / queries.size
-    info(f"recall@5 sf0.1 (${queries.size} queries): ivf_exact=$ivf%.4f adc_md5=$md5R%.4f adc_trained=$tr%.4f adc_residual256=$res%.4f")
+    val rr = rRerank / queries.size
+    info(f"recall@5 sf0.1 (${queries.size} queries): ivf_exact=$ivf%.4f adc_md5=$md5R%.4f adc_trained=$tr%.4f adc_residual256=$res%.4f rerank_R100=$rr%.4f")
     // floors from the round-15 quiet measurement (ivf 0.72 / md5 0.038 /
     // trained 0.12 on the full query set) with headroom for a future
     // testdata regeneration — uniform-random vectors are the PQ worst
@@ -131,6 +139,12 @@ class PqRecallSpec extends AnyFunSuite {
     assert(res >= 2.0 * tr,
       f"the k*=256 residual rung no longer pays: res=$res%.4f vs trained16=$tr%.4f — " +
         "if deliberate, retire n73 and update BASELINE.md")
+    // the n76 IVFADC-R gate: the exact re-rank must recover (nearly) the
+    // coarse quantizer's ceiling — measured 0.7067 vs 0.7196 full-set;
+    // anything far below it means the shortlist stopped capturing
+    assert(rr >= 0.55, f"n76 re-rank recall $rr%.4f below 0.55")
+    assert(rr >= 0.85 * ivf,
+      f"re-rank no longer reaches the probe ceiling: rerank=$rr%.4f vs ivf=$ivf%.4f")
   }
 
   test("shipped cellCentroids equals the driver-twin computation (residual parity)") {

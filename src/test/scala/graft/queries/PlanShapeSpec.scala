@@ -243,6 +243,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n74 manifest-count join is not a broadcast:\n$p")
   }
 
+  test("n75 ivfadc-r: ADC shortlist stage + broadcast re-rank fetch, no second corpus shuffle") {
+    val p = plan("n75_ivf_pq_rerank")
+    assert(p.contains("pq_adc"), s"n75 shortlist does not rank on the ADC kernel:\n$p")
+    // the R full vectors are fetched by a BROADCAST of the shortlist ids —
+    // the two-stage retrieval shape: codes scan wide, vectors touched R times
+    assert(p.contains("BroadcastHashJoin"),
+      s"n75 re-rank fetch is not a broadcast semi/inner:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("n76 trained ivfadc-r: the n75 shape on the trained-residual shortlist") {
+    val p = plan("n76_ivf_pq_rerank_trained")
+    assert(p.contains("pq_adc") && p.contains("BroadcastHashJoin")
+      && p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
     val p = plan("n62_domain_cap")
     assert(p.contains("TopKPerKey"),
