@@ -210,6 +210,49 @@ object ProbePqRecall {
       rMd5Rr += recall(rerank(aMd5, rerankR))
       rTrainedRes256Rr += recall(rerank(aRes256, rerankR))
     }
+    // the nProbe dial (the "sweep" mode): with the exact re-rank at the
+    // probe ceiling, nProbe is THE recall lever — and also the scan-cost
+    // lever (candidates scanned ∝ probed-cell mass). One line per
+    // setting: the ceiling, the shipped n76 ranking, and the fraction of
+    // the corpus the probed cells contain (the 100 TB read fraction).
+    if (args.contains("sweep")) {
+      (1 to Similarity.debugIvfGeometry._1).foreach { np =>
+        var rIvfS = 0.0; var rRrS = 0.0; var scanned = 0L
+        (0 until n).foreach { self =>
+          val u = units(self)
+          val cos = units.map { w =>
+            var s = 0.0; var i = 0
+            while (i < u.length) { s += u(i) * w(i); i += 1 }
+            s
+          }
+          val exact = topIdx(cos, self, asc = false).toSet
+          val probedS = Similarity.probeCellsLocal(qs(self), np).toSet
+          val inP: Int => Boolean = j => probedS.contains(cells(j))
+          scanned += (0 until n).count(j => j != self && inP(j))
+          def recallS(got: Seq[Int]): Double =
+            got.toSet.intersect(exact).size.toDouble / exact.size
+          rIvfS += recallS(topIdx(cos, self, asc = false, inP))
+          val lutByCell = probedS.toSeq.map { c =>
+            c -> ProductQuantization.distanceTable(
+              Array.tabulate(qs(self).length)(i => qs(self)(i) - ctr(c.toInt)(i)),
+              cbTrRes256, subDim, nSub, nCode256)
+          }.toMap
+          val aRes = Array.tabulate(n) { j =>
+            lutByCell.get(cells(j)).fold(Double.NaN) { lut =>
+              codesTrRes256(j).zipWithIndex
+                .map { case (c, m) => lut(m * nCode256 + c) }.sum.toDouble
+            }
+          }
+          val shortlist = (0 until n)
+            .filter(j => j != self && inP(j) && !aRes(j).isNaN)
+            .sortBy(j => (aRes(j), ids(j))).take(rerankR)
+          rRrS += recallS(shortlist.sortBy(j => (-cos(j), ids(j))).take(k))
+        }
+        println(f"PQSWEEP nProbe=$np ivf_exact=${rIvfS / n}%.4f " +
+          f"rerank_res256_R$rerankR=${rRrS / n}%.4f " +
+          f"scan_frac=${scanned.toDouble / (n.toLong * (n - 1))}%.4f")
+      }
+    }
     println(f"PQRECALL sf=$sfDir${if (clustered) " (CLUSTERED)" else ""} n=$n k=$k nProbe=$nProbe/${Similarity.debugIvfGeometry._1} " +
       f"ivf_exact=${rIvfExact / n}%.4f adc_md5=${rMd5 / n}%.4f " +
       f"adc_md5_noivf=${rMd5NoIvf / n}%.4f adc_trained=${rTrained / n}%.4f " +
