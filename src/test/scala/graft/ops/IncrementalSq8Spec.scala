@@ -73,6 +73,29 @@ class IncrementalSq8Spec extends AnyFunSuite {
     assert(stateNow() === pre, "compacted level differs from pre-compaction state")
   }
 
+  test("the index join plans ONE TopKPerKey and one fewer Exchange than the batch join") {
+    // the structural form of the measured 0.53x (ProbeSq8IndexJoin,
+    // BASELINE r16): the batch n68 pays a TopKPerKey probe cut (hash-
+    // partition the n x nlist score stream) BEFORE the cell join; the
+    // index did that cut at ingest, so its join plans exactly one
+    // TopKPerKey (the k-cut) and one fewer Exchange
+    val base = T.tmpDir("sq8-plan")
+    val index = new IncrementalSq8Index(base.resolve("state"))
+    index.processBatch(emb, 0L)
+    index.maintain(spark)
+    def counts(p: String): (Int, Int) =
+      ("TopKPerKey".r.findAllIn(p).length, "Exchange".r.findAllIn(p).length)
+    val (idxTop, idxEx) = counts(index.knnJoin(spark)
+      .queryExecution.executedPlan.toString)
+    val (batTop, batEx) = counts(Similarity.sq8KnnJoin(emb)
+      .queryExecution.executedPlan.toString)
+    info(s"index: TopKPerKey=$idxTop Exchange=$idxEx; batch: TopKPerKey=$batTop Exchange=$batEx")
+    // each logical cut plans a partial/final operator PAIR (the d52
+    // two-phase design): batch = 2 cuts = 4 nodes, index = 1 cut = 2
+    assert(idxTop === batTop - 2, "index join did not drop the probe-side TopKPerKey pair")
+    assert(idxEx === batEx - 1, "index join did not drop the probe-side Exchange")
+  }
+
   test("SQ8 state is ~8x smaller than the float layout it replaces") {
     // the 100 TB state-size term the layout exists for: write the same
     // committed index rows once with the 64-byte SQ8 code and once with
