@@ -100,6 +100,27 @@ final class IncrementalIvfPqIndex(root: Path,
       .limit(k)
   }
 
+  /**
+   * IVFADC-R over the committed index (round 16, the n75 two-stage
+   * shape on streaming state): the ADC shortlist comes from [[topK]] at
+   * R — a listing-pruned read of the probed cells' CODES, never the
+   * vectors — and only those R full vectors are fetched from the SOURCE
+   * table by a broadcast of the shortlist ids, then re-scored with the
+   * exact integer quantized dot ([[Similarity.exactRerank]]). This is
+   * the 100 TB separation of concerns the index exists for: the state
+   * machine persists 32-byte codes; the 512-byte vectors stay in the
+   * (already-stored-anyway) source table and are touched R times per
+   * query. Index state == the batch encode per row (the n63 theorem),
+   * so this hash-matches the batch n75 oracle verbatim.
+   */
+  def topKRerank(spark: SparkSession, vectors: DataFrame,
+                 queryVec: Seq[Float], queryVecId: Long, k: Int = 5,
+                 r: Int = 100, nProbe: Int = 0): DataFrame = {
+    val shortlist = topK(spark, queryVec, k = r, nProbe = nProbe,
+      excludeVecId = queryVecId)
+    Similarity.exactRerank(vectors, shortlist, queryVecId, k)
+  }
+
   /** Dev/spec accessor: the full committed codes table. */
   private[graft] def debugCodes(spark: SparkSession): DataFrame =
     readParts(spark, "codes", Long.MaxValue, CodesDdl, requireMarker = true)
@@ -125,6 +146,25 @@ object IncrementalAnn {
     val qv = spark.read.parquet(base.resolve("input").toString)
       .filter(col("vec_id") === 0L).select("embedding").head().getSeq[Float](0)
     index.topK(spark, qv, excludeVecId = 0L)
+  }
+
+  /** n77: the n63 ingest (same chunked stream, same maintenance) answered
+    * with the two-stage IVFADC-R query — codes shortlist from the pruned
+    * index read, exact re-rank against the source vectors. Oracle: the
+    * batch n75 [[Similarity.ivfPqRerankOracle]] verbatim. */
+  def streamingIvfPqRerankQuery(spark: SparkSession, dir: String,
+                                chunks: Int = 4): DataFrame = {
+    val base = Tables.scratchDir("n77")
+    val index = new IncrementalIvfPqIndex(base.resolve("state"))
+    val emb = Tables.embeddings(spark, dir)
+    StreamHarness.stageChunks(emb,
+      pmod(col("vec_id"), lit(chunks)), base.resolve("input"), chunks)
+    StreamHarness.run(spark, base.resolve("input"), base.resolve("ckpt"),
+      "graft:n77")(index.processBatch)
+    index.maintain(spark)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    index.topKRerank(spark, emb, qv, queryVecId = 0L)
   }
 
 }

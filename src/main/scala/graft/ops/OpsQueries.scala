@@ -126,6 +126,10 @@ object OpsQueries {
     // the re-rank over the trained-residual-256 shortlist: recall@5 0.71
     // vs the 0.72 IVF probe ceiling at sf0.1 (gated in PqRecallSpec)
     "n76_ivf_pq_rerank_trained" -> (Similarity.ivfPqResidualTrainedRerankQuery _),
+    // IVFADC-R on streaming state: codes shortlist from the pruned n63
+    // index read, vectors fetched from the source table by id
+    "n77_streaming_ivf_pq_rerank" ->
+      ((s, d) => IncrementalAnn.streamingIvfPqRerankQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -232,6 +236,9 @@ object OpsQueries {
     "n74_card_neardup" -> Corpus.datasetCardNearDupOracle,
     // shortlist boundary and re-rank scores both integer: hash-matched
     "n75_ivf_pq_rerank" -> Similarity.ivfPqRerankOracle,
+    // index state == batch encode per row (the n63 theorem) ⇒ the
+    // streaming two-stage query equals batch n75: oracle verbatim
+    "n77_streaming_ivf_pq_rerank" -> Similarity.ivfPqRerankOracle,
     // n76 omitted: trained codebook (rows-only; recall ceiling gated in
     // PqRecallSpec — the re-rank mechanics are n75's, hash-matched there)
   )

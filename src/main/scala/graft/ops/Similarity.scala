@@ -1324,8 +1324,8 @@ object Similarity {
    * quantizer admits; code resolution stops mattering once the shortlist
    * captures the true neighbors.
    */
-  private def exactRerank(emb: DataFrame, shortlist: DataFrame,
-                          queryVecId: Long, k: Int): DataFrame = {
+  private[graft] def exactRerank(emb: DataFrame, shortlist: DataFrame,
+                                 queryVecId: Long, k: Int): DataFrame = {
     val qv = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble).toArray
     // driver twin of Dedup.unitVector + the n60 quantUnit (same fold

@@ -28,6 +28,17 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("the two-stage IVFADC-R query over the index equals the batch n75 plan (round 16)") {
+    // shortlist from the pruned codes read, exact re-rank against the
+    // source vectors — must equal the batch two-stage result per row
+    val got = IncrementalAnn.streamingIvfPqRerankQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = Similarity.ivfPqRerankTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
   test("index state is row-identical to the batch encode, replay is a no-op, pruning loses nothing") {
     val base = T.tmpDir("ann")
     val index = new IncrementalIvfPqIndex(base.resolve("state"))
