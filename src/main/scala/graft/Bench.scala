@@ -104,9 +104,23 @@ object Bench {
     // one final min-kept sample. This keys the retry off the CONTRACT the
     // artifact is judged against, so the official JSON can only carry a
     // breach that reproduced at the very end of the session.
+    // BASELINE.md is resolved by walking up from the cwd (round-16 advice:
+    // a cwd-relative lookup run from anywhere but the repo root silently
+    // yielded Map.empty and DISABLED the contract retry with no warning) —
+    // and a missing file is now loud, because a disabled retry pass changes
+    // what the official artifact can contain.
     val pinnedMins: Map[String, Double] = try {
-      val p = java.nio.file.Paths.get("BASELINE.md")
-      if (!java.nio.file.Files.exists(p)) Map.empty
+      val p = Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
+        .takeWhile(_ != null).take(6)
+        .map(_.resolve("BASELINE.md"))
+        .find(java.nio.file.Files.exists(_))
+        .getOrElse(java.nio.file.Paths.get("BASELINE.md"))
+      if (!java.nio.file.Files.exists(p)) {
+        System.err.println("[bench] WARNING: BASELINE.md not found from " +
+          s"${java.nio.file.Paths.get("").toAbsolutePath} - the contract " +
+          "retry pass is DISABLED for this run")
+        Map.empty
+      }
       else {
         val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
         val header = "## Current recorded mins (authoritative)"
@@ -124,15 +138,24 @@ object Bench {
       System.err.println(s"[bench] could not parse BASELINE.md mins: ${e.getMessage}")
       Map.empty
     }
+    // the retry records WHICH queries it touched and both values (round-16
+    // verdict #6 / advice: a breach absorbed by its one fast final sample
+    // must stay visible in the artifact, not vanish into the min)
+    val retriedLog = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
     val results = afterFirst.map { case (n, v) =>
       val breach = v > 0 && pinnedMins.get(n).exists(m => v > 2.0 * m)
       n -> (if (breach) {
         System.err.println(f"[bench] $n at $v%.2fs exceeds 2x its pinned " +
           f"min ${pinnedMins(n)}%.3fs - contract retry")
         val c = exec(n)
-        if (c < 0) v else math.min(v, c)
+        val kept = if (c < 0) v else math.min(v, c)
+        retriedLog(n) = (v, kept)
+        kept
       } else v)
     }
+    val retriedJson = retriedLog.map { case (n, (pre, post)) =>
+      "\"" + n + "\":{\"pre\":" + pre + ",\"post\":" + post + "}"
+    }.mkString("{", ",", "}")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -170,7 +193,7 @@ object Bench {
     // total repeated at the END of the line: the driver stores only the
     // tail of long stdout lines, and with 126 per-query entries the leading
     // "value" field falls outside the kept window
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream_throughput":$tput,"retried":$retriedJson,"batch_sec":$batchTotal,"replay_sec":$replayTotal,"n_batch":${batchRs.size},"n_replay":${replayRs.size},"loadavg_start":$loadStart,"loadavg_end":${loadAvg()},"total_sec":$total,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(line)
     // ... and the WHOLE line persisted to files: at 167+ queries the
     // stdout line outgrew the driver's tail capture (round-14 verdict #1 —
@@ -191,6 +214,22 @@ object Bench {
       val stamped = dir.resolve(s"bench-$runId.json")
       java.nio.file.Files.write(stamped, bytes)
       System.err.println(s"[bench] run JSON written to ${stamped.toAbsolutePath}")
+      // retention (round-16 advice): stamped files are immutable evidence
+      // WITHIN a session but accumulate forever across dev probes — keep
+      // the newest 48 (a full round's quiet runs plus headroom), prune the
+      // rest. The timestamped name sorts chronologically.
+      val keep = 48
+      val listing = java.nio.file.Files.list(dir)
+      val old = try {
+        scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
+          .asScala
+          .filter(_.getFileName.toString.matches("bench-\\d{8}-\\d{6}-\\d+\\.json"))
+          .toSeq.sortBy(_.getFileName.toString).dropRight(keep)
+      } finally listing.close()
+      old.foreach(java.nio.file.Files.deleteIfExists(_))
+      if (old.nonEmpty)
+        System.err.println(s"[bench] pruned ${old.size} stamped bench files " +
+          s"older than the newest $keep")
       val stableOverride = sys.env.get("SPARK_GRAFT_BENCH_OUT")
       if (only.isEmpty || stableOverride.isDefined) {
         val out = java.nio.file.Paths.get(

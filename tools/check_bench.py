@@ -41,14 +41,18 @@ def load_mins():
     return mins
 
 
-def load_bench(path):
+def load_raw(path):
     raw = Path(path).read_text()
     try:
-        d = json.loads(raw)
+        return json.loads(raw)
     except json.JSONDecodeError:
         # a raw Bench stdout line among other output: take the last {...}
-        d = json.loads([l for l in raw.splitlines()
-                        if l.startswith("{")][-1])
+        return json.loads([l for l in raw.splitlines()
+                           if l.startswith("{")][-1])
+
+
+def load_bench(path):
+    d = load_raw(path)
     if "queries" in d and isinstance(d["queries"], dict):
         return {k: float(v) for k, v in d["queries"].items()}
     if d.get("parsed"):
@@ -58,13 +62,30 @@ def load_bench(path):
     return {k: float(v) for k, v in qs}
 
 
-def diff_mode(path_a, path_b):
+def print_retried(path):
+    """Surface the bench's contract-retry telemetry (round-16 verdict #6):
+    a breach that was observed and absorbed by the retry's min-kept sample
+    must be visible to the adjudication, not vanish from the artifact."""
+    try:
+        retried = load_raw(path).get("retried") or {}
+    except Exception:
+        return
+    for q, pp in sorted(retried.items()):
+        print(f"[retried] {q}: first recorded {pp['pre']:.2f}s, "
+              f"kept {pp['post']:.2f}s after the contract retry")
+
+
+def diff_mode(path_a, path_b, max_ratio=2.0):
     """Two run files: print per-query ratios side by side (round-15
     verdict #7 — this replaces the three manual probe runs the round-15
-    breach adjudication needed)."""
+    breach adjudication needed). Returns a nonzero count when any query's
+    max-ratio verdict differs between the runs or a query is present in
+    only one file, so scripts can gate on it (round-16 advice: the '<<'
+    flag used to hard-code 2x and the mode always exited 0)."""
     a, b = load_bench(path_a), load_bench(path_b)
     mins = load_mins()
     common = sorted(set(a) & set(b))
+    flagged = 0
     print(f"{'query':34s} {'A':>8s} {'B':>8s} {'B/A':>6s} {'A/min':>6s} "
           f"{'B/min':>6s}")
     for q in common:
@@ -73,7 +94,9 @@ def diff_mode(path_a, path_b):
         m = mins.get(q)
         am = f"{va / m:6.2f}" if m else "     -"
         bm = f"{vb / m:6.2f}" if m else "     -"
-        flag = " <<" if (m and (va > 2 * m) != (vb > 2 * m)) else ""
+        differs = bool(m) and (va > max_ratio * m) != (vb > max_ratio * m)
+        flagged += differs
+        flag = " <<" if differs else ""
         print(f"{q:34s} {va:8.2f} {vb:8.2f} {ratio:6.2f} {am} {bm}{flag}")
     only_a = sorted(set(a) - set(b))
     only_b = sorted(set(b) - set(a))
@@ -84,7 +107,9 @@ def diff_mode(path_a, path_b):
     sa = sum(v for v in a.values() if v > 0)
     sb = sum(v for v in b.values() if v > 0)
     print(f"{len(common)} common queries; totals A={sa:.1f}s B={sb:.1f}s; "
-          "'<<' marks queries whose 2x-of-min verdict differs between runs")
+          f"'<<' marks queries whose {max_ratio}x-of-min verdict differs "
+          "between runs")
+    return flagged + len(only_a) + len(only_b)
 
 
 def main():
@@ -97,11 +122,12 @@ def main():
     args = ap.parse_args()
 
     if args.bench_b:
-        diff_mode(args.bench, args.bench_b)
-        return
+        n_flagged = diff_mode(args.bench, args.bench_b, args.max_ratio)
+        sys.exit(1 if n_flagged else 0)
 
     mins = load_mins()
     bench = load_bench(args.bench)
+    print_retried(args.bench)
 
     breaches, warn = [], []
     for q, v in sorted(bench.items()):
