@@ -130,6 +130,10 @@ object OpsQueries {
     // index read, vectors fetched from the source table by id
     "n77_streaming_ivf_pq_rerank" ->
       ((s, d) => IncrementalAnn.streamingIvfPqRerankQuery(s, d)),
+    // batched IVFADC-R: the n65 SDC join cut at R per probe row, then
+    // only shortlist ids fetch vectors (shuffle-hash) for the exact
+    // integer re-rank — join-scale recall escapes the code ceiling
+    "n78_pq_knn_rerank" -> (Similarity.pqKnnJoinRerankQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -241,5 +245,7 @@ object OpsQueries {
     "n77_streaming_ivf_pq_rerank" -> Similarity.ivfPqRerankOracle,
     // n76 omitted: trained codebook (rows-only; recall ceiling gated in
     // PqRecallSpec — the re-rank mechanics are n75's, hash-matched there)
+    // shortlist boundary, fetch membership, and re-rank order all integer
+    "n78_pq_knn_rerank" -> Similarity.pqKnnJoinRerankOracle,
   )
 }

@@ -822,6 +822,190 @@ object Similarity {
        |WHERE rank <= 3
        |ORDER BY vec_id, rank""".stripMargin
 
+  // --------------------- n78 batched IVFADC-R: re-ranked PQ kNN join
+
+  /** n78 shortlist depth: the single-query IVFADC-R convention (n75's
+    * R=100) carried to the join — each probe row's candidate list is cut
+    * to R on codes BEFORE any full vector is touched. */
+  private val PqJoinRerankR = 100
+
+  /**
+   * n78 — the batched kNN join with IVFADC-R's exact re-rank stage
+   * (round-16 verdict #1; Jégou et al. TPAMI 2011 §V at join scale):
+   * the n65 PQ-SDC join ranks every candidate on 32-byte codes, so its
+   * join-scale recall inherits the code ceiling the single-query path
+   * escaped in n75. This query adds the same two-stage fix PER PROBE
+   * ROW: (1) the n65 plan verbatim — probe cut, cell equi-join, codegen
+   * SDC over codes — but cut at R ([[PqJoinRerankR]]) per query instead
+   * of k, yielding an n·R shortlist of bare (vec_id, nbr) id pairs;
+   * (2) ONLY the shortlisted ids fetch their full vectors, by two
+   * SHUFFLE-HASH id joins against the source table — NOT broadcast: the
+   * id set is n·R and scales with the probe side (the n75 broadcast
+   * works because its one query contributes R ids total) — and re-score
+   * with the n60 exact integer quantized dot (unit vectors quantized
+   * once per fetched row, codegen [[graft.functions.DotProduct]], every
+   * partial sum an exact integer). A final TopKPerKey cuts to k.
+   *
+   * 100 TB economics: the wide candidate stream (n·(nProbe/nlist)·|index|
+   * pairs) still carries 8-int codes only; full 512-byte vectors ride
+   * exactly 2·n·R rows of fetch shuffle — the verify kernel never sees a
+   * pair that survived neither cut, and no stage rescans the corpus per
+   * candidate. Integer end to end ⇒ HASH-checked like n65/n75 (shortlist
+   * membership at the R-th boundary, re-rank scores, and the final order
+   * all rebuild in DuckDB).
+   *
+   * Measured (ProbePqRecall sf0.1, `rerank` modes): join-scale recall@3
+   * vs the exact n39 graph goes 0.075 (n65 SDC codes) → 0.285 (this
+   * query, R=100) — the probed-cell ceiling is 0.68; the residual gap is
+   * shortlist capture (the R dial, charted in BASELINE).
+   */
+  def pqKnnJoinRerank(emb: DataFrame, k: Int = 3,
+                      r: Int = PqJoinRerankR,
+                      nProbe: Int = IvfNProbe): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    val index = emb.select(col("vec_id").as("nbr"),
+      pqEncodeCol(v).as("un"),
+      ivfCellCol(v).cast("int").as("cell"))
+    val scored = emb.select(col("vec_id"), pqEncodeCol(v).as("u"),
+      posexplode(dots).as(Seq("cell", "score")))
+    val probed = graft.plans.TopKPerKey(scored, Seq(col("vec_id")),
+      Seq(col("score").desc, col("cell")), nProbe)
+    val cands = probed.select(col("vec_id"), col("u"), col("cell"))
+      .join(index, "cell")
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("sdist", graft.functions.ProductQuantization
+        .sdc(col("u"), col("un"), pqPairTable, PqNSub, PqNCode))
+    // the R-cut heap sees (vec_id, nbr, sdist) — codes and vectors have
+    // both left the stream; nulls rank last and drop AFTER the cut (the
+    // knnJoinVerify contract: a pre-cut isNotNull pushes into the join)
+    val shortlist = graft.plans.TopKPerKey(
+      cands.select(col("vec_id"), col("nbr"), col("sdist")),
+      Seq(col("vec_id")), Seq(col("sdist").asc_nulls_last, col("nbr")), r)
+      .filter(col("sdist").isNotNull)
+      .select("vec_id", "nbr")
+    def quantUnit(c: Column): Column =
+      transform(Dedup.unitVector(c), x =>
+        floor(x * lit(1048576.0)).cast("double"))
+    val quv = emb.select(col("vec_id"), quantUnit(col("embedding")).as("uq"))
+    val rescored = shortlist
+      .join(quv.hint("shuffle_hash"), Seq("vec_id"))
+      .join(quv.select(col("vec_id").as("nbr"), col("uq").as("unx"))
+        .hint("shuffle_hash"), Seq("nbr"))
+      .select(col("vec_id"), col("nbr"),
+        graft.functions.DotProduct(col("uq"), col("unx"))
+          .cast("long").as("qdot"))
+    val top = graft.plans.TopKPerKey(rescored, Seq(col("vec_id")),
+      Seq(col("qdot").desc, col("nbr")), k)
+    top
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions
+        .Window.partitionBy("vec_id").orderBy(col("qdot").desc, col("nbr")))
+        .cast("long"))
+      .select(col("vec_id"), col("rank"), col("nbr"), col("qdot"))
+      .orderBy("vec_id", "rank")
+  }
+
+  def pqKnnJoinRerankQuery(spark: SparkSession, dir: String): DataFrame =
+    pqKnnJoinRerank(embeddings(spark, dir))
+
+  /** The n78 twin in DuckDB: the [[pqKnnJoinOracle]] CTE chain through
+    * the per-pair SDC sum, the per-query shortlist cut at R (integer
+    * sdist ⇒ the R-th boundary is identical in both engines), then the
+    * [[knnJoinDetOracle]] exact quantized-dot re-rank over ONLY the
+    * shortlisted pairs — (qdot DESC, nbr) rank cut to k. Integer end to
+    * end. */
+  lazy val pqKnnJoinRerankOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), cb AS (
+       |  SELECT m, c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('pq_' || m || '_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (4 - d))) for d in range(5)]) AS BIGINT)
+       |      - 524288 AS comp
+       |  FROM range($PqNSub) t(m), range($PqNCode) u(c), range($PqSubDim) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), exq AS (
+       |  SELECT vec_id, i, i // $PqSubDim AS m, i % $PqSubDim AS si,
+       |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+       |  FROM ex
+       |), dots AS (
+       |  SELECT exq.vec_id, dirs.c, SUM(exq.q * dirs.comp) AS dot
+       |  FROM exq JOIN dirs ON dirs.i = exq.i
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) <= $IvfNProbe
+       |), d2 AS (
+       |  SELECT exq.vec_id, cb.m, cb.c,
+       |    SUM((exq.q - cb.comp) * (exq.q - cb.comp)) AS d2
+       |  FROM exq JOIN cb ON cb.m = exq.m AND cb.i = exq.si
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, c AS code FROM d2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, c) = 1
+       |), pd AS (
+       |  SELECT a.m, a.c AS c1, b.c AS c2,
+       |    SUM((a.comp - b.comp) * (a.comp - b.comp)) AS d2
+       |  FROM cb a JOIN cb b ON a.m = b.m AND a.i = b.i
+       |  GROUP BY 1, 2, 3
+       |), pairs AS (
+       |  SELECT q.vec_id, ix.vec_id AS nbr
+       |  FROM probed q JOIN assigned ix
+       |    ON ix.cell = q.cell AND ix.vec_id <> q.vec_id
+       |), s AS (
+       |  SELECT p.vec_id, p.nbr,
+       |    CAST(SUM(pd.d2) AS BIGINT) AS sdist
+       |  FROM pairs p
+       |  JOIN codes ca ON ca.vec_id = p.vec_id
+       |  JOIN codes cn ON cn.vec_id = p.nbr AND cn.m = ca.m
+       |  JOIN pd ON pd.m = ca.m AND pd.c1 = ca.code AND pd.c2 = cn.code
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT vec_id, nbr FROM s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY sdist, nbr) <= $PqJoinRerankR
+       |), exd AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), nr AS (
+       |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM exd GROUP BY vec_id
+       |), uv AS (
+       |  SELECT exd.vec_id, v / nrm AS u, i FROM exd JOIN nr USING (vec_id)
+       |), qd AS (
+       |  SELECT sh.vec_id, sh.nbr,
+       |    CAST(SUM(CAST(floor(a.u * 1048576.0) AS BIGINT) *
+       |             CAST(floor(b.u * 1048576.0) AS BIGINT)) AS BIGINT) AS qdot
+       |  FROM short sh
+       |  JOIN uv a ON a.vec_id = sh.vec_id
+       |  JOIN uv b ON b.vec_id = sh.nbr AND b.i = a.i
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT vec_id, nbr, qdot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY qdot DESC, nbr) AS BIGINT) AS rank
+       |  FROM qd
+       |)
+       |SELECT vec_id, rank, nbr, qdot
+       |FROM r
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
   // ----------------------------------------- n35 exact per-label centroids
 
   /**

@@ -1,0 +1,123 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.ProductQuantization
+import graft.{SparkTestSession => T}
+import graft.queries.Tables
+
+/**
+ * n78 — batched IVFADC-R (round-16 verdict #1): the n65 PQ-SDC join cut
+ * at R per probe row, shortlist ids fetched by shuffle-hash joins, exact
+ * integer re-rank. Three contracts:
+ *   1. the distributed plan equals the driver-twin computation exactly
+ *      (shortlist boundary, re-rank scores, final order — the in-suite
+ *      form of the DuckDB hash gate);
+ *   2. planted near-duplicates survive the two-stage pipeline;
+ *   3. the re-rank RECOVERS recall the SDC code ranking loses — the
+ *      whole point of adding the stage at join scale.
+ * Plan shape (shuffle-hash fetch, single dot site) is pinned in
+ * `PlanShapeSpec`; bulk numbers at sf0.1 live in BASELINE.md.
+ */
+class PqJoinRerankSpec extends AnyFunSuite {
+  lazy val spark = T.spark
+
+  /** Driver twin of the n78 pipeline over a collected corpus: md5 codes,
+    * probe sets, SDC shortlist at R, exact quantized-dot re-rank — all
+    * from the same local helpers the oracle arithmetic is pinned to. */
+  private def localRerank(rows: Array[(Long, Array[Double])], k: Int, r: Int)
+      : Seq[(Long, Long, Long, Long)] = {
+    val (subDim, nSub, nCode) = Similarity.debugPqGeometry
+    val (_, nProbe) = Similarity.debugIvfGeometry
+    val cb = Similarity.debugPqCodebook
+    val pt = ProductQuantization.pairDistanceTable(cb, subDim, nSub, nCode)
+    val ids = rows.map(_._1)
+    val n = ids.length
+    val qs = rows.map(rw => ProductQuantization.quantize(rw._2.toSeq))
+    val cells = qs.map(q => Similarity.probeCellsLocal(q, 1).head)
+    val probed = qs.map(q => Similarity.probeCellsLocal(q, nProbe).toSet)
+    val codes = qs.map(q =>
+      ProductQuantization.encodeLocal(q, cb, subDim, nSub, nCode))
+    // the n60/exactRerank quantized unit: sequential sum of squares, one
+    // division, floor(u * 2^20)
+    val qu = rows.map { case (_, v) =>
+      val nrm = math.sqrt(v.map(x => x * x).sum)
+      (if (nrm == 0) v else v.map(_ / nrm))
+        .map(x => math.floor(x * 1048576.0).toLong)
+    }
+    (0 until n).flatMap { i =>
+      val sdists = (0 until n).filter(j => j != i && probed(i).contains(cells(j)))
+        .map { j =>
+          var s = 0L; var m = 0
+          while (m < nSub) {
+            s += pt((m * nCode + codes(i)(m)) * nCode + codes(j)(m)); m += 1
+          }
+          j -> s
+        }
+      val short = sdists.sortBy { case (j, s) => (s, ids(j)) }.take(r).map(_._1)
+      val rescored = short.map { j =>
+        var d = 0L; var x = 0
+        while (x < 64) { d += qu(i)(x) * qu(j)(x); x += 1 }
+        j -> d
+      }
+      rescored.sortBy { case (j, d) => (-d, ids(j)) }.take(k).zipWithIndex
+        .map { case ((j, d), rk) => (ids(i), (rk + 1).toLong, ids(j), d) }
+    }
+  }
+
+  test("n78 distributed join equals the driver-twin computation at sf0.001") {
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val got = Similarity.pqKnnJoinRerank(emb).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2), rw.getLong(3)))
+      .toSeq
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(rw => rw.getLong(0) -> rw.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val want = localRerank(rows, k = 3, r = 100)
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("n78 planted near-duplicates surface through shortlist + re-rank") {
+    // a ~0.9996-cosine partner shares its original's cell and (mostly)
+    // codes, so it must survive the R-cut and then WIN the exact re-rank
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Dedup.plantedCopies(sample)
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding")))
+    val hits = Similarity.pqKnnJoinRerank(corpus)
+      .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
+      .filter(col("rank") === 1)
+      .count()
+    val pairs = sample.count()
+    val recall = hits.toDouble / pairs
+    info(f"n78 planted partner at rank 1: $recall%.3f ($hits of $pairs)")
+    assert(recall >= 0.9, f"planted rank-1 recall $recall%.3f below 0.9")
+  }
+
+  test("n78 re-rank recovers recall the n65 code ranking loses") {
+    // vs the exact n39 graph at sf0.001: the SDC-only top-3 (n65) sits at
+    // the code ceiling; the re-ranked top-3 must approach the PROBE
+    // ceiling. Measured: n65 ~0.10, n78 ~0.65 (probed-cells exact ~0.66).
+    val exact = Similarity.knnGraphQuery(spark, T.sf0001)
+      .select("vec_id", "nbr").collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+    spark.catalog.clearCache()
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "nbr").collect()
+        .map(rw => (rw.getLong(0), rw.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val rSdc = recallOf(Similarity.pqKnnJoin(emb))
+    val rRer = recallOf(Similarity.pqKnnJoinRerank(emb))
+    info(f"recall@3 vs exact n39 at sf0.001: n65 sdc=$rSdc%.3f n78 rerank=$rRer%.3f")
+    assert(rRer >= 0.4, f"n78 recall $rRer%.3f below the 0.4 floor")
+    assert(rRer >= 2.0 * rSdc,
+      f"the re-rank stage no longer pays at join scale: n78=$rRer%.3f vs n65=$rSdc%.3f — " +
+        "if deliberate, retire n78 and update BASELINE.md")
+  }
+}

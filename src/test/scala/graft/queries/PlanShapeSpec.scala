@@ -261,6 +261,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("n78 batched ivfadc-r: SDC shortlist + shuffle-hash id fetch; the exact dot touches only shortlist pairs") {
+    val p = assertNoPairBlowup("n78_pq_knn_rerank")
+    // stage 1 is the n65 plan: the wide candidate stream ranks on the
+    // codegen SDC kernel over 8-int codes — raw vectors stay out of it
+    assert(p.contains("pq_sdc") && p.contains("pq_encode"),
+      s"n78 shortlist stage does not rank on the PQ kernels:\n$p")
+    // three bounded-heap cuts: nProbe cells, R shortlist, final k
+    assert(p.contains("TopKPerKey"),
+      s"n78 does not plan the bounded-heap top-k operator:\n$p")
+    // stage 2 fetches full vectors by SHUFFLE-HASH id joins (the id set is
+    // n*R — it scales with the probe side, so a broadcast would ship the
+    // whole shortlist to every task; the hint makes the shape explicit)
+    assert(p.contains("ShuffledHashJoin"),
+      s"n78 re-rank fetch is not a shuffle-hash id join:\n$p")
+    // the exact-dot verify runs ONCE, above the fetch joins — never inside
+    // the cell join where it would rescan every candidate pair (the
+    // "no second corpus-wide verify" claim: exactly one dot_product site)
+    val dotSites = "dot_product".r.findAllIn(p).size
+    assert(dotSites == 1,
+      s"n78 plans $dotSites dot_product sites (want 1 — above the fetch):\n$p")
+    // and that one site must sit AFTER the SDC stage in the plan's
+    // bottom-up order: the dot's projection consumes the fetch join,
+    // whose probe side is the R-cut TopKPerKey over sdist
+    assert(p.indexOf("dot_product") < p.indexOf("pq_sdc"),
+      s"n78 exact dot does not sit above the SDC shortlist stage:\n$p")
+  }
+
   test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
     val p = plan("n62_domain_cap")
     assert(p.contains("TopKPerKey"),
