@@ -1,11 +1,29 @@
 package graft.ops
 
-import java.nio.file.Path
+import java.nio.file.{Files, Path, StandardCopyOption}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.ProductQuantization
 import graft.queries.Tables
+
+/**
+ * A TRAINED quantizer for the incremental index (round-17: the quality
+ * ladder's top rung through the streaming path): the Lloyd-trained
+ * residual codebook plus the per-cell integer centroids it was trained
+ * against ([[Similarity.trainedResidualCodebook]] /
+ * [[Similarity.cellCentroids]] — deterministic, no RNG). Both are
+ * BOUNDED plan constants (nSub·nCode·subDim longs + nlist·64 longs);
+ * at 100 TB training is a sample job that runs once before the index
+ * opens, and the quantizer must then NEVER drift across restarts —
+ * codes already persisted were encoded with it, so a retrained codebook
+ * silently corrupts every distance. The index therefore persists the
+ * quantizer beside its state on first open and REFUSES a conflicting
+ * one on reopen.
+ */
+final case class TrainedQuant(codebook: Array[Long], nCode: Int,
+                              centroids: Array[Array[Long]])
 
 /**
  * Incremental / streaming IVF-PQ index: the n61 ANN scan maintained
@@ -42,11 +60,76 @@ import graft.queries.Tables
  * `IncrementalAnnSpec`.
  */
 final class IncrementalIvfPqIndex(root: Path,
+                                  trained: Option[TrainedQuant] = None,
                                   override protected val maxLevels: Int = 4)
   extends IncrementalStateMachine(root) {
 
   private val (nList, nProbeDefault) = Similarity.debugIvfGeometry
+  private val (subDim, nSub, nCodeMd5) = Similarity.debugPqGeometry
   private val CodesDdl = "vec_id BIGINT, label INT, cell BIGINT, codes ARRAY<INT>"
+
+  /** The quantizer file beside the state: nCode, the codebook, then one
+    * centroid row per line (comma-joined longs). Written ATOMICALLY
+    * (tmp + move) so a crash mid-open can never leave a half-quantizer
+    * next to committed codes. */
+  private val quantPath = root.resolve("quant.txt")
+
+  private def persistQuant(tq: TrainedQuant): Unit = {
+    Files.createDirectories(root)
+    val tmp = root.resolve("quant.txt.tmp")
+    val text = (tq.nCode.toString +:
+      tq.codebook.mkString(",") +:
+      tq.centroids.map(_.mkString(",")).toSeq).mkString("\n")
+    Files.write(tmp, text.getBytes("UTF-8"))
+    Files.move(tmp, quantPath, StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  private def loadQuant(): Option[TrainedQuant] =
+    if (!Files.exists(quantPath)) None
+    else {
+      val lines = new String(Files.readAllBytes(quantPath), "UTF-8").split("\n")
+      Some(TrainedQuant(lines(1).split(",").map(_.toLong),
+        lines(0).toInt,
+        lines.drop(2).map(_.split(",").map(_.toLong))))
+    }
+
+  /** Restart-stability resolution: a quantizer already stored beside the
+    * state GOVERNS (the committed codes were encoded with it); passing a
+    * DIFFERENT one on reopen is an error, not a retrain — re-encoding
+    * requires a new index root. First open with a quantizer persists it. */
+  private val quant: Option[TrainedQuant] = (loadQuant(), trained) match {
+    case (Some(stored), Some(passed)) =>
+      require(stored.nCode == passed.nCode &&
+          java.util.Arrays.equals(stored.codebook, passed.codebook) &&
+          stored.centroids.length == passed.centroids.length &&
+          stored.centroids.indices.forall(c =>
+            java.util.Arrays.equals(stored.centroids(c), passed.centroids(c))),
+        s"index at $root was built with a DIFFERENT trained quantizer; " +
+          "committed codes cannot be re-interpreted — open a new root to re-encode")
+      Some(stored)
+    case (Some(stored), None) => Some(stored)
+    case (None, Some(passed)) => persistQuant(passed); Some(passed)
+    case (None, None) => None
+  }
+
+  /** The integer-quantized vector column (the shared floor(x·2²⁰) rule). */
+  private def qIntCol(v: Column): Column =
+    transform(v, x =>
+      floor(x * lit(graft.functions.QuantizedDots.Scale)).cast("long"))
+
+  /** Residual-encode column for the trained quantizer: (q − centroid(cell))
+    * rides into the codegen encode kernel as an exact double (the n72
+    * arithmetic — integer below 2²¹ over a power-of-two divisor). */
+  private def residualCodesCol(tq: TrainedQuant, q: Column,
+                               cell: Column): Column = {
+    val ctrLit = array(tq.centroids.map(row =>
+      array(row.map(lit(_)): _*)): _*)
+    ProductQuantization.encode(
+      zip_with(q, element_at(ctrLit, (cell + 1).cast("int")),
+        (a, b) => (a - b).cast("double") /
+          lit(graft.functions.QuantizedDots.Scale)),
+      tq.codebook, subDim, nSub, tq.nCode)
+  }
 
   override protected def partTables: Seq[PartTable] =
     Seq(PartTable("codes", CodesDdl,
@@ -61,11 +144,20 @@ final class IncrementalIvfPqIndex(root: Path,
     if (isCommitted(batchId)) return
     rejectBelowWatermark(batchId)
     val v = transform(col("embedding"), x => x.cast("double"))
-    batch
-      .select(col("vec_id"), col("label"),
-        Similarity.ivfCellCol(v).cast("long").as("cell"),
-        Similarity.pqEncodeCol(v).as("codes"))
-      .write.mode("overwrite").parquet(partDir("codes", batchId).toString)
+    val coded = quant match {
+      case None =>
+        batch.select(col("vec_id"), col("label"),
+          Similarity.ivfCellCol(v).cast("long").as("cell"),
+          Similarity.pqEncodeCol(v).as("codes"))
+      case Some(tq) =>
+        // trained mode: codes on the residual against the row's OWN cell
+        // centroid (the n73/n76 encode) — still one map-side pass
+        batch.select(col("vec_id"), col("label"),
+            Similarity.ivfCellCol(v).cast("long").as("cell"), qIntCol(v).as("q"))
+          .select(col("vec_id"), col("label"), col("cell"),
+            residualCodesCol(tq, col("q"), col("cell")).as("codes"))
+    }
+    coded.write.mode("overwrite").parquet(partDir("codes", batchId).toString)
     commitBatch(batchId)
   }
 
@@ -87,12 +179,29 @@ final class IncrementalIvfPqIndex(root: Path,
       queryVec.map(_.toDouble))
     val cells = Similarity.probeCellsLocal(q,
       if (nProbe > 0) nProbe else nProbeDefault)
+    // md5 mode: one LUT for all cells; trained mode: the n72/n73 per-cell
+    // dispatch — one LUT per probed cell from the query's residual IN
+    // that cell, a codegen when-chain of ADC arms over plan literals
+    val adist: Column = quant match {
+      case None => Similarity.pqAdcCol(col("codes"), q)
+      case Some(tq) =>
+        val luts: Map[Long, Array[Long]] = cells.map { c =>
+          c -> ProductQuantization.distanceTable(
+            Similarity.residualLocal(q, tq.centroids(c.toInt)),
+            tq.codebook, subDim, nSub, tq.nCode)
+        }.toMap
+        cells.tail.foldLeft(
+          when(col("cell") === cells.head, ProductQuantization
+            .adc(col("codes"), luts(cells.head), nSub, tq.nCode))) { (acc, c) =>
+          acc.when(col("cell") === c, ProductQuantization
+            .adc(col("codes"), luts(c), nSub, tq.nCode))
+        }
+    }
     readParts(spark, "codes", Long.MaxValue, CodesDdl,
         requireMarker = true, pruneTo = Some(cells))
       .filter(col("cell").isInCollection(cells))
       .filter(col("vec_id") =!= excludeVecId)
-      .select(col("vec_id"), col("label"),
-        Similarity.pqAdcCol(col("codes"), q).as("adist"))
+      .select(col("vec_id"), col("label"), adist.as("adist"))
       // nulls-ascending would rank a malformed (null-distance) row above
       // every real neighbor — drop them, matching the batch n61 path
       .filter(col("adist").isNotNull)
@@ -161,6 +270,37 @@ object IncrementalAnn {
       pmod(col("vec_id"), lit(chunks)), base.resolve("input"), chunks)
     StreamHarness.run(spark, base.resolve("input"), base.resolve("ckpt"),
       "graft:n77")(index.processBatch)
+    index.maintain(spark)
+    val qv = emb.filter(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0)
+    index.topKRerank(spark, emb, qv, queryVecId = 0L)
+  }
+
+  /** n79: the n77 ingest with the TRAINED residual-256 quantizer — the
+    * quality ladder's top rung (n76: trained residual codes + IVFADC-R
+    * exact re-rank, recall@5 0.71 vs the 0.72 probe ceiling at sf0.1)
+    * served from streaming state. The quantizer is trained on the batch
+    * table BEFORE the index opens ([[Similarity.cellCentroids]] +
+    * [[Similarity.trainedResidualCodebook]] — deterministic, bounded
+    * sample) and persisted beside the state, so a restart reopens with
+    * the same codebook (`IncrementalAnnSpec` pins reopen equality and
+    * the conflicting-quantizer rejection). Training is SQL-inexpressible
+    * ⇒ rows-only like n66/n73/n76; encode determinism per row makes the
+    * answer EQUAL the batch n76 plan verbatim, asserted in
+    * `IncrementalAnnSpec` — the gate that bounds this entry. */
+  def streamingIvfPqTrainedRerankQuery(spark: SparkSession, dir: String,
+                                       chunks: Int = 4): DataFrame = {
+    val base = Tables.scratchDir("n79")
+    val emb = Tables.embeddings(spark, dir)
+    val ctr = Similarity.cellCentroids(emb)
+    val cb = Similarity.trainedResidualCodebook(emb, ctr)
+    val (subDim, nSub, _) = Similarity.debugPqGeometry
+    val index = new IncrementalIvfPqIndex(base.resolve("state"),
+      trained = Some(TrainedQuant(cb, cb.length / (nSub * subDim), ctr)))
+    StreamHarness.stageChunks(emb,
+      pmod(col("vec_id"), lit(chunks)), base.resolve("input"), chunks)
+    StreamHarness.run(spark, base.resolve("input"), base.resolve("ckpt"),
+      "graft:n79")(index.processBatch)
     index.maintain(spark)
     val qv = emb.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0)

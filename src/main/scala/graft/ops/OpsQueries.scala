@@ -134,6 +134,11 @@ object OpsQueries {
     // only shortlist ids fetch vectors (shuffle-hash) for the exact
     // integer re-rank — join-scale recall escapes the code ceiling
     "n78_pq_knn_rerank" -> (Similarity.pqKnnJoinRerankQuery _),
+    // the n77 ingest on the TRAINED residual-256 quantizer (persisted
+    // beside the state for restart stability): the n76 quality rung
+    // served from streaming state — rows-only, equality-to-n76 gated
+    "n79_streaming_ivf_pq_trained" ->
+      ((s, d) => IncrementalAnn.streamingIvfPqTrainedRerankQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -247,5 +252,7 @@ object OpsQueries {
     // PqRecallSpec — the re-rank mechanics are n75's, hash-matched there)
     // shortlist boundary, fetch membership, and re-rank order all integer
     "n78_pq_knn_rerank" -> Similarity.pqKnnJoinRerankOracle,
+    // n79 omitted: trained quantizer (rows-only, the n66/n73/n76 class);
+    // bounded by IncrementalAnnSpec's equality-to-batch-n76 assertion
   )
 }

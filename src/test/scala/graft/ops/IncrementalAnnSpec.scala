@@ -95,6 +95,70 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(!pushed.get.group(1).contains("pb"), p)
   }
 
+  test("n79: the trained-quantizer index equals the batch n76 plan (round 17)") {
+    // training is deterministic (hash sample, sorted collect, fixed
+    // iterations) and encode is per-row, so the streaming trained index
+    // must answer the full trained-residual + IVFADC-R query EXACTLY as
+    // the batch n76 plan does — the gate that bounds the rows-only n79
+    val got = IncrementalAnn.streamingIvfPqTrainedRerankQuery(spark, T.sf0001)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val want = Similarity.ivfPqResidualTrainedRerankTopK(emb)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("the trained quantizer survives an index reopen; a conflicting one is refused") {
+    val base = T.tmpDir("ann-quant")
+    val ctr = Similarity.cellCentroids(emb)
+    val cb = Similarity.trainedResidualCodebook(emb, ctr)
+    val (subDim, nSub, _) = Similarity.debugPqGeometry
+    val tq = TrainedQuant(cb, cb.length / (nSub * subDim), ctr)
+    val index = new IncrementalIvfPqIndex(base.resolve("state"), Some(tq))
+    index.processBatch(emb, 0L)
+    index.maintain(spark)
+    val before = index.topKRerank(spark, emb, queryVec, queryVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    // restart stability: reopen WITHOUT passing the quantizer — the one
+    // persisted beside the state must govern, byte-identical answers
+    val reopened = new IncrementalIvfPqIndex(base.resolve("state"))
+    val after = reopened.topKRerank(spark, emb, queryVec, queryVecId = 0L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(after === before)
+    // reopening with the SAME quantizer is fine...
+    new IncrementalIvfPqIndex(base.resolve("state"), Some(tq))
+    // ...but a DIFFERENT one must be refused: committed codes were encoded
+    // with the stored codebook and cannot be re-interpreted
+    val drifted = tq.copy(codebook = tq.codebook.updated(0, tq.codebook(0) + 1L))
+    val e = intercept[IllegalArgumentException] {
+      new IncrementalIvfPqIndex(base.resolve("state"), Some(drifted))
+    }
+    assert(e.getMessage.contains("DIFFERENT trained quantizer"))
+  }
+
+  test("a planted duplicate in a LATER batch is found through the TRAINED index (the n79 floor)") {
+    // the any-codebook planted floor (PqRecallSpec's theorem), here
+    // end-to-end through the trained streaming index: residual codes of
+    // a near-identical vector match the query's own-cell codes, so the
+    // duplicate attains the per-cell LUT minimum and the exact re-rank
+    // can only confirm it
+    val base = T.tmpDir("ann-trained-late")
+    val ctr = Similarity.cellCentroids(emb)
+    val cb = Similarity.trainedResidualCodebook(emb, ctr)
+    val (subDim, nSub, _) = Similarity.debugPqGeometry
+    val index = new IncrementalIvfPqIndex(base.resolve("state"),
+      Some(TrainedQuant(cb, cb.length / (nSub * subDim), ctr)))
+    index.processBatch(emb, 0L)
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    index.processBatch(dup, 1L)
+    index.maintain(spark)
+    val corpus = emb.unionByName(dup)
+    val top = index.topKRerank(spark, corpus, queryVec, queryVecId = 0L, k = 3)
+      .collect()
+    assert(top.head.getLong(0) === 999999L, s"got ${top.toSeq}")
+  }
+
   test("a planted duplicate arriving in a LATER batch is found by the index query") {
     val base = T.tmpDir("ann-late")
     val index = new IncrementalIvfPqIndex(base.resolve("state"))
