@@ -195,18 +195,29 @@ object Similarity {
     * with a `c_` namespace, flat row-major): direction c's component i
     * rebuilds identically in both engines, and the dots are 64-bit integer
     * sums ([[graft.functions.QuantizedDots]]), so cell assignment — argmax
-    * over the 8 direction dots — is cross-engine deterministic with no
-    * training step and no summation-order assumption. */
-  private lazy val ivfDirs: Array[Long] = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(IvfNList * 64) { idx =>
-      val c = idx / 64
-      val i = idx % 64
-      val hex = md.digest(s"c_${c}_${i}".getBytes("UTF-8"))
-        .take(4).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(hex, 16) - 2147483648L
-    }
-  }
+    * over the direction dots — is cross-engine deterministic with no
+    * training step and no summation-order assumption. PARAMETERIZED on
+    * nlist (round-17 verdict #2: real IVF scales nlist ≈ √N, and the
+    * geometry dial must be measurable, not a constant): directions for a
+    * finer geometry extend the same namespace, so nlist=8 remains the
+    * exact prefix of nlist=64 and every hash-matched query keeps its
+    * frozen default. */
+  private val ivfDirsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Array[Long]]
+  private[graft] def ivfDirsFor(nlist: Int): Array[Long] =
+    ivfDirsCache.getOrElseUpdate(nlist, {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      Array.tabulate(nlist * 64) { idx =>
+        val c = idx / 64
+        val i = idx % 64
+        val hex = md.digest(s"c_${c}_${i}".getBytes("UTF-8"))
+          .take(4).map(b => f"$b%02x").mkString
+        java.lang.Long.parseLong(hex, 16) - 2147483648L
+      }
+    })
+
+  /** The frozen default geometry's directions (every oracle-gated query). */
+  private def ivfDirs: Array[Long] = ivfDirsFor(IvfNList)
 
   /**
    * IVF top-k with a DETERMINISTIC coarse quantizer: each vector lands in
@@ -1139,8 +1150,12 @@ object Similarity {
     * shared by n61 and the n63 incremental index). The dot-score array is
     * bound to a lambda variable before argmax/array_position reference it
     * (the interpreted-HOF re-evaluation bind). */
-  private[graft] def ivfCellCol(v: Column): Column = {
-    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+  private[graft] def ivfCellCol(v: Column): Column = ivfCellCol(v, IvfNList)
+
+  /** Geometry-parameterized cell assignment (same argmax rule at any
+    * nlist; the default overload keeps every oracle-gated plan frozen). */
+  private[graft] def ivfCellCol(v: Column, nlist: Int): Column = {
+    val dots = graft.functions.QuantizedDots(v, ivfDirsFor(nlist), 64, nlist)
     element_at(transform(array(dots), a =>
       array_position(a, array_max(a))), 1) - 1
   }
@@ -1171,20 +1186,31 @@ object Similarity {
     * `ProductQuantizationSpec`); lets a single-probe query compute its
     * probe set without a Spark job. */
   private[graft] def ivfDotsLocal(q: Array[Long]): Array[Long] =
-    Array.tabulate(IvfNList) { c =>
+    ivfDotsLocalAt(q, IvfNList)
+
+  /** Geometry-parameterized driver dots (same integer arithmetic). */
+  private[graft] def ivfDotsLocalAt(q: Array[Long], nlist: Int): Array[Long] = {
+    val dirs = ivfDirsFor(nlist)
+    Array.tabulate(nlist) { c =>
       var dot = 0L
       var i = 0
       val n = math.min(64, q.length)
-      while (i < n) { dot += q(i) * ivfDirs(c * 64 + i); i += 1 }
+      while (i < n) { dot += q(i) * dirs(c * 64 + i); i += 1 }
       dot
     }
+  }
 
   /** The query's `nProbe` best cells by (dot DESC, cell ASC) — the n07
     * probe rule, driver-side. */
   private[graft] def probeCellsLocal(q: Array[Long],
-                                     nProbe: Int = IvfNProbe): Seq[Long] = {
-    val dots = ivfDotsLocal(q)
-    (0 until IvfNList).sortBy(c => (-dots(c), c)).take(nProbe).map(_.toLong)
+                                     nProbe: Int = IvfNProbe): Seq[Long] =
+    probeCellsLocalAt(q, IvfNList, nProbe)
+
+  /** Geometry-parameterized probe rule (nlist × nProbe — both dials). */
+  private[graft] def probeCellsLocalAt(q: Array[Long], nlist: Int,
+                                       nProbe: Int): Seq[Long] = {
+    val dots = ivfDotsLocalAt(q, nlist)
+    (0 until nlist).sortBy(c => (-dots(c), c)).take(nProbe).map(_.toLong)
   }
 
   /** PQ code column at the n61 geometry (codegen argmin encode). */
@@ -1335,17 +1361,18 @@ object Similarity {
    * zero centroid (its residual degenerates to the raw vector —
    * harmless: an empty cell also contributes no candidates).
    */
-  private[graft] def cellCentroids(emb: DataFrame): Array[Array[Long]] = {
+  private[graft] def cellCentroids(emb: DataFrame,
+                                   nlist: Int = IvfNList): Array[Array[Long]] = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val qInt = transform(v, x =>
       floor(x * lit(graft.functions.QuantizedDots.Scale)).cast("long"))
     val rows = emb
-      .select(ivfCellCol(v).cast("long").as("cell"), qInt.as("q"))
+      .select(ivfCellCol(v, nlist).cast("long").as("cell"), qInt.as("q"))
       .select(col("cell"), posexplode(col("q")).as(Seq("i", "qi")))
       .groupBy("cell", "i")
       .agg(expr("sum(qi) div count(*)").as("ctr"))
       .collect()
-    val out = Array.ofDim[Long](IvfNList, 64)
+    val out = Array.ofDim[Long](nlist, 64)
     rows.foreach(r => out(r.getLong(0).toInt)(r.getInt(1)) = r.getLong(2))
     out
   }
@@ -1378,12 +1405,16 @@ object Similarity {
                                 ctr: Array[Array[Long]], nCode: Int,
                                 queryVecId: Long, k: Int,
                                 nProbe: Int): DataFrame = {
+    // the IVF geometry rides in on the centroid table: nlist = ctr.length
+    // (the frozen default for every oracle-gated entry; finer geometries
+    // via the parameterized callers — round-17 verdict #2)
+    val nlist = ctr.length
     val v = transform(col("embedding"), x => x.cast("double"))
     val qRow = emb.filter(col("vec_id") === queryVecId)
       .select(col("embedding")).head()
     val q = graft.functions.ProductQuantization.quantize(
       qRow.getSeq[Float](0).map(_.toDouble))
-    val cells = probeCellsLocal(q, nProbe)
+    val cells = probeCellsLocalAt(q, nlist, nProbe)
     // one LUT per probed cell, from the query's residual IN that cell
     val luts: Map[Long, Array[Long]] = cells.map { c =>
       c -> graft.functions.ProductQuantization.distanceTable(
@@ -1403,7 +1434,7 @@ object Similarity {
         .adc(col("codes"), luts(c), PqNSub, nCode))
     }
     emb.select(col("vec_id"), col("label"), qInt.as("q"),
-        ivfCellCol(v).as("cell"))
+        ivfCellCol(v, nlist).as("cell"))
       .filter(col("cell").isInCollection(cells))
       .filter(col("vec_id") =!= queryVecId)
       .withColumn("codes", graft.functions.ProductQuantization
@@ -1454,7 +1485,7 @@ object Similarity {
       .filter(pmod(xxhash64(col("vec_id")), lit(PqTrainSampleMod)) === 0)
       .sort("vec_id")
       .limit(PqTrainCap)
-      .select(v.as("v"), ivfCellCol(v).cast("long").as("cell"))
+      .select(v.as("v"), ivfCellCol(v, ctr.length).cast("long").as("cell"))
       .collect()
       .map { r =>
         val q = graft.functions.ProductQuantization.quantize(r.getSeq[Double](0))
@@ -1478,8 +1509,9 @@ object Similarity {
    */
   def ivfPqResidualTrainedTopK(emb: DataFrame, queryVecId: Long = 0L,
                                k: Int = 5,
-                               nProbe: Int = IvfNProbe): DataFrame = {
-    val ctr = cellCentroids(emb)
+                               nProbe: Int = IvfNProbe,
+                               nlist: Int = IvfNList): DataFrame = {
+    val ctr = cellCentroids(emb, nlist)
     ivfPqResidualRank(emb, trainedResidualCodebook(emb, ctr), ctr,
       PqNCodeHi, queryVecId, k, nProbe)
   }
@@ -1549,8 +1581,9 @@ object Similarity {
     * in `PqRecallSpec`. */
   def ivfPqResidualTrainedRerankTopK(emb: DataFrame, queryVecId: Long = 0L,
                                      k: Int = 5, r: Int = 100,
-                                     nProbe: Int = IvfNProbe): DataFrame = {
-    val ctr = cellCentroids(emb)
+                                     nProbe: Int = IvfNProbe,
+                                     nlist: Int = IvfNList): DataFrame = {
+    val ctr = cellCentroids(emb, nlist)
     val shortlist = ivfPqResidualRank(emb,
       trainedResidualCodebook(emb, ctr), ctr, PqNCodeHi, queryVecId, r, nProbe)
     exactRerank(emb, shortlist, queryVecId, k)

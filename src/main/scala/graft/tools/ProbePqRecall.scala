@@ -259,6 +259,177 @@ object ProbePqRecall {
       f"adc_md5_res=${rMd5Res / n}%.4f adc_trained_res=${rTrainedRes / n}%.4f " +
       f"adc_trained256=${rTrained256 / n}%.4f adc_trained_res256=${rTrainedRes256 / n}%.4f " +
       f"rerank_md5_R$rerankR=${rMd5Rr / n}%.4f rerank_res256_R$rerankR=${rTrainedRes256Rr / n}%.4f")
+
+    // ---- the R dial (round-17 verdict #5): shortlist depth vs recall ----
+    // nProbe bounds what the shortlist CAN capture; R bounds what it DOES.
+    // One line per R over the shipped trained-res-256 shortlist: recall@k
+    // and the re-rank fetch cost (vectors touched per query = min(R,
+    // candidates) — the 100 TB point-lookup bill the depth buys).
+    if (args.contains("rsweep")) {
+      Seq(20, 50, 100, 200, 500).foreach { rr =>
+        var rRer = 0.0; var fetched = 0L
+        (0 until n).foreach { self =>
+          val u = units(self)
+          val cos = units.map { w =>
+            var s = 0.0; var i = 0
+            while (i < u.length) { s += u(i) * w(i); i += 1 }
+            s
+          }
+          val exact = topIdx(cos, self, asc = false).toSet
+          val probedS = Similarity.probeCellsLocal(qs(self), nProbe).toSet
+          val inP: Int => Boolean = j => probedS.contains(cells(j))
+          val aRes = adistResFor(probedS, codesTrRes256, cbTrRes256, nCode256,
+            qs(self), ctr, cells, n)
+          val shortlist = (0 until n)
+            .filter(j => j != self && inP(j) && !aRes(j).isNaN)
+            .sortBy(j => (aRes(j), ids(j))).take(rr)
+          fetched += shortlist.size
+          val got = shortlist.sortBy(j => (-cos(j), ids(j))).take(k)
+          rRer += got.toSet.intersect(exact).size.toDouble / exact.size
+        }
+        println(f"RSWEEP R=$rr recall_res256=${rRer / n}%.4f " +
+          f"fetched_per_query=${fetched.toDouble / n}%.1f")
+      }
+    }
+
+    // ---- join-scale recall (the n65 vs n78 BASELINE row): k=3, every
+    // vector a query — the batched kNN-join semantics, SDC symmetric
+    // ranking, vs the exact graph and the probed-cells ceiling ----
+    if (args.contains("join")) {
+      val pt = ProductQuantization.pairDistanceTable(cbMd5, subDim, nSub, nCode)
+      val kJoin = 3
+      var rCeil = 0.0; var rSdc = 0.0; var rRer = 0.0
+      (0 until n).foreach { self =>
+        val u = units(self)
+        val cos = units.map { w =>
+          var s = 0.0; var i = 0
+          while (i < u.length) { s += u(i) * w(i); i += 1 }
+          s
+        }
+        val exact = (0 until n).filter(_ != self)
+          .sortBy(j => (-cos(j), ids(j))).take(kJoin).toSet
+        val probedS = Similarity.probeCellsLocal(qs(self), nProbe).toSet
+        val inP: Int => Boolean = j => probedS.contains(cells(j))
+        val sdist = Array.tabulate(n) { j =>
+          var s = 0L; var m = 0
+          while (m < nSub) {
+            s += pt((m * nCode + codesMd5(self)(m)) * nCode + codesMd5(j)(m))
+            m += 1
+          }
+          s.toDouble
+        }
+        def recall(got: Seq[Int]): Double =
+          got.toSet.intersect(exact).size.toDouble / exact.size
+        val cand = (0 until n).filter(j => j != self && inP(j))
+        rCeil += recall(cand.sortBy(j => (-cos(j), ids(j))).take(kJoin))
+        rSdc += recall(cand.sortBy(j => (sdist(j), ids(j))).take(kJoin))
+        val short = cand.sortBy(j => (sdist(j), ids(j))).take(rerankR)
+        rRer += recall(short.sortBy(j => (-cos(j), ids(j))).take(kJoin))
+      }
+      println(f"JOINRECALL k=$kJoin ivf_exact=${rCeil / n}%.4f " +
+        f"sdc_n65=${rSdc / n}%.4f rerank_n78_R$rerankR=${rRer / n}%.4f")
+    }
+
+    // ---- one measured rung of IVF geometry scaling (round-17 verdict
+    // #2): nlist=<g> via args, everything retrained AT that geometry —
+    // cells, centroids, residual codebook — then the nProbe dial charted:
+    // ceiling / trained-256 raw / trained-res-256 / re-rank / scan_frac.
+    // The residual claim re-tests here (vs raw 256 at the same nlist):
+    // at nlist=8 each cell centroid averages ~12 unrelated clusters and
+    // residuals measured NEUTRAL; finer cells should flip it.
+    args.find(_.startsWith("nlist=")).map(_.drop(6).toInt).foreach { nlistG =>
+      val cellsG = qs.map(q =>
+        Similarity.probeCellsLocalAt(q, nlistG, 1).head)
+      val dim = vecs.head.length
+      val ctrG = Array.ofDim[Long](nlistG, dim)
+      val cntG = new Array[Long](nlistG)
+      (0 until n).foreach { j =>
+        val c = cellsG(j).toInt
+        cntG(c) += 1
+        var i = 0
+        while (i < dim) { ctrG(c)(i) += qs(j)(i); i += 1 }
+      }
+      (0 until nlistG).foreach { c =>
+        if (cntG(c) > 0) {
+          var i = 0
+          while (i < dim) { ctrG(c)(i) /= cntG(c); i += 1 }
+        }
+      }
+      val residsG = (0 until n).map { j =>
+        val c = cellsG(j).toInt
+        Array.tabulate(dim)(i => qs(j)(i) - ctrG(c)(i))
+      }.toArray
+      val cbRawG = ProductQuantization.trainCodebook(qs, subDim, nSub, nCode256)
+      val cbResG = ProductQuantization.trainCodebook(residsG, subDim, nSub, nCode256)
+      val codesRawG = qs.map(q =>
+        ProductQuantization.encodeLocal(q, cbRawG, subDim, nSub, nCode256))
+      val codesResG = residsG.map(r =>
+        ProductQuantization.encodeLocal(r, cbResG, subDim, nSub, nCode256))
+      Seq(1, 2, 4, 8, 16, 32, 64).filter(_ <= nlistG).foreach { np =>
+        var rCeil = 0.0; var rRaw = 0.0; var rRes = 0.0; var rRer = 0.0
+        var scanned = 0L
+        (0 until n).foreach { self =>
+          val u = units(self)
+          val cos = units.map { w =>
+            var s = 0.0; var i = 0
+            while (i < u.length) { s += u(i) * w(i); i += 1 }
+            s
+          }
+          val exact = topIdx(cos, self, asc = false).toSet
+          val probedG = Similarity.probeCellsLocalAt(qs(self), nlistG, np).toSet
+          val inP: Int => Boolean = j => probedG.contains(cellsG(j))
+          scanned += (0 until n).count(j => j != self && inP(j))
+          def recall(got: Seq[Int]): Double =
+            got.toSet.intersect(exact).size.toDouble / exact.size
+          rCeil += recall(topIdx(cos, self, asc = false, inP))
+          // raw trained-256 ADC: one LUT for all cells
+          val lutRaw = ProductQuantization.distanceTable(
+            qs(self), cbRawG, subDim, nSub, nCode256)
+          val aRaw = Array.tabulate(n) { j =>
+            var s = 0L; var m = 0
+            while (m < nSub) { s += lutRaw(m * nCode256 + codesRawG(j)(m)); m += 1 }
+            s.toDouble
+          }
+          rRaw += recall(topIdx(aRaw, self, asc = true, inP))
+          // residual trained-256: per-probed-cell LUTs
+          val aRes = adistResFor(probedG, codesResG, cbResG, nCode256,
+            qs(self), ctrG, cellsG, n)
+          rRes += recall(topIdx(aRes, self, asc = true, inP))
+          val short = (0 until n)
+            .filter(j => j != self && inP(j) && !aRes(j).isNaN)
+            .sortBy(j => (aRes(j), ids(j))).take(rerankR)
+          rRer += recall(short.sortBy(j => (-cos(j), ids(j))).take(k))
+        }
+        println(f"GEOM nlist=$nlistG nProbe=$np ivf_exact=${rCeil / n}%.4f " +
+          f"adc_trained256=${rRaw / n}%.4f adc_trained_res256=${rRes / n}%.4f " +
+          f"rerank_res256_R$rerankR=${rRer / n}%.4f " +
+          f"scan_frac=${scanned.toDouble / (n.toLong * (n - 1))}%.4f")
+      }
+    }
     spark.stop()
+  }
+
+  /** Residual ADC distances for one query under a probed-cell set: one
+    * LUT per probed cell from the query's residual IN that cell; NaN for
+    * unprobed candidates (excluded by the probe filter anyway). Shared by
+    * the main decomposition, the R sweep, and the geometry rung. */
+  private def adistResFor(probed: Set[Long], codes: Array[Array[Int]],
+                          cb: Array[Long], nc: Int, q: Array[Long],
+                          ctr: Array[Array[Long]], cells: Array[Long],
+                          n: Int): Array[Double] = {
+    val (subDim, nSub, _) = Similarity.debugPqGeometry
+    val lutByCell = probed.toSeq.map { c =>
+      val r = Array.tabulate(q.length)(i => q(i) - ctr(c.toInt)(i))
+      c -> ProductQuantization.distanceTable(r, cb, subDim, nSub, nc)
+    }.toMap
+    Array.tabulate(n) { j =>
+      lutByCell.get(cells(j)) match {
+        case Some(lut) =>
+          var s = 0L; var m = 0
+          while (m < nSub) { s += lut(m * nc + codes(j)(m)); m += 1 }
+          s.toDouble
+        case None => Double.NaN
+      }
+    }
   }
 }

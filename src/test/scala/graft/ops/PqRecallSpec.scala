@@ -172,6 +172,35 @@ class PqRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF geometry is a real parameter: frozen prefix, plan shape intact at nlist=64 (round 17)") {
+    // (a) the md5 direction namespace extends: the nlist=8 directions every
+    // oracle-gated query ships are the exact PREFIX of any finer geometry,
+    // so parameterizing could not have drifted a frozen plan
+    assert(Similarity.ivfDirsFor(8).toSeq ===
+      Similarity.ivfDirsFor(64).take(8 * 64).toSeq)
+    // (b) probe rule at the finer geometry still picks by (dot DESC, cell)
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val q = ProductQuantization.quantize(
+      emb.filter(col("vec_id") === 0L).select("embedding").head()
+        .getSeq[Float](0).map(_.toDouble))
+    val dots = Similarity.ivfDotsLocalAt(q, 64)
+    val probed = Similarity.probeCellsLocalAt(q, 64, 8)
+    assert(probed.size === 8)
+    assert(probed.toSet.subsetOf((0 until 64).map(_.toLong).toSet))
+    val best = (0 until 64).minBy(c => (-dots(c), c)).toLong
+    assert(probed.head === best)
+    // (c) the n76-class plan at nlist=64/nProbe=8 keeps the n73 shape:
+    // shuffle-free ranking scan with the per-cell LUT when-chain, and the
+    // broadcast re-rank fetch — the geometry dial changes constants, not
+    // the plan family
+    val df = Similarity.ivfPqResidualTrainedRerankTopK(emb,
+      nProbe = 8, nlist = 64)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_adc") && p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(df.count() === 5)
+  }
+
   test("planted near-duplicates are retrieved through the n63 incremental index") {
     // the end-to-end asymmetry an ANN index promises a semantic-dedup
     // pipeline: a ~0.9996-cosine partner ingested in a LATER batch must
