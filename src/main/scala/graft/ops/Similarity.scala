@@ -865,10 +865,14 @@ object Similarity {
    * membership at the R-th boundary, re-rank scores, and the final order
    * all rebuild in DuckDB).
    *
-   * Measured (ProbePqRecall sf0.1, `rerank` modes): join-scale recall@3
-   * vs the exact n39 graph goes 0.075 (n65 SDC codes) → 0.285 (this
-   * query, R=100) — the probed-cell ceiling is 0.68; the residual gap is
-   * shortlist capture (the R dial, charted in BASELINE).
+   * Measured (ProbePqRecall sf0.1 `join` mode): join-scale recall@3 vs
+   * exact cosine goes 0.0245 (n65, SDC codes end to end) → 0.2272 (this
+   * query, R=100) — a ×9.3 gain at unchanged candidate-stream width; the
+   * probed-cell ceiling is 0.726, and the remaining gap is SDC shortlist
+   * capture (symmetric coded-query distances are noisier than the
+   * single-query ADC shortlist, which re-ranks to 0.29 from the same
+   * codebook). At sf0.001 with R ≥ the candidate count the re-rank IS
+   * the probe ceiling: 0.469 vs n65's 0.038 (`PqJoinRerankSpec`).
    */
   def pqKnnJoinRerank(emb: DataFrame, k: Int = 3,
                       r: Int = PqJoinRerankR,
@@ -1564,7 +1568,11 @@ object Similarity {
   /** n75 — IVFADC-R on the md5 codebook: the n61 shuffle-free ADC scan
     * cut at R instead of k, then the exact integer re-rank — every stage
     * integer ⇒ HASH-checked end to end (shortlist membership, re-rank
-    * scores, and the final order all rebuild in DuckDB). */
+    * scores, and the final order all rebuild in DuckDB). R=100 ships
+    * because the R dial saturates there (BASELINE round-17 R sweep,
+    * trained-res-256 shortlist at sf0.1: recall@5 0.553/0.666/0.707/
+    * 0.718/0.720 at R=20/50/100/200/500 vs the 0.7196 probe ceiling —
+    * R=100 buys 98% of the ceiling; 5× more fetches buy the last 2%). */
   def ivfPqRerankTopK(emb: DataFrame, queryVecId: Long = 0L, k: Int = 5,
                       r: Int = 100, nProbe: Int = IvfNProbe): DataFrame =
     exactRerank(emb,
