@@ -139,6 +139,10 @@ object OpsQueries {
     // served from streaming state — rows-only, equality-to-n76 gated
     "n79_streaming_ivf_pq_trained" ->
       ((s, d) => IncrementalAnn.streamingIvfPqTrainedRerankQuery(s, d)),
+    // the n78 plan on a trained k*=256 codebook: join-scale recall@3
+    // 0.653 vs n78's 0.227 (90% of the probe ceiling) at identical plan
+    // shape and fetch bill — rows-only like n66 (Lloyd training)
+    "n80_pq_knn_rerank_trained" -> (Similarity.pqKnnJoinRerankTrainedQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +258,8 @@ object OpsQueries {
     "n78_pq_knn_rerank" -> Similarity.pqKnnJoinRerankOracle,
     // n79 omitted: trained quantizer (rows-only, the n66/n73/n76 class);
     // bounded by IncrementalAnnSpec's equality-to-batch-n76 assertion
+    // n80 omitted: trained codebook (rows-only); bounded by
+    // PqJoinRerankSpec's driver-twin equality + planted-floor gates —
+    // the plan shape is the hash-matched n78's verbatim
   )
 }

@@ -876,13 +876,28 @@ object Similarity {
    */
   def pqKnnJoinRerank(emb: DataFrame, k: Int = 3,
                       r: Int = PqJoinRerankR,
-                      nProbe: Int = IvfNProbe): DataFrame = {
+                      nProbe: Int = IvfNProbe): DataFrame =
+    pqKnnJoinRerankWith(emb, pqCodebook, PqNCode, pqPairTable, k, r, nProbe)
+
+  /** The shared two-stage join plan, parameterized on the codebook —
+    * n78 passes the md5 [[pqCodebook]] (oracle-reproducible), n80 the
+    * raw Lloyd-trained k*=256 one (the n61/n66 pairing at join scale).
+    * The SDC pair table rides in the task binary, which Spark itself
+    * broadcasts once per stage — at k*=256 that is nSub·256² longs
+    * (4 MiB), the FAISS-resident table size, NOT a per-row or per-task
+    * cost; at k*=16 it is 16 KiB. */
+  private def pqKnnJoinRerankWith(emb: DataFrame, codebook: Array[Long],
+                                  nCode: Int, pairTable: Array[Long],
+                                  k: Int, r: Int,
+                                  nProbe: Int): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    def codesCol(c: Column): Column = graft.functions.ProductQuantization
+      .encode(c, codebook, PqSubDim, PqNSub, nCode)
     val index = emb.select(col("vec_id").as("nbr"),
-      pqEncodeCol(v).as("un"),
+      codesCol(v).as("un"),
       ivfCellCol(v).cast("int").as("cell"))
-    val scored = emb.select(col("vec_id"), pqEncodeCol(v).as("u"),
+    val scored = emb.select(col("vec_id"), codesCol(v).as("u"),
       posexplode(dots).as(Seq("cell", "score")))
     val probed = graft.plans.TopKPerKey(scored, Seq(col("vec_id")),
       Seq(col("score").desc, col("cell")), nProbe)
@@ -890,7 +905,7 @@ object Similarity {
       .join(index, "cell")
       .filter(col("vec_id") =!= col("nbr"))
       .withColumn("sdist", graft.functions.ProductQuantization
-        .sdc(col("u"), col("un"), pqPairTable, PqNSub, PqNCode))
+        .sdc(col("u"), col("un"), pairTable, PqNSub, nCode))
     // the R-cut heap sees (vec_id, nbr, sdist) — codes and vectors have
     // both left the stream; nulls rank last and drop AFTER the cut (the
     // knnJoinVerify contract: a pre-cut isNotNull pushes into the join)
@@ -922,6 +937,32 @@ object Similarity {
 
   def pqKnnJoinRerankQuery(spark: SparkSession, dir: String): DataFrame =
     pqKnnJoinRerank(embeddings(spark, dir))
+
+  /**
+   * n80 — the batched two-stage join on a TRAINED k*=256 codebook: the
+   * n78 plan verbatim with Lloyd-trained codewords (raw vectors, NOT
+   * residuals — SDC compares codes across cells, and residual codes are
+   * cell-relative, so a cross-cell symmetric distance over them is
+   * incoherent; the raw codebook is the coherent trained choice at join
+   * scale). Measured (`ProbePqRecall join`, sf0.1, k=3): recall goes
+   * 0.0245 (n65 codes) → 0.2272 (n78, md5 shortlist) → 0.1702 (trained
+   * codes alone) → **0.6533 re-ranked — 90% of the 0.7258 probe
+   * ceiling**, ×2.9 over n78 at identical plan shape, candidate-stream
+   * width (8-int codes), and fetch bill (R=100). Training is
+   * SQL-inexpressible ⇒ rows-only like n66/n73/n76/n79, bounded by the
+   * driver-twin equality + planted-floor gates in `PqJoinRerankSpec`.
+   */
+  def pqKnnJoinRerankTrained(emb: DataFrame, k: Int = 3,
+                             r: Int = PqJoinRerankR,
+                             nProbe: Int = IvfNProbe): DataFrame = {
+    val cb = trainedPqCodebook(emb, PqNCodeHi)
+    val pt = graft.functions.ProductQuantization
+      .pairDistanceTable(cb, PqSubDim, PqNSub, PqNCodeHi)
+    pqKnnJoinRerankWith(emb, cb, PqNCodeHi, pt, k, r, nProbe)
+  }
+
+  def pqKnnJoinRerankTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    pqKnnJoinRerankTrained(embeddings(spark, dir))
 
   /** The n78 twin in DuckDB: the [[pqKnnJoinOracle]] CTE chain through
     * the per-pair SDC sum, the per-query shortlist cut at R (integer
@@ -1315,7 +1356,8 @@ object Similarity {
     * deterministic end to end (hash sample, sorted collect, farthest-point
     * init, fixed iterations): same table in, same codebook out, which is
     * what lets the driver's rows-only check stay stable across runs. */
-  private[graft] def trainedPqCodebook(emb: DataFrame): Array[Long] = {
+  private[graft] def trainedPqCodebook(emb: DataFrame,
+                                       nCode: Int = PqNCode): Array[Long] = {
     val sample = emb
       .filter(pmod(xxhash64(col("vec_id")), lit(PqTrainSampleMod)) === 0)
       .sort("vec_id")
@@ -1324,7 +1366,7 @@ object Similarity {
       .collect()
       .map(r => graft.functions.ProductQuantization.quantize(r.getSeq[Double](0)))
     graft.functions.ProductQuantization
-      .trainCodebook(sample, PqSubDim, PqNSub, PqNCode)
+      .trainCodebook(sample, PqSubDim, PqNSub, nCode)
   }
 
   /**

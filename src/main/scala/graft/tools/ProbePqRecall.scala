@@ -297,8 +297,16 @@ object ProbePqRecall {
     // ranking, vs the exact graph and the probed-cells ceiling ----
     if (args.contains("join")) {
       val pt = ProductQuantization.pairDistanceTable(cbMd5, subDim, nSub, nCode)
+      // the trained candidates for a join-scale quality rung, priced
+      // BEFORE any query ships (the round-14 measure-first rule): the
+      // n66 trained-16 codebook (16 KiB pair table — plan-literal class)
+      // and the raw trained-256 one (4 MB pair table — broadcast class)
+      val ptTr16 = ProductQuantization.pairDistanceTable(cbTrained, subDim, nSub, nCode)
+      val ptTr256 = ProductQuantization.pairDistanceTable(cbTr256, subDim, nSub, nCode256)
       val kJoin = 3
       var rCeil = 0.0; var rSdc = 0.0; var rRer = 0.0
+      var rSdcT16 = 0.0; var rRerT16 = 0.0
+      var rSdcT256 = 0.0; var rRerT256 = 0.0
       (0 until n).foreach { self =>
         val u = units(self)
         val cos = units.map { w =>
@@ -310,24 +318,36 @@ object ProbePqRecall {
           .sortBy(j => (-cos(j), ids(j))).take(kJoin).toSet
         val probedS = Similarity.probeCellsLocal(qs(self), nProbe).toSet
         val inP: Int => Boolean = j => probedS.contains(cells(j))
-        val sdist = Array.tabulate(n) { j =>
-          var s = 0L; var m = 0
-          while (m < nSub) {
-            s += pt((m * nCode + codesMd5(self)(m)) * nCode + codesMd5(j)(m))
-            m += 1
+        def sdistOf(codes: Array[Array[Int]], table: Array[Long],
+                    nc: Int): Array[Double] =
+          Array.tabulate(n) { j =>
+            var s = 0L; var m = 0
+            while (m < nSub) {
+              s += table((m * nc + codes(self)(m)) * nc + codes(j)(m))
+              m += 1
+            }
+            s.toDouble
           }
-          s.toDouble
-        }
+        val sdist = sdistOf(codesMd5, pt, nCode)
+        val sdistT16 = sdistOf(codesTr, ptTr16, nCode)
+        val sdistT256 = sdistOf(codesTr256, ptTr256, nCode256)
         def recall(got: Seq[Int]): Double =
           got.toSet.intersect(exact).size.toDouble / exact.size
         val cand = (0 until n).filter(j => j != self && inP(j))
+        def sdcAndRerank(sd: Array[Double]): (Double, Double) = {
+          val bySd = cand.sortBy(j => (sd(j), ids(j)))
+          (recall(bySd.take(kJoin)),
+            recall(bySd.take(rerankR).sortBy(j => (-cos(j), ids(j))).take(kJoin)))
+        }
         rCeil += recall(cand.sortBy(j => (-cos(j), ids(j))).take(kJoin))
-        rSdc += recall(cand.sortBy(j => (sdist(j), ids(j))).take(kJoin))
-        val short = cand.sortBy(j => (sdist(j), ids(j))).take(rerankR)
-        rRer += recall(short.sortBy(j => (-cos(j), ids(j))).take(kJoin))
+        val (a, b) = sdcAndRerank(sdist); rSdc += a; rRer += b
+        val (c, d) = sdcAndRerank(sdistT16); rSdcT16 += c; rRerT16 += d
+        val (e, f) = sdcAndRerank(sdistT256); rSdcT256 += e; rRerT256 += f
       }
       println(f"JOINRECALL k=$kJoin ivf_exact=${rCeil / n}%.4f " +
-        f"sdc_n65=${rSdc / n}%.4f rerank_n78_R$rerankR=${rRer / n}%.4f")
+        f"sdc_n65=${rSdc / n}%.4f rerank_n78_R$rerankR=${rRer / n}%.4f " +
+        f"sdc_trained16=${rSdcT16 / n}%.4f rerank_trained16_R$rerankR=${rRerT16 / n}%.4f " +
+        f"sdc_trained256=${rSdcT256 / n}%.4f rerank_trained256_R$rerankR=${rRerT256 / n}%.4f")
     }
 
     // ---- one measured rung of IVF geometry scaling (round-17 verdict

@@ -23,14 +23,17 @@ import graft.queries.Tables
 class PqJoinRerankSpec extends AnyFunSuite {
   lazy val spark = T.spark
 
-  /** Driver twin of the n78 pipeline over a collected corpus: md5 codes,
+  /** Driver twin of the n78/n80 pipeline over a collected corpus: codes,
     * probe sets, SDC shortlist at R, exact quantized-dot re-rank — all
-    * from the same local helpers the oracle arithmetic is pinned to. */
-  private def localRerank(rows: Array[(Long, Array[Double])], k: Int, r: Int)
+    * from the same local helpers the oracle arithmetic is pinned to.
+    * Defaults to the md5 codebook (n78); pass a trained one for n80. */
+  private def localRerank(rows: Array[(Long, Array[Double])], k: Int, r: Int,
+                          codebook: Array[Long] = null, nCodeIn: Int = 0)
       : Seq[(Long, Long, Long, Long)] = {
-    val (subDim, nSub, nCode) = Similarity.debugPqGeometry
+    val (subDim, nSub, nCodeMd5) = Similarity.debugPqGeometry
     val (_, nProbe) = Similarity.debugIvfGeometry
-    val cb = Similarity.debugPqCodebook
+    val cb = Option(codebook).getOrElse(Similarity.debugPqCodebook)
+    val nCode = if (nCodeIn > 0) nCodeIn else nCodeMd5
     val pt = ProductQuantization.pairDistanceTable(cb, subDim, nSub, nCode)
     val ids = rows.map(_._1)
     val n = ids.length
@@ -95,6 +98,41 @@ class PqJoinRerankSpec extends AnyFunSuite {
     val pairs = sample.count()
     val recall = hits.toDouble / pairs
     info(f"n78 planted partner at rank 1: $recall%.3f ($hits of $pairs)")
+    assert(recall >= 0.9, f"planted rank-1 recall $recall%.3f below 0.9")
+  }
+
+  test("n80 trained-codebook join equals the driver-twin computation at sf0.001") {
+    // same two-stage plan, Lloyd-trained k*=256 codewords: deterministic
+    // training (hash sample, sorted collect, fixed iterations) means the
+    // distributed result must equal the local recomputation exactly —
+    // the bound for the rows-only n80 (training is SQL-inexpressible)
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val cb = Similarity.trainedPqCodebook(emb, 256)
+    val got = Similarity.pqKnnJoinRerankTrained(emb).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2), rw.getLong(3)))
+      .toSeq
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(rw => rw.getLong(0) -> rw.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val want = localRerank(rows, k = 3, r = 100, codebook = cb, nCodeIn = 256)
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("n80 planted near-duplicates surface through the trained two-stage join") {
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Dedup.plantedCopies(sample)
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding")))
+    val hits = Similarity.pqKnnJoinRerankTrained(corpus)
+      .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
+      .filter(col("rank") === 1)
+      .count()
+    val pairs = sample.count()
+    val recall = hits.toDouble / pairs
+    info(f"n80 planted partner at rank 1: $recall%.3f ($hits of $pairs)")
     assert(recall >= 0.9, f"planted rank-1 recall $recall%.3f below 0.9")
   }
 

@@ -288,6 +288,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n78 exact dot does not sit above the SDC shortlist stage:\n$p")
   }
 
+  test("n80 trained two-stage join: the n78 shape verbatim (trained codewords change constants, not the plan)") {
+    val p = assertNoPairBlowup("n80_pq_knn_rerank_trained")
+    assert(p.contains("pq_sdc") && p.contains("pq_encode"),
+      s"n80 shortlist stage does not rank on the PQ kernels:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"n80 re-rank fetch is not a shuffle-hash id join:\n$p")
+    assert("dot_product".r.findAllIn(p).size == 1,
+      s"n80 must have exactly one dot_product site (above the fetch):\n$p")
+  }
+
   test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
     val p = plan("n62_domain_cap")
     assert(p.contains("TopKPerKey"),
