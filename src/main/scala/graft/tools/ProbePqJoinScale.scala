@@ -21,7 +21,8 @@ import org.apache.spark.sql.functions._
  */
 object ProbePqJoinScale {
   def main(args: Array[String]): Unit = {
-    val ns = if (args.nonEmpty) args.toSeq.map(_.toLong)
+    val numArgs = args.toSeq.filter(_.forall(_.isDigit))
+    val ns = if (numArgs.nonEmpty) numArgs.map(_.toLong)
              else Seq(2000L, 6000L, 20000L)
     val spark = Sessions.local(32, logLevel = "ERROR")
     val base = graft.queries.Tables.scratchDir("pqjoinscale")
@@ -65,11 +66,36 @@ object ProbePqJoinScale {
         graft.ops.Similarity.sq8KnnJoin(emb)
           .write.format("noop").mode("overwrite").save()
       }
+      // the two-stage n78: same candidate exchange as n65 plus the R-cut
+      // and the two shuffle-hash id fetches — the probe prices what the
+      // ×9.3 join-scale recall costs in wall AND shuffled bytes at scale
+      val (rrS, rrMiB) = measure {
+        graft.ops.Similarity.pqKnnJoinRerank(emb)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // k-isolation experiment (round 17: the n=20000 inversion — n78,
+      // which CONTAINS n65's stage 1, measured 5x faster than n65): same
+      // dev plan, same verify, only the final heap k varies
+      if (args.contains("kexp")) {
+        Seq(3, 20, 100).foreach { kk =>
+          val (s, mib) = measure {
+            graft.ops.Similarity.pqKnnJoinDev(emb,
+              (a, b) => graft.functions.ProductQuantization.sdc(a, b,
+                graft.functions.ProductQuantization.pairDistanceTable(
+                  graft.ops.Similarity.debugPqCodebook, 8, 8, 16), 8, 16),
+              k = kk)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"KEXP n=$n%d k=$kk sdc_join=$s%.2f s ($mib%.1f MiB shuffled)")
+        }
+      }
       println(f"PQJOINSCALE n=$n%d n60_float=$floatS%.2f s ($floatMiB%.1f MiB shuffled) " +
         f"n65_sdc=$sdcS%.2f s ($sdcMiB%.1f MiB shuffled) " +
         f"n68_sq8=$sq8S%.2f s ($sq8MiB%.1f MiB shuffled) " +
+        f"n78_rerank=$rrS%.2f s ($rrMiB%.1f MiB shuffled) " +
         f"time x${floatS / sdcS}%.2f shuffle x${floatMiB / sdcMiB}%.2f " +
-        f"sq8_time x${floatS / sq8S}%.2f sq8_shuffle x${floatMiB / sq8MiB}%.2f")
+        f"sq8_time x${floatS / sq8S}%.2f sq8_shuffle x${floatMiB / sq8MiB}%.2f " +
+        f"rr_vs_sdc_time x${rrS / sdcS}%.2f rr_vs_sdc_shuffle x${rrMiB / sdcMiB}%.2f")
     }
     spark.stop()
   }
