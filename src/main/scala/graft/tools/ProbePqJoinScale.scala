@@ -73,6 +73,36 @@ object ProbePqJoinScale {
         graft.ops.Similarity.pqKnnJoinRerank(emb)
           .write.format("noop").mode("overwrite").save()
       }
+      // AQE-isolation experiment (round 17 inversion follow-up): same
+      // registered n65/n78 plans with adaptive execution toggled — if the
+      // inversion is AQE stage re-planning, it disappears with AQE off
+      if (args.contains("aqeexp")) {
+        Seq(true, false).foreach { aqe =>
+          spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+          val (s65, m65) = measure {
+            graft.ops.Similarity.pqKnnJoin(emb)
+              .write.format("noop").mode("overwrite").save()
+          }
+          val (s78, m78) = measure {
+            graft.ops.Similarity.pqKnnJoinRerank(emb)
+              .write.format("noop").mode("overwrite").save()
+          }
+          println(f"AQEEXP n=$n%d aqe=$aqe n65=$s65%.2f s ($m65%.1f MiB) " +
+            f"n78=$s78%.2f s ($m78%.1f MiB)")
+        }
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        // targeted fix candidate: keep AQE, hint the cell join to a
+        // merge (shuffled) strategy via the dev path
+        val pt16 = graft.functions.ProductQuantization.pairDistanceTable(
+          graft.ops.Similarity.debugPqCodebook, 8, 8, 16)
+        val (sMj, mMj) = measure {
+          graft.ops.Similarity.pqKnnJoinDev(emb,
+            (a, b) => graft.functions.ProductQuantization.sdc(a, b, pt16, 8, 16),
+            mergeJoin = true)
+            .write.format("noop").mode("overwrite").save()
+        }
+        println(f"AQEEXP n=$n%d aqe=true mergeHint n65=$sMj%.2f s ($mMj%.1f MiB)")
+      }
       // k-isolation experiment (round 17: the n=20000 inversion — n78,
       // which CONTAINS n65's stage 1, measured 5x faster than n65): same
       // dev plan, same verify, only the final heap k varies
