@@ -109,11 +109,15 @@ object Bench {
     // yielded Map.empty and DISABLED the contract retry with no warning) —
     // and a missing file is now loud, because a disabled retry pass changes
     // what the official artifact can contain.
+    // the walk is ANCHORED on the repo marker (round-17 advice: run from a
+    // nested directory of another project, an unanchored walk could adopt
+    // an unrelated BASELINE.md and retry against foreign pins) — only the
+    // first ancestor that contains .git may supply the file
     val pinnedMins: Map[String, Double] = try {
       val p = Iterator.iterate(java.nio.file.Paths.get("").toAbsolutePath)(_.getParent)
         .takeWhile(_ != null).take(6)
+        .find(d => java.nio.file.Files.exists(d.resolve(".git")))
         .map(_.resolve("BASELINE.md"))
-        .find(java.nio.file.Files.exists(_))
         .getOrElse(java.nio.file.Paths.get("BASELINE.md"))
       if (!java.nio.file.Files.exists(p)) {
         System.err.println("[bench] WARNING: BASELINE.md not found from " +
@@ -217,14 +221,23 @@ object Bench {
       // retention (round-16 advice): stamped files are immutable evidence
       // WITHIN a session but accumulate forever across dev probes — keep
       // the newest 48 (a full round's quiet runs plus headroom), prune the
-      // rest. The timestamped name sorts chronologically.
+      // rest. Ordered by (timestamp, NUMERIC pid) — a plain name sort
+      // compares the unpadded pid as a string, which can drop the newer
+      // of two same-second artifacts (round-17 advice).
       val keep = 48
+      val stampedName = "bench-(\\d{8}-\\d{6})-(\\d+)\\.json".r
       val listing = java.nio.file.Files.list(dir)
       val old = try {
         scala.jdk.CollectionConverters.IteratorHasAsScala(listing.iterator())
           .asScala
-          .filter(_.getFileName.toString.matches("bench-\\d{8}-\\d{6}-\\d+\\.json"))
-          .toSeq.sortBy(_.getFileName.toString).dropRight(keep)
+          .flatMap { p =>
+            p.getFileName.toString match {
+              case stampedName(ts, pid) => Some((p, ts, pid.toLong))
+              case _ => None
+            }
+          }
+          .toSeq.sortBy { case (_, ts, pid) => (ts, pid) }
+          .map(_._1).dropRight(keep)
       } finally listing.close()
       old.foreach(java.nio.file.Files.deleteIfExists(_))
       if (old.nonEmpty)

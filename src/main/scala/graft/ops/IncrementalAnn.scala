@@ -84,19 +84,54 @@ final class IncrementalIvfPqIndex(root: Path,
     Files.move(tmp, quantPath, StandardCopyOption.ATOMIC_MOVE)
   }
 
+  /** Structural validation on load (round-17 advice): a truncated or
+    * foreign quant.txt must fail HERE with a message naming the file,
+    * not as an obscure index/parse error at the first read site — and
+    * never as a silently geometry-mismatched quantizer scoring codes. */
   private def loadQuant(): Option[TrainedQuant] =
     if (!Files.exists(quantPath)) None
     else {
       val lines = new String(Files.readAllBytes(quantPath), "UTF-8").split("\n")
-      Some(TrainedQuant(lines(1).split(",").map(_.toLong),
-        lines(0).toInt,
-        lines.drop(2).map(_.split(",").map(_.toLong))))
+      require(lines.length >= 3,
+        s"$quantPath is truncated: ${lines.length} line(s), need nCode + " +
+          "codebook + at least one centroid row")
+      val nCode =
+        try lines(0).trim.toInt
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$quantPath line 1 is not an integer nCode: '${lines(0)}'")
+        }
+      val codebook = lines(1).split(",").map(_.toLong)
+      require(codebook.length == nSub * nCode * subDim,
+        s"$quantPath codebook length ${codebook.length} != " +
+          s"nSub*nCode*subDim = ${nSub * nCode * subDim}")
+      val centroids = lines.drop(2).map(_.split(",").map(_.toLong))
+      require(centroids.length == nList,
+        s"$quantPath has ${centroids.length} centroid rows, index nlist is $nList")
+      require(centroids.forall(_.length == 64),
+        s"$quantPath centroid rows must have 64 components")
+      Some(TrainedQuant(codebook, nCode, centroids))
     }
+
+  /** True iff any batch has ever committed at this root — the guard input
+    * for quantizer adoption below. */
+  private def anyBatchCommitted: Boolean = {
+    val dir = root.resolve("commits")
+    Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.findFirst().isPresent finally s.close()
+    }
+  }
 
   /** Restart-stability resolution: a quantizer already stored beside the
     * state GOVERNS (the committed codes were encoded with it); passing a
     * DIFFERENT one on reopen is an error, not a retrain — re-encoding
-    * requires a new index root. First open with a quantizer persists it. */
+    * requires a new index root. First open with a quantizer persists it —
+    * but ONLY onto an empty index (round-17 advice): batches committed
+    * before any quantizer was stored were encoded in md5 mode, and
+    * adopting a trained quantizer over them would re-interpret their
+    * codes with per-cell trained LUTs — the same corruption the reopen
+    * conflict check refuses, arriving via the add-a-quantizer path. */
   private val quant: Option[TrainedQuant] = (loadQuant(), trained) match {
     case (Some(stored), Some(passed)) =>
       require(stored.nCode == passed.nCode &&
@@ -108,7 +143,12 @@ final class IncrementalIvfPqIndex(root: Path,
           "committed codes cannot be re-interpreted — open a new root to re-encode")
       Some(stored)
     case (Some(stored), None) => Some(stored)
-    case (None, Some(passed)) => persistQuant(passed); Some(passed)
+    case (None, Some(passed)) =>
+      require(!anyBatchCommitted,
+        s"index at $root already holds batches committed in untrained (md5) " +
+          "mode; committed codes cannot be re-interpreted with a trained " +
+          "quantizer — open a new root to re-encode")
+      persistQuant(passed); Some(passed)
     case (None, None) => None
   }
 
