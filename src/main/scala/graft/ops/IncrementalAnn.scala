@@ -66,7 +66,12 @@ final class IncrementalIvfPqIndex(root: Path,
 
   private val (nList, nProbeDefault) = Similarity.debugIvfGeometry
   private val (subDim, nSub, nCodeMd5) = Similarity.debugPqGeometry
-  private val CodesDdl = "vec_id BIGINT, label INT, cell BIGINT, codes ARRAY<INT>"
+  /** `probed` (round-18, the n71 treatment): each member's nProbe best
+    * cells precomputed AT INGEST (an 8-element comparator sort per row,
+    * map-side) — the batched kNN join over the index reads them back
+    * instead of re-shuffling a score stream per query run. */
+  private val CodesDdl =
+    "vec_id BIGINT, label INT, cell BIGINT, probed ARRAY<INT>, codes ARRAY<INT>"
 
   /** The quantizer file beside the state: nCode, the codebook, then one
     * centroid row per line (comma-joined longs). Written ATOMICALLY
@@ -184,17 +189,20 @@ final class IncrementalIvfPqIndex(root: Path,
     if (isCommitted(batchId)) return
     rejectBelowWatermark(batchId)
     val v = transform(col("embedding"), x => x.cast("double"))
+    val probedCol = Similarity.probedCellsCol(v, nProbeDefault)
     val coded = quant match {
       case None =>
         batch.select(col("vec_id"), col("label"),
           Similarity.ivfCellCol(v).cast("long").as("cell"),
+          probedCol.as("probed"),
           Similarity.pqEncodeCol(v).as("codes"))
       case Some(tq) =>
         // trained mode: codes on the residual against the row's OWN cell
         // centroid (the n73/n76 encode) — still one map-side pass
         batch.select(col("vec_id"), col("label"),
-            Similarity.ivfCellCol(v).cast("long").as("cell"), qIntCol(v).as("q"))
-          .select(col("vec_id"), col("label"), col("cell"),
+            Similarity.ivfCellCol(v).cast("long").as("cell"),
+            probedCol.as("probed"), qIntCol(v).as("q"))
+          .select(col("vec_id"), col("label"), col("cell"), col("probed"),
             residualCodesCol(tq, col("q"), col("cell")).as("codes"))
     }
     coded.write.mode("overwrite").parquet(partDir("codes", batchId).toString)
@@ -268,6 +276,51 @@ final class IncrementalIvfPqIndex(root: Path,
     val shortlist = topK(spark, queryVec, k = r, nProbe = nProbe,
       excludeVecId = queryVecId)
     Similarity.exactRerank(vectors, shortlist, queryVecId, k)
+  }
+
+  /**
+   * The batched two-stage kNN join over the committed TRAINED index
+   * (round-18 — the n80 plan with the index side served from streaming
+   * state): probe side explodes the STORED per-vector probe sets (the
+   * cut happened at ingest — no TopKPerKey shuffle over a score stream),
+   * both sides rank on STORED codes via the codegen SDC kernel (pair
+   * table from the persisted quantizer — restart-stable by the same
+   * conflict-refusal contract as every other read), the per-query R-cut
+   * shortlist fetches full vectors from the SOURCE table by shuffle-hash
+   * id joins, and the exact integer re-rank cuts to k
+   * ([[Similarity.rerankJoinTail]] — the shared n78/n80 tail). At 100 TB
+   * this is the nightly-dedup shape: the join-against-the-index touches
+   * state CODES (32 B/row) corpus-wide and 512-byte vectors only n·R
+   * times. Requires the quantizer (SDC needs one codebook for all rows);
+   * with the zero-centroid raw-codebook quantizer the committed codes
+   * equal the batch n80 encode per row, so the join equals the batch n80
+   * plan EXACTLY (gated in `IncrementalAnnSpec`).
+   */
+  def knnJoinRerank(spark: SparkSession, vectors: DataFrame, k: Int = 3,
+                    r: Int = 100): DataFrame = {
+    val tq = quant.getOrElse(throw new IllegalStateException(
+      s"knnJoinRerank needs a trained quantizer stored at $root — " +
+        "SDC ranks stored codes against stored codes, one codebook for all"))
+    val pt = ProductQuantization.pairDistanceTable(
+      tq.codebook, subDim, nSub, tq.nCode)
+    val st = readParts(spark, "codes", Long.MaxValue, CodesDdl,
+      requireMarker = true)
+    val probes = st
+      .select(col("vec_id"), col("codes").as("u"),
+        explode(col("probed")).as("pc"))
+      .select(col("vec_id"), col("u"), col("pc").cast("long").as("cell"))
+    val index = st.select(col("vec_id").as("nbr"), col("codes").as("un"),
+      col("cell"))
+    val cands = probes.join(index, "cell")
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("sdist", ProductQuantization.sdc(col("u"), col("un"),
+        pt, nSub, tq.nCode))
+    val shortlist = graft.plans.TopKPerKey(
+      cands.select(col("vec_id"), col("nbr"), col("sdist")),
+      Seq(col("vec_id")), Seq(col("sdist").asc_nulls_last, col("nbr")), r)
+      .filter(col("sdist").isNotNull)
+      .select("vec_id", "nbr")
+    Similarity.rerankJoinTail(vectors, shortlist, k)
   }
 
   /** Dev/spec accessor: the full committed codes table. */
@@ -345,6 +398,35 @@ object IncrementalAnn {
     val qv = emb.filter(col("vec_id") === 0L)
       .select("embedding").head().getSeq[Float](0)
     index.topKRerank(spark, emb, qv, queryVecId = 0L)
+  }
+
+  /** n83: the n80 batched trained two-stage join served from streaming
+    * state (round-17 verdict #4 — the nightly-dedup shape at 100 TB).
+    * The RAW trained k*=256 codebook ships as a ZERO-centroid quantizer:
+    * SDC compares codes ACROSS cells, and residual codes are
+    * cell-relative (incoherent cross-cell — the n80 rationale), while a
+    * residual against zero IS the raw trained encode — so the committed
+    * codes equal the batch n80 encode per row, and this query equals
+    * the batch n80 plan EXACTLY (the gate that bounds this rows-only
+    * entry, plus the later-batch planted floor — `IncrementalAnnSpec`).
+    * The quantizer persists beside the state with the same atomic-write
+    * + conflict-refusal contract as n79. */
+  def streamingPqKnnRerankTrainedQuery(spark: SparkSession, dir: String,
+                                       chunks: Int = 4): DataFrame = {
+    val base = Tables.scratchDir("n83")
+    val emb = Tables.embeddings(spark, dir)
+    val (subDim, nSub, _) = Similarity.debugPqGeometry
+    val (nList, _) = Similarity.debugIvfGeometry
+    val cb = Similarity.trainedPqCodebook(emb, Similarity.debugPqNCodeHi)
+    val zeroCtr = Array.fill(nList)(Array.fill(64)(0L))
+    val index = new IncrementalIvfPqIndex(base.resolve("state"),
+      trained = Some(TrainedQuant(cb, cb.length / (nSub * subDim), zeroCtr)))
+    StreamHarness.stageChunks(emb,
+      pmod(col("vec_id"), lit(chunks)), base.resolve("input"), chunks)
+    StreamHarness.run(spark, base.resolve("input"), base.resolve("ckpt"),
+      "graft:n83")(index.processBatch)
+    index.maintain(spark)
+    index.knnJoinRerank(spark, emb)
   }
 
 }

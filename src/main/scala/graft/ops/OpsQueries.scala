@@ -143,6 +143,30 @@ object OpsQueries {
     // 0.653 vs n78's 0.227 (90% of the probe ceiling) at identical plan
     // shape and fetch bill — rows-only like n66 (Lloyd training)
     "n80_pq_knn_rerank_trained" -> (Similarity.pqKnnJoinRerankTrainedQuery _),
+    // the ASYMMETRIC-shortlist two-stage join (round-18): stage 1 ranks
+    // candidates by the direct query-vector-vs-codes ADC kernel
+    // (PqAdcQExpr) instead of SDC — the query side stays exact, closing
+    // the shortlist-capture gap the round-17 verdict isolated; integer
+    // end to end ⇒ hash-checked like n78
+    "n81_pq_knn_rerank_adc" -> (Similarity.pqKnnJoinRerankAdcQuery _),
+    // the n61 scan at the FINER IVF geometry (nlist=64/nProbe=8): the
+    // rung the 100 TB design wants (nlist ~ sqrt(N); +10.6 recall points
+    // at equal scan in the round-17 sweep) pushed through the oracle
+    // gate — the md5 direction namespace extends, so the default
+    // geometry's hash-matched plans are untouched
+    "n82_ivf_pq_geo64" -> (Similarity.ivfPqGeo64Query _),
+    // the n80 trained two-stage join served from streaming state: stored
+    // probe sets + stored codes (raw trained codebook as a zero-centroid
+    // quantizer), SDC shortlist, exact re-rank fetch from the source
+    // table — rows-only (trained codebook), equality-to-n80 gated
+    "n83_streaming_pq_knn_rerank_trained" ->
+      ((s, d) => IncrementalAnn.streamingPqKnnRerankTrainedQuery(s, d)),
+    // the asymmetric join on the raw trained k*=256 codebook: join-scale
+    // recall 0.7177 = 98.9% of the probe ceiling (vs n80's 0.6533) at
+    // identical fetch bill — rows-only (trained codebook), driver-twin
+    // equality + planted-floor gated
+    "n84_pq_knn_rerank_adc_trained" ->
+      (Similarity.pqKnnJoinRerankAdcTrainedQuery _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -261,5 +285,11 @@ object OpsQueries {
     // n80 omitted: trained codebook (rows-only); bounded by
     // PqJoinRerankSpec's driver-twin equality + planted-floor gates —
     // the plan shape is the hash-matched n78's verbatim
+    // the asymmetric per-pair distance is the query's own d2 table looked
+    // up at the candidate's codes — integer end to end: hash-matched
+    "n81_pq_knn_rerank_adc" -> Similarity.pqKnnJoinRerankAdcOracle,
+    // the n61 oracle CTE chain with range(64)/LIMIT 8 — the geometry
+    // parameterizes straight through the md5 digit arithmetic
+    "n82_ivf_pq_geo64" -> Similarity.ivfPqGeo64Oracle,
   )
 }

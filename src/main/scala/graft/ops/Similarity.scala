@@ -401,8 +401,51 @@ object Similarity {
           graft.functions.DotProduct(col("u"), col("ctr")).as("ccos"))
     }
     knnJoinCore(scoredCells.withColumnRenamed("ccos", "score"), index,
-      k, nProbe)
+      k, nProbe, largeProbe = cellJoinLargeProbe(emb))
   }
+
+  /** Size-aware join-strategy crossover for the kNN-join family's cell
+    * equi-join (round-18, closing the round-17 "inversion" finding): at
+    * the oracle-gated bench point (sf0.1 = 2,000 vectors) AQE's broadcast
+    * conversion of the low-cardinality cell join is optimal, but at
+    * n = 20,000 synthetic probe rows it is measured ~4× WRONG for the
+    * code-only joins — n65 31.5 s AQE-on vs 8.2 s AQE-off (BASELINE
+    * round-17 "inversion" table): the broadcast keeps the tiny probe-side
+    * exchange AQE-coalescible, the 100M-pair SDC/dot verify stage
+    * collapses onto a handful of tasks, and the compute serializes. So
+    * above this SOURCE-size threshold the cell join is pinned to the
+    * shuffled-HASH strategy AQE-off picks (the d35/knnJoin
+    * centroid-switch pattern: a static size switch on a plan parameter,
+    * decided from the scan's own file statistics — no runtime re-plan,
+    * no count job). 3 MiB of embedding parquet ≈ 12k 64-float vectors:
+    * comfortably above every oracle-gated bench point (sf0.1 ≈ 0.5 MiB —
+    * those plans keep their measured-optimal AQE choices and their
+    * hashes) and below the measured inversion point. */
+  private val CellJoinShuffleHashBytes = 3L << 20
+
+  /** The crossover decision input: Catalyst's own size estimate of the
+    * probe/index source — for a parquet scan, the on-disk file bytes
+    * (driver-side metadata; evaluating it runs no job). */
+  private[graft] def cellJoinLargeProbe(emb: DataFrame): Boolean =
+    emb.queryExecution.optimizedPlan.stats.sizeInBytes >= CellJoinShuffleHashBytes
+
+  /** The cell equi-join with the crossover applied. Above the threshold
+    * the join is hinted to shuffled-hash — so neither static planning
+    * nor AQE can demote the verify stage to a broadcast over a coalesced
+    * stream side — AND both sides are pinned to an explicit exchange
+    * width: the cell shuffle is only a few MiB of codes, so AQE's
+    * coalescer would otherwise fold it to a task or two and re-serialize
+    * the 100M-pair verify stage the hint just rescued (user-specified
+    * widths are exempt from coalescing). Below the threshold: the plain
+    * join, exactly the measured-optimal bench-point plan. */
+  private def cellJoinWithCrossover(probed: DataFrame, index: DataFrame,
+                                    largeProbe: Boolean): DataFrame =
+    if (!largeProbe) probed.join(index, "cell")
+    else {
+      val w = index.sparkSession.sessionState.conf.numShufflePartitions
+      probed.repartition(w, col("cell"))
+        .join(index.repartition(w, col("cell")).hint("shuffle_hash"), "cell")
+    }
 
   /** The shared tail of the batched kNN join — both the trained-KMeans
     * n42 and its deterministic-quantizer twin n60 run exactly this plan:
@@ -414,16 +457,18 @@ object Similarity {
     * (vec_id, u, cell, score); `index` carries (cell, nbr, un). The
     * verify score is pluggable: n42 ranks on the exact float cosine
     * (codegen DotProduct); the n60 twin ranks on an order-independent
-    * integer quantized dot so the oracle reproduces it bit-for-bit. */
+    * integer quantized dot so the oracle reproduces it bit-for-bit.
+    * `largeProbe` engages the [[cellJoinLargeProbe]] crossover. */
   private def knnJoinCore(scoredCells: DataFrame, index: DataFrame,
                           k: Int, nProbe: Int,
                           verify: (Column, Column) => Column =
                             graft.functions.DotProduct(_, _),
                           scoreName: String = "cosine",
-                          ascending: Boolean = false): DataFrame = {
+                          ascending: Boolean = false,
+                          largeProbe: Boolean = false): DataFrame = {
     val probed = graft.plans.TopKPerKey(scoredCells, Seq(col("vec_id")),
       Seq(col("score").desc, col("cell")), nProbe)
-    knnJoinVerify(probed, index, k, verify, scoreName, ascending)
+    knnJoinVerify(probed, index, k, verify, scoreName, ascending, largeProbe)
   }
 
   /** The join→verify→top-k tail of [[knnJoinCore]], shared with the
@@ -435,7 +480,8 @@ object Similarity {
                                    k: Int,
                                    verify: (Column, Column) => Column,
                                    scoreName: String,
-                                   ascending: Boolean): DataFrame = {
+                                   ascending: Boolean,
+                                   largeProbe: Boolean = false): DataFrame = {
     // ascending ranks DISTANCES, where a defensive-null score would sort
     // nulls-first into the top-k (the n61 ADC lesson) — rank NULLS LAST
     // so a malformed row can never displace a genuine candidate, and
@@ -446,8 +492,8 @@ object Similarity {
     // vs 11 s on a 200M-pair corpus (ProbePqJoinScale, BASELINE r15).
     val ord = if (ascending) col(scoreName).asc_nulls_last
               else col(scoreName).desc
-    val cands = probed.select(col("vec_id"), col("u"), col("cell"))
-      .join(index, "cell")
+    val cands = cellJoinWithCrossover(
+        probed.select(col("vec_id"), col("u"), col("cell")), index, largeProbe)
       .filter(col("vec_id") =!= col("nbr"))
       .withColumn(scoreName, verify(col("u"), col("un")))
     val top = graft.plans.TopKPerKey(cands.select("vec_id", "nbr", scoreName),
@@ -512,7 +558,7 @@ object Similarity {
         posexplode(dots).as(Seq("cell", "score")))
     knnJoinCore(scored, index, k, nProbe,
       verify = (ua, ub) => graft.functions.DotProduct(ua, ub).cast("long"),
-      scoreName = "score_q")
+      scoreName = "score_q", largeProbe = cellJoinLargeProbe(emb))
   }
 
   def knnJoinDetQuery(spark: SparkSession, dir: String): DataFrame =
@@ -623,7 +669,8 @@ object Similarity {
     knnJoinCore(scored, index, k, nProbe,
       verify = (a, b) => graft.functions.ProductQuantization
         .sdc(a, b, pqPairTable, PqNSub, PqNCode),
-      scoreName = "sdist", ascending = true)
+      scoreName = "sdist", ascending = true,
+      largeProbe = cellJoinLargeProbe(emb))
   }
 
   def pqKnnJoinQuery(spark: SparkSession, dir: String): DataFrame =
@@ -635,7 +682,8 @@ object Similarity {
                                   k: Int = 3,
                                   nProbe: Int = IvfNProbe,
                                   breakIndexStage: Boolean = false,
-                                  mergeJoin: Boolean = false): DataFrame = {
+                                  mergeJoin: Boolean = false,
+                                  largeProbe: Boolean = false): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
     val index0 = emb.select(col("vec_id").as("nbr"),
@@ -646,7 +694,7 @@ object Similarity {
     val scored = emb.select(col("vec_id"), pqEncodeCol(v).as("u"),
       posexplode(dots).as(Seq("cell", "score")))
     knnJoinCore(scored, index, k, nProbe, verify,
-      scoreName = "sdist", ascending = true)
+      scoreName = "sdist", ascending = true, largeProbe = largeProbe)
   }
 
   /** The n65 twin in DuckDB: the [[knnJoinDetOracle]] cell structure
@@ -764,7 +812,7 @@ object Similarity {
       posexplode(dots).as(Seq("cell", "score")))
     knnJoinCore(scored, index, k, nProbe,
       verify = (a, b) => graft.functions.ScalarQuantization.dot(a, b),
-      scoreName = "sq8dot")
+      scoreName = "sq8dot", largeProbe = cellJoinLargeProbe(emb))
   }
 
   def sq8KnnJoinQuery(spark: SparkSession, dir: String): DataFrame =
@@ -914,6 +962,20 @@ object Similarity {
       Seq(col("vec_id")), Seq(col("sdist").asc_nulls_last, col("nbr")), r)
       .filter(col("sdist").isNotNull)
       .select("vec_id", "nbr")
+    rerankJoinTail(emb, shortlist, k)
+  }
+
+  /** The exact-re-rank tail shared by every batched two-stage join
+    * (n78/n80/n81 and the incremental trained twin): ONLY the
+    * shortlisted (vec_id, nbr) id pairs fetch their full vectors, by two
+    * SHUFFLE-HASH id joins against the source table — NOT broadcast: the
+    * id set is n·R and scales with the probe side — then re-score with
+    * the n60 exact integer quantized dot and cut to k. The n·R·~528 B
+    * fetch-exchange bill is measured equal to its closed-form prediction
+    * (BASELINE round-17, `ProbePqJoinScale`): linear in queries, never a
+    * function of index size. */
+  private[graft] def rerankJoinTail(emb: DataFrame, shortlist: DataFrame,
+                                    k: Int): DataFrame = {
     def quantUnit(c: Column): Column =
       transform(Dedup.unitVector(c), x =>
         floor(x * lit(1048576.0)).cast("double"))
@@ -963,6 +1025,94 @@ object Similarity {
 
   def pqKnnJoinRerankTrainedQuery(spark: SparkSession, dir: String): DataFrame =
     pqKnnJoinRerankTrained(embeddings(spark, dir))
+
+  /**
+   * n81 — the batched two-stage join with an ASYMMETRIC (ADC) shortlist
+   * (round-17 verdict #2): the n78 plan with stage 1's SDC verify
+   * replaced by the join-scale ADC kernel
+   * ([[graft.functions.ProductQuantization.adcq]] /
+   * `PqAdcQExpr`) — each probe row carries its RAW integer vector
+   * (floor(x·2²⁰) longs, the shared quantization) instead of its codes,
+   * and ranks candidates by the direct per-subspace
+   * Σ (q_i − codeword_i)², codebook as a plan literal, no per-row LUT
+   * materialization. The measured motivation (BASELINE round-18
+   * `ProbePqRecall join`): SDC quantizes the QUERY side down to codes
+   * too, and that noise is exactly the shortlist-capture gap the
+   * round-17 verdict isolated — the asymmetric shortlist recovers it at
+   * identical probe structure, R, and fetch bill.
+   *
+   * Scale anatomy vs n78: the INDEX side of the candidate exchange — the
+   * corpus-scale side — still carries 8-int codes only; the probe side
+   * carries 64 longs per probed row (n·nProbe rows, the n60 width,
+   * linear in queries). Fetch stage unchanged ([[rerankJoinTail]]).
+   * Integer end to end ⇒ HASH-checked like n78 (the shortlist boundary
+   * reuses the query's d2 table, which the oracle already builds).
+   */
+  def pqKnnJoinRerankAdc(emb: DataFrame, k: Int = 3,
+                         r: Int = PqJoinRerankR,
+                         nProbe: Int = IvfNProbe): DataFrame =
+    pqKnnJoinRerankAdcWith(emb, pqCodebook, PqNCode, k, r, nProbe)
+
+  /** The shared asymmetric two-stage join plan, parameterized on the
+    * codebook — n81 passes the md5 [[pqCodebook]] (oracle-reproducible),
+    * n84 the raw Lloyd-trained k*=256 one (the n78/n80 pairing with the
+    * ADC shortlist). */
+  private def pqKnnJoinRerankAdcWith(emb: DataFrame, codebook: Array[Long],
+                                     nCode: Int, k: Int, r: Int,
+                                     nProbe: Int): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val dots = graft.functions.QuantizedDots(v, ivfDirs, 64, IvfNList)
+    val qInt = transform(v, x =>
+      floor(x * lit(graft.functions.QuantizedDots.Scale)).cast("long"))
+    val index = emb.select(col("vec_id").as("nbr"),
+      graft.functions.ProductQuantization
+        .encode(v, codebook, PqSubDim, PqNSub, nCode).as("un"),
+      ivfCellCol(v).cast("int").as("cell"))
+    val scored = emb.select(col("vec_id"), qInt.as("u"),
+      posexplode(dots).as(Seq("cell", "score")))
+    val probed = graft.plans.TopKPerKey(scored, Seq(col("vec_id")),
+      Seq(col("score").desc, col("cell")), nProbe)
+    // the size crossover guards this cell join like n65's (same verify-
+    // stage serialization risk under AQE's broadcast conversion at scale)
+    val cands = cellJoinWithCrossover(
+        probed.select(col("vec_id"), col("u"), col("cell")), index,
+        cellJoinLargeProbe(emb))
+      .filter(col("vec_id") =!= col("nbr"))
+      .withColumn("adist", graft.functions.ProductQuantization
+        .adcq(col("u"), col("un"), codebook, PqSubDim, PqNSub, nCode))
+    val shortlist = graft.plans.TopKPerKey(
+      cands.select(col("vec_id"), col("nbr"), col("adist")),
+      Seq(col("vec_id")), Seq(col("adist").asc_nulls_last, col("nbr")), r)
+      .filter(col("adist").isNotNull)
+      .select("vec_id", "nbr")
+    rerankJoinTail(emb, shortlist, k)
+  }
+
+  def pqKnnJoinRerankAdcQuery(spark: SparkSession, dir: String): DataFrame =
+    pqKnnJoinRerankAdc(embeddings(spark, dir))
+
+  /**
+   * n84 — the asymmetric two-stage join on the raw Lloyd-trained k*=256
+   * codebook: the n81 plan with trained codewords. Measured
+   * (`ProbePqRecall join`, sf0.1, k=3): join-scale recall@3
+   * 0.2272 (n78 SDC/md5) → 0.3123 (n81 ADC/md5) → 0.6533 (n80
+   * SDC/trained) → **0.7177 — 98.9% of the 0.7258 probe ceiling** —
+   * the asymmetric shortlist closes the capture gap the round-17
+   * verdict isolated, at identical probe structure, R, and fetch bill
+   * (a residual variant measured 0.7193, +0.0016 — not worth the
+   * per-cell centroid plumbing at join scale). Training is
+   * SQL-inexpressible ⇒ rows-only like n80, bounded by the driver-twin
+   * equality + planted-floor gates in `PqJoinRerankSpec`; the plan
+   * shape is the hash-matched n81's verbatim.
+   */
+  def pqKnnJoinRerankAdcTrained(emb: DataFrame, k: Int = 3,
+                                r: Int = PqJoinRerankR,
+                                nProbe: Int = IvfNProbe): DataFrame =
+    pqKnnJoinRerankAdcWith(emb, trainedPqCodebook(emb, PqNCodeHi),
+      PqNCodeHi, k, r, nProbe)
+
+  def pqKnnJoinRerankAdcTrainedQuery(spark: SparkSession, dir: String): DataFrame =
+    pqKnnJoinRerankAdcTrained(embeddings(spark, dir))
 
   /** The n78 twin in DuckDB: the [[pqKnnJoinOracle]] CTE chain through
     * the per-pair SDC sum, the per-query shortlist cut at R (integer
@@ -1035,6 +1185,98 @@ object Similarity {
        |  SELECT vec_id, nbr FROM s
        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
        |                             ORDER BY sdist, nbr) <= $PqJoinRerankR
+       |), exd AS (
+       |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+       |    generate_subscripts(embedding, 1) AS i
+       |  FROM embeddings
+       |), nr AS (
+       |  SELECT vec_id, SQRT(SUM(v * v)) AS nrm FROM exd GROUP BY vec_id
+       |), uv AS (
+       |  SELECT exd.vec_id, v / nrm AS u, i FROM exd JOIN nr USING (vec_id)
+       |), qd AS (
+       |  SELECT sh.vec_id, sh.nbr,
+       |    CAST(SUM(CAST(floor(a.u * 1048576.0) AS BIGINT) *
+       |             CAST(floor(b.u * 1048576.0) AS BIGINT)) AS BIGINT) AS qdot
+       |  FROM short sh
+       |  JOIN uv a ON a.vec_id = sh.vec_id
+       |  JOIN uv b ON b.vec_id = sh.nbr AND b.i = a.i
+       |  GROUP BY 1, 2
+       |), r AS (
+       |  SELECT vec_id, nbr, qdot,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                            ORDER BY qdot DESC, nbr) AS BIGINT) AS rank
+       |  FROM qd
+       |)
+       |SELECT vec_id, rank, nbr, qdot
+       |FROM r
+       |WHERE rank <= 3
+       |ORDER BY vec_id, rank""".stripMargin
+
+  /** The n81 twin in DuckDB: the [[pqKnnJoinRerankOracle]] chain with the
+    * SDC pair-table stage replaced by the ASYMMETRIC per-pair distance —
+    * which is just the query's own d2 table (already built for the encode
+    * step) looked up at the CANDIDATE's codes: adist(q, nbr) =
+    * Σ_m d2[q][m][code_m(nbr)]. No pd CTE; the shortlist cut, fetch, and
+    * exact re-rank are unchanged. Integer end to end. */
+  lazy val pqKnnJoinRerankAdcOracle: String =
+    s"""WITH dirs AS (
+       |  SELECT c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
+       |      - 2147483648 AS comp
+       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |), cb AS (
+       |  SELECT m, c, i,
+       |    CAST(list_sum([(strpos('0123456789abcdef',
+       |        substr(md5('pq_' || m || '_' || c || '_' || i), d + 1, 1)) - 1)
+       |        * (1 << (4 * (4 - d))) for d in range(5)]) AS BIGINT)
+       |      - 524288 AS comp
+       |  FROM range($PqNSub) t(m), range($PqNCode) u(c), range($PqSubDim) s(i)
+       |), ex AS (
+       |  SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS i,
+       |    unnest(CAST(embedding AS DOUBLE[])) AS x
+       |  FROM embeddings
+       |), exq AS (
+       |  SELECT vec_id, i, i // $PqSubDim AS m, i % $PqSubDim AS si,
+       |    CAST(floor(x * 1048576.0) AS BIGINT) AS q
+       |  FROM ex
+       |), dots AS (
+       |  SELECT exq.vec_id, dirs.c, SUM(exq.q * dirs.comp) AS dot
+       |  FROM exq JOIN dirs ON dirs.i = exq.i
+       |  GROUP BY 1, 2
+       |), assigned AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) = 1
+       |), probed AS (
+       |  SELECT vec_id, c AS cell FROM dots
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY dot DESC, c) <= $IvfNProbe
+       |), d2 AS (
+       |  SELECT exq.vec_id, cb.m, cb.c,
+       |    SUM((exq.q - cb.comp) * (exq.q - cb.comp)) AS d2
+       |  FROM exq JOIN cb ON cb.m = exq.m AND cb.i = exq.si
+       |  GROUP BY 1, 2, 3
+       |), codes AS (
+       |  SELECT vec_id, m, c AS code FROM d2
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m
+       |                             ORDER BY d2, c) = 1
+       |), pairs AS (
+       |  SELECT q.vec_id, ix.vec_id AS nbr
+       |  FROM probed q JOIN assigned ix
+       |    ON ix.cell = q.cell AND ix.vec_id <> q.vec_id
+       |), s AS (
+       |  SELECT p.vec_id, p.nbr,
+       |    CAST(SUM(d2.d2) AS BIGINT) AS adist
+       |  FROM pairs p
+       |  JOIN codes cn ON cn.vec_id = p.nbr
+       |  JOIN d2 ON d2.vec_id = p.vec_id AND d2.m = cn.m AND d2.c = cn.code
+       |  GROUP BY 1, 2
+       |), short AS (
+       |  SELECT vec_id, nbr FROM s
+       |  QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                             ORDER BY adist, nbr) <= $PqJoinRerankR
        |), exd AS (
        |  SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
        |    generate_subscripts(embedding, 1) AS i
@@ -1189,6 +1431,7 @@ object Similarity {
   private[graft] def debugPqGeometry: (Int, Int, Int) = (PqSubDim, PqNSub, PqNCode)
   private[graft] def debugIvfDirs: Array[Long] = ivfDirs
   private[graft] def debugIvfGeometry: (Int, Int) = (IvfNList, IvfNProbe)
+  private[graft] def debugPqNCodeHi: Int = PqNCodeHi
 
   /** IVF cell of a double-vector column: integer argmax over [[ivfDirs]]
     * (first index wins ties — exact in both engines; the n07 assignment,
@@ -1301,9 +1544,13 @@ object Similarity {
 
   /** The shared IVF-PQ single-query plan, parameterized on the codebook —
     * n61 passes the md5 [[pqCodebook]] (oracle-reproducible), n66 the
-    * Lloyd-trained one (better recall, SQL-inexpressible training). */
+    * Lloyd-trained one (better recall, SQL-inexpressible training) — and
+    * on the IVF geometry (round-17 verdict #3: the n82 finer-geometry
+    * rung runs this plan verbatim at nlist=64; the md5 direction
+    * namespace extends, so the default geometry's plans are untouched). */
   private def ivfPqRank(emb: DataFrame, codebook: Array[Long],
-                        queryVecId: Long, k: Int, nProbe: Int): DataFrame = {
+                        queryVecId: Long, k: Int, nProbe: Int,
+                        nlist: Int = IvfNList): DataFrame = {
     val v = transform(col("embedding"), x => x.cast("double"))
     // the one query vector is a plan parameter: probe set AND LUT are
     // integer driver arithmetic (bit-equal to the kernels — pinned in
@@ -1312,14 +1559,14 @@ object Similarity {
       .select(col("embedding")).head()
     val q = graft.functions.ProductQuantization.quantize(
       qRow.getSeq[Float](0).map(_.toDouble))
-    val cells = probeCellsLocal(q, nProbe)
+    val cells = probeCellsLocalAt(q, nlist, nProbe)
     val lut = graft.functions.ProductQuantization.distanceTable(
       q, codebook, PqSubDim, PqNSub, PqNCode)
     // index build: PQ codes + IVF cell, one map-side pass
     emb.select(col("vec_id"), col("label"),
         graft.functions.ProductQuantization
           .encode(v, codebook, PqSubDim, PqNSub, PqNCode).as("codes"),
-        ivfCellCol(v).as("cell"))
+        ivfCellCol(v, nlist).as("cell"))
       .filter(col("cell").isInCollection(cells))
       .filter(col("vec_id") =!= queryVecId)
       .select(col("vec_id"), col("label"),
@@ -1340,6 +1587,34 @@ object Similarity {
 
   def ivfPqQuery(spark: SparkSession, dir: String): DataFrame =
     ivfPqTopK(embeddings(spark, dir))
+
+  /** n82 IVF geometry: the finer rung the 100 TB design wants (real IVF
+    * deployments scale nlist ≈ √N). The round-17 sweep measured it: at
+    * EQUAL scan fraction, nlist=64 beats the nlist=8 default by +10.6
+    * recall points (0.813 vs 0.707 at 0.50 scan; BASELINE round-17
+    * geometry tables); this query ships the rung at nProbe=8 — a 0.125
+    * expected scan fraction, the recall-per-read operating point. */
+  private val IvfNListFine = 64
+  private val IvfNProbeFine = 8
+
+  /**
+   * n82 — the n61 IVF-PQ scan at the FINER geometry (nlist=64/nProbe=8,
+   * round-17 verdict #3): the [[ivfPqRank]] plan verbatim with
+   * [[ivfDirsFor]](64) as the coarse quantizer. The md5 direction
+   * namespace EXTENDS (nlist=8 is the exact prefix of nlist=64, pinned
+   * in `PqRecallSpec`), so the default geometry's hash-matched plans are
+   * untouched while this query pushes the geometry the scale design
+   * actually wants through the driver's oracle gate: the DuckDB twin
+   * rebuilds the 64-direction quantizer from the same md5 digit
+   * arithmetic (`range(64)` in the CTE) — integer end to end,
+   * hash-checked like n61.
+   */
+  def ivfPqGeo64TopK(emb: DataFrame, queryVecId: Long = 0L,
+                     k: Int = 5): DataFrame =
+    ivfPqRank(emb, pqCodebook, queryVecId, k, IvfNProbeFine, IvfNListFine)
+
+  def ivfPqGeo64Query(spark: SparkSession, dir: String): DataFrame =
+    ivfPqGeo64TopK(embeddings(spark, dir))
 
   // -------------------------------------------- n66 trained-codebook PQ
 
@@ -1649,15 +1924,22 @@ object Similarity {
     * rows become the LUT — assign IVF cells by BIGINT argmax dot, probe
     * the query's top cells, and rank probed-cell members by the summed
     * LUT lookups. Integer end to end: ties and the k-th boundary are
-    * identical in both engines by construction. */
-  val ivfPqOracle: String =
+    * identical in both engines by construction. PARAMETERIZED on the IVF
+    * geometry (the md5 namespace extends with nlist, so `range(nlist)`
+    * rebuilds any rung): n61/n63 bind the frozen default, n82 the finer
+    * 64/8 rung. */
+  val ivfPqOracle: String = ivfPqOracleAt(IvfNList, IvfNProbe)
+
+  lazy val ivfPqGeo64Oracle: String = ivfPqOracleAt(IvfNListFine, IvfNProbeFine)
+
+  private def ivfPqOracleAt(nlist: Int, nProbe: Int): String =
     s"""WITH dirs AS (
        |  SELECT c, i,
        |    CAST(list_sum([(strpos('0123456789abcdef',
        |        substr(md5('c_' || c || '_' || i), d + 1, 1)) - 1)
        |        * (1 << (4 * (7 - d))) for d in range(8)]) AS BIGINT)
        |      - 2147483648 AS comp
-       |  FROM range($IvfNList) t(c), range(64) s(i)
+       |  FROM range($nlist) t(c), range(64) s(i)
        |), cb AS (
        |  SELECT m, c, i,
        |    CAST(list_sum([(strpos('0123456789abcdef',
@@ -1683,7 +1965,7 @@ object Similarity {
        |                             ORDER BY dot DESC, c) = 1
        |), probed AS (
        |  SELECT c AS cell FROM dots WHERE vec_id = 0
-       |  ORDER BY dot DESC, c LIMIT $IvfNProbe
+       |  ORDER BY dot DESC, c LIMIT $nProbe
        |), d2 AS (
        |  SELECT exq.vec_id, cb.m, cb.c,
        |    SUM((exq.q - cb.comp) * (exq.q - cb.comp)) AS d2

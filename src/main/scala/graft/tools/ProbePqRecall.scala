@@ -307,6 +307,11 @@ object ProbePqRecall {
       var rCeil = 0.0; var rSdc = 0.0; var rRer = 0.0
       var rSdcT16 = 0.0; var rRerT16 = 0.0
       var rSdcT256 = 0.0; var rRerT256 = 0.0
+      // round-18 (verdict #2): the ASYMMETRIC shortlist at join scale —
+      // each probe row keeps its raw integer vector, candidates stay
+      // codes (the PqAdcQExpr kernel's semantics) — priced against the
+      // SDC shortlists above BEFORE any query ships
+      var rAdcMd5 = 0.0; var rAdcT256 = 0.0; var rAdcRes256 = 0.0
       (0 until n).foreach { self =>
         val u = units(self)
         val cos = units.map { w =>
@@ -343,11 +348,33 @@ object ProbePqRecall {
         val (a, b) = sdcAndRerank(sdist); rSdc += a; rRer += b
         val (c, d) = sdcAndRerank(sdistT16); rSdcT16 += c; rRerT16 += d
         val (e, f) = sdcAndRerank(sdistT256); rSdcT256 += e; rRerT256 += f
+        // asymmetric shortlists: the query's exact integer vector against
+        // candidate codes (adcqLocal = the PqAdcQExpr twin), cut at R,
+        // exact re-rank — md5 (oracle-reproducible), raw trained-256,
+        // and residual trained-256 (per-CANDIDATE-cell query residual,
+        // coherent because the equi-join pins candidate cell = probed cell)
+        def adcRerank(ad: Array[Double]): Double = {
+          val short = cand.filter(j => !ad(j).isNaN)
+            .sortBy(j => (ad(j), ids(j))).take(rerankR)
+          recall(short.sortBy(j => (-cos(j), ids(j))).take(kJoin))
+        }
+        val adMd5 = Array.tabulate(n)(j => ProductQuantization
+          .adcqLocal(qs(self), codesMd5(j), cbMd5, subDim, nSub, nCode).toDouble)
+        val adT256 = Array.tabulate(n)(j => ProductQuantization
+          .adcqLocal(qs(self), codesTr256(j), cbTr256, subDim, nSub, nCode256).toDouble)
+        val adRes256 = adistResFor(probedS, codesTrRes256, cbTrRes256,
+          nCode256, qs(self), ctr, cells, n)
+        rAdcMd5 += adcRerank(adMd5)
+        rAdcT256 += adcRerank(adT256)
+        rAdcRes256 += adcRerank(adRes256)
       }
       println(f"JOINRECALL k=$kJoin ivf_exact=${rCeil / n}%.4f " +
         f"sdc_n65=${rSdc / n}%.4f rerank_n78_R$rerankR=${rRer / n}%.4f " +
         f"sdc_trained16=${rSdcT16 / n}%.4f rerank_trained16_R$rerankR=${rRerT16 / n}%.4f " +
         f"sdc_trained256=${rSdcT256 / n}%.4f rerank_trained256_R$rerankR=${rRerT256 / n}%.4f")
+      println(f"JOINADC k=$kJoin rerank_adc_md5_R$rerankR=${rAdcMd5 / n}%.4f " +
+        f"rerank_adc_trained256_R$rerankR=${rAdcT256 / n}%.4f " +
+        f"rerank_adc_res256_R$rerankR=${rAdcRes256 / n}%.4f")
     }
 
     // ---- one measured rung of IVF geometry scaling (round-17 verdict

@@ -158,6 +158,59 @@ class ProductQuantizationSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(Some(nSub.toLong), None, None, None, None))
   }
 
+  test("pq_adc_q matches the driver reference and equals the query-LUT lookup (the oracle's d2 reuse)") {
+    // every vector's integer q against vector 0's codes — the n81 verify
+    // shape: the query side stays an exact integer vector, candidates codes
+    val rows = vecs()
+      .select(col("vec_id"), col("u"),
+        ProductQuantization.encode(col("u"), codebook, subDim, nSub, nCode)
+          .as("codes"))
+      .collect()
+    val codes0 = rows.find(_.getLong(0) == 0L).get.getSeq[Int](2).toArray
+    val qInt = transform(col("u"), x => floor(x * lit(1048576.0)).cast("long"))
+    val got = vecs()
+      .select(col("vec_id"),
+        ProductQuantization.adcq(qInt, lit(codes0), codebook,
+          subDim, nSub, nCode).as("adist"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val q = ProductQuantization.quantize(r.getSeq[Double](1))
+      val want = ProductQuantization.adcqLocal(q, codes0, codebook,
+        subDim, nSub, nCode)
+      assert(got(r.getLong(0)) === want, s"vec ${r.getLong(0)}")
+      // the identity the n81 oracle leans on: the direct asymmetric sum IS
+      // the query's d2 table looked up at the candidate's codes
+      val lut = ProductQuantization.distanceTable(q, codebook, subDim, nSub, nCode)
+      assert(want === codes0.zipWithIndex
+        .map { case (c, m) => lut(m * nCode + c) }.sum)
+    }
+  }
+
+  test("pq_adc_q null contract: wrong arity on either side and out-of-range codes are null") {
+    val okQ = Seq.fill(dim)(0L)
+    val okCodes = Seq.fill(nSub)(0)
+    val schema = StructType(Seq(
+      StructField("q", ArrayType(LongType, containsNull = true)),
+      StructField("codes", ArrayType(IntegerType, containsNull = true))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(
+        Row(okQ, okCodes),                   // valid pair
+        Row(okQ, Seq.fill(nSub)(nCode)),     // code out of range
+        Row(okQ, Seq(0, 1)),                 // codes wrong arity
+        Row(Seq(0L, 1L), okCodes),           // q wrong arity
+        Row(null, okCodes),                  // q null
+        Row(okQ, null)),                     // codes null
+      schema)
+    val want0 = (0 until nSub)
+      .map(m => (0 until subDim).map { i =>
+        val cw = codebook((m * nCode) * subDim + i); cw * cw }.sum).sum
+    val got = df.select(
+      ProductQuantization.adcq(col("q"), col("codes"), codebook,
+        subDim, nSub, nCode).as("a"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got.toSeq === Seq(Some(want0), None, None, None, None, None))
+  }
+
   test("pq_encode length contract: a wrong-length vector is NULL, and a malformed row never displaces real neighbors") {
     // the explicit contract (round-14 advice): the old zero-pad semantics
     // silently disagreed with the DuckDB oracle's join (absent components

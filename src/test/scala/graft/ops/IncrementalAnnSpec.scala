@@ -159,6 +159,44 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(top.head.getLong(0) === 999999L, s"got ${top.toSeq}")
   }
 
+  test("n83: the streaming trained two-stage JOIN equals the batch n80 plan (round 18)") {
+    // stored probe sets == the batch TopKPerKey probe cut (pinned in
+    // IncrementalSq8Spec), zero-centroid residual encode == the raw
+    // trained encode, shared SDC/R-cut/re-rank mechanics ⇒ the join over
+    // streaming state must equal the batch n80 join per row — the gate
+    // that bounds the rows-only n83 entry
+    val got = IncrementalAnn.streamingPqKnnRerankTrainedQuery(spark, T.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = Similarity.pqKnnJoinRerankTrained(emb)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got === want)
+    assert(got.nonEmpty)
+  }
+
+  test("a later-batch planted duplicate surfaces at rank 1 through the streaming trained JOIN (the n83 floor)") {
+    // identical codes ⇒ SDC distance 0 ⇒ the duplicate cannot miss the
+    // R-cut; the exact re-rank's integer self-dot is the per-query
+    // maximum ⇒ rank 1 for the query row — across the ingest boundary
+    val base = T.tmpDir("ann-join-late")
+    val (subDim, nSub, _) = Similarity.debugPqGeometry
+    val cb = Similarity.trainedPqCodebook(emb, Similarity.debugPqNCodeHi)
+    val zeroCtr = Array.fill(Similarity.debugIvfGeometry._1)(Array.fill(64)(0L))
+    val index = new IncrementalIvfPqIndex(base.resolve("state"),
+      Some(TrainedQuant(cb, cb.length / (nSub * subDim), zeroCtr)))
+    index.processBatch(emb, 0L)
+    val dup = emb.filter(col("vec_id") === 0L)
+      .select(lit(999999L).as("vec_id"), col("embedding"), col("label"))
+    index.processBatch(dup, 1L)
+    index.maintain(spark)
+    val corpus = emb.unionByName(dup)
+    val q0 = index.knnJoinRerank(spark, corpus)
+      .filter(col("vec_id") === 0L).orderBy("rank").collect()
+    assert(q0.nonEmpty)
+    assert(q0.head.getLong(2) === 999999L, s"got ${q0.toSeq}")
+  }
+
   test("a planted duplicate arriving in a LATER batch is found by the index query") {
     val base = T.tmpDir("ann-late")
     val index = new IncrementalIvfPqIndex(base.resolve("state"))

@@ -28,7 +28,8 @@ class PqJoinRerankSpec extends AnyFunSuite {
     * from the same local helpers the oracle arithmetic is pinned to.
     * Defaults to the md5 codebook (n78); pass a trained one for n80. */
   private def localRerank(rows: Array[(Long, Array[Double])], k: Int, r: Int,
-                          codebook: Array[Long] = null, nCodeIn: Int = 0)
+                          codebook: Array[Long] = null, nCodeIn: Int = 0,
+                          asymmetric: Boolean = false)
       : Seq[(Long, Long, Long, Long)] = {
     val (subDim, nSub, nCodeMd5) = Similarity.debugPqGeometry
     val (_, nProbe) = Similarity.debugIvfGeometry
@@ -52,11 +53,18 @@ class PqJoinRerankSpec extends AnyFunSuite {
     (0 until n).flatMap { i =>
       val sdists = (0 until n).filter(j => j != i && probed(i).contains(cells(j)))
         .map { j =>
-          var s = 0L; var m = 0
-          while (m < nSub) {
-            s += pt((m * nCode + codes(i)(m)) * nCode + codes(j)(m)); m += 1
+          if (asymmetric)
+            // the n81/n84 shortlist: query's exact integer vector against
+            // candidate codes (the PqAdcQExpr twin)
+            j -> ProductQuantization.adcqLocal(qs(i), codes(j), cb,
+              subDim, nSub, nCode)
+          else {
+            var s = 0L; var m = 0
+            while (m < nSub) {
+              s += pt((m * nCode + codes(i)(m)) * nCode + codes(j)(m)); m += 1
+            }
+            j -> s
           }
-          j -> s
         }
       val short = sdists.sortBy { case (j, s) => (s, ids(j)) }.take(r).map(_._1)
       val rescored = short.map { j =>
@@ -157,5 +165,66 @@ class PqJoinRerankSpec extends AnyFunSuite {
     assert(rRer >= 2.0 * rSdc,
       f"the re-rank stage no longer pays at join scale: n78=$rRer%.3f vs n65=$rSdc%.3f — " +
         "if deliberate, retire n78 and update BASELINE.md")
+    // n81 (round 18): the ASYMMETRIC shortlist keeps the query side exact,
+    // so its capture can only match or beat the SDC shortlist's under the
+    // same probe structure and R (at sf0.001 R covers the candidate set
+    // and both sit at the probe ceiling; the bulk gap is priced at sf0.1
+    // in BASELINE round-18's JOINADC row)
+    val rAdc = recallOf(Similarity.pqKnnJoinRerankAdc(emb))
+    info(f"recall@3 vs exact n39 at sf0.001: n81 adc-rerank=$rAdc%.3f")
+    assert(rAdc >= rRer,
+      f"the asymmetric shortlist lost to SDC: n81=$rAdc%.3f vs n78=$rRer%.3f")
+  }
+
+  test("n84 trained asymmetric join equals the driver-twin computation at sf0.001") {
+    // the n80 bound applied to the ADC-shortlist variant: deterministic
+    // training ⇒ the distributed result must equal the local
+    // recomputation exactly — the gate for the rows-only n84
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val cb = Similarity.trainedPqCodebook(emb, 256)
+    val got = Similarity.pqKnnJoinRerankAdcTrained(emb).collect()
+      .map(rw => (rw.getLong(0), rw.getLong(1), rw.getLong(2), rw.getLong(3)))
+      .toSeq
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(rw => rw.getLong(0) -> rw.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1)
+    val want = localRerank(rows, k = 3, r = 100, codebook = cb, nCodeIn = 256,
+      asymmetric = true)
+    assert(got.size === want.size)
+    assert(got === want)
+  }
+
+  test("n84 planted near-duplicates surface through the trained asymmetric join") {
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Dedup.plantedCopies(sample)
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding")))
+    val hits = Similarity.pqKnnJoinRerankAdcTrained(corpus)
+      .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
+      .filter(col("rank") === 1)
+      .count()
+    val pairs = sample.count()
+    val recall = hits.toDouble / pairs
+    info(f"n84 planted partner at rank 1: $recall%.3f ($hits of $pairs)")
+    assert(recall >= 0.9, f"planted rank-1 recall $recall%.3f below 0.9")
+  }
+
+  test("n81 planted near-duplicates surface through the asymmetric two-stage join") {
+    val emb = Tables.embeddings(spark, T.sf0001)
+    val sample = emb.filter(pmod(xxhash64(col("vec_id")), lit(10)) === 0)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+      .unionByName(Dedup.plantedCopies(sample)
+        .select(col("vec_id"),
+          transform(col("v"), x => x.cast("float")).as("embedding")))
+    val hits = Similarity.pqKnnJoinRerankAdc(corpus)
+      .filter(col("nbr") === col("vec_id") + lit(Dedup.PlantOffset))
+      .filter(col("rank") === 1)
+      .count()
+    val pairs = sample.count()
+    val recall = hits.toDouble / pairs
+    info(f"n81 planted partner at rank 1: $recall%.3f ($hits of $pairs)")
+    assert(recall >= 0.9, f"planted rank-1 recall $recall%.3f below 0.9")
   }
 }

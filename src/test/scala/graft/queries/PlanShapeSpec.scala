@@ -298,6 +298,98 @@ class PlanShapeSpec extends AnyFunSuite {
       s"n80 must have exactly one dot_product site (above the fetch):\n$p")
   }
 
+  test("n81 adc two-stage join: asymmetric kernel site, no SDC; shuffle-hash fetch; one dot site above it") {
+    val p = assertNoPairBlowup("n81_pq_knn_rerank_adc")
+    // stage 1 ranks on the join-scale ADC kernel: the query side rides as
+    // raw integer vectors, the index side as codes — exactly one site,
+    // and NO pq_sdc anywhere (the shortlist is asymmetric by design)
+    assert("pq_adc_q".r.findAllIn(p).size == 1,
+      s"n81 must plan exactly one pq_adc_q site:\n$p")
+    assert(!p.contains("pq_sdc"),
+      s"n81 must not plan an SDC site — the shortlist is asymmetric:\n$p")
+    assert(p.contains("pq_encode"),
+      s"n81 index side does not encode codes:\n$p")
+    assert(p.contains("TopKPerKey"),
+      s"n81 does not plan the bounded-heap top-k operator:\n$p")
+    // stage 2 is the shared rerankJoinTail: shuffle-hash id fetch, one
+    // exact-dot site above it (the n78 contract)
+    assert(p.contains("ShuffledHashJoin"),
+      s"n81 re-rank fetch is not a shuffle-hash id join:\n$p")
+    assert("dot_product".r.findAllIn(p).size == 1,
+      s"n81 must have exactly one dot_product site (above the fetch):\n$p")
+    assert(p.indexOf("dot_product") < p.indexOf("pq_adc_q"),
+      s"n81 exact dot does not sit above the ADC shortlist stage:\n$p")
+  }
+
+  test("n84 trained asymmetric join: the n81 shape verbatim (trained codewords change constants, not the plan)") {
+    val p = assertNoPairBlowup("n84_pq_knn_rerank_adc_trained")
+    assert("pq_adc_q".r.findAllIn(p).size == 1 && !p.contains("pq_sdc"),
+      s"n84 shortlist is not a single asymmetric-kernel site:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"n84 re-rank fetch is not a shuffle-hash id join:\n$p")
+    assert("dot_product".r.findAllIn(p).size == 1,
+      s"n84 must have exactly one dot_product site (above the fetch):\n$p")
+  }
+
+  test("n82 geo64 ivf-pq: the n61 shuffle-free scan shape at the finer geometry") {
+    val p = plan("n82_ivf_pq_geo64")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("pq_encode") && p.contains("pq_adc"),
+      s"n82 does not plan the PQ kernels:\n$p")
+    // nlist=64 changes the quantizer constants, not the plan: probe set
+    // and LUT stay driver literals, the ranking ONE shuffle-free scan
+    assert(!p.contains("Exchange"), s"n82 plans a shuffle:\n$p")
+  }
+
+  test("cell-join crossover: above the size threshold the kNN-join cell join pins to shuffled-hash; the bench point does not") {
+    import org.apache.spark.sql.functions._
+    // the ProbePqJoinScale corpus construction, sized just past the 3 MiB
+    // crossover (16k x 64 floats of xxhash noise — incompressible)
+    val dir = Tables.scratchDir("xoverspec").resolve("emb.parquet")
+    val comps = transform(sequence(lit(0), lit(63)), i =>
+      (pmod(xxhash64(col("id"), i), lit(1000001L)).cast("double")
+        / 1000000.0 - 0.5).cast("float"))
+    spark.range(16000).select(col("id").as("vec_id"), comps.as("embedding"),
+        lit(0).as("label"))
+      .repartition(8).write.mode("overwrite").parquet(dir.toString)
+    val big = spark.read.parquet(dir.toString)
+    assert(graft.ops.Similarity.cellJoinLargeProbe(big),
+      "16k synthetic corpus must sit above the crossover threshold")
+    // above threshold: the one join in the n65 plan (the cell join) must
+    // be pinned to shuffled-hash so AQE cannot demote the verify stage's
+    // parallelism to a broadcast over a coalesced stream side (the
+    // measured ~4x inversion at n=20000, BASELINE round-17)
+    val p = graft.ops.Similarity.pqKnnJoin(big)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ShuffledHashJoin"),
+      s"above-threshold n65 cell join is not shuffled-hash:\n$p")
+    // the oracle-gated bench point stays below the threshold: its
+    // measured-optimal AQE plan (and its hash) are untouched
+    assert(!graft.ops.Similarity.cellJoinLargeProbe(
+      Tables.embeddings(spark, T.sf0001)),
+      "the sf0.001 bench-point source must stay below the crossover threshold")
+  }
+
+  test("n83 streaming trained join: stored probe sets and stored codes — no encode, no probe shuffle; shuffle-hash fetch") {
+    // building this plan replays the staged stream first (the n41/n71
+    // precedent); the asserted plan is the join over the committed state
+    val p = assertNoPairBlowup("n83_streaming_pq_knn_rerank_trained")
+    // the probe side EXPLODES the per-vector probe sets computed at
+    // ingest — a Generate, not a TopKPerKey shuffle over a score stream
+    assert(p.contains("Generate explode"),
+      s"n83 probe side does not explode the stored probe sets:\n$p")
+    // ranks STORED codes: the SDC kernel appears, the encode kernel must
+    // NOT — encoding happened once at ingest, the query plan reads codes
+    assert(p.contains("pq_sdc"),
+      s"n83 does not rank on the SDC kernel:\n$p")
+    assert(!p.contains("pq_encode"),
+      s"n83 re-encodes at query time — the state read is not codes-only:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"n83 re-rank fetch is not a shuffle-hash id join:\n$p")
+    assert("dot_product".r.findAllIn(p).size == 1,
+      s"n83 must have exactly one dot_product site (above the fetch):\n$p")
+  }
+
   test("n62 domain cap: the quota cut is the custom TopKPerKey operator") {
     val p = plan("n62_domain_cap")
     assert(p.contains("TopKPerKey"),
