@@ -29,6 +29,7 @@ object SparkEntry {
         "n63_streaming_ivf_pq", "n67_streaming_domain_cap",
         "n69_streaming_decontam", "n71_streaming_sq8_knn",
         "n77_streaming_ivf_pq_rerank", "n79_streaming_ivf_pq_trained",
+        "n83_streaming_pq_knn_rerank_trained",
         "d97_dsv2_stream", "d98_dsv2_stream_sink")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
