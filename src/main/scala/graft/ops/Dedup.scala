@@ -576,23 +576,36 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id")).persist()
+    // labels is null until round 0 completes: with identity initial labels,
+    // round 0's "min over self + neighbors" is ONE map-side-combinable
+    // aggregation over the symmetric edge set — the node-set distinct, the
+    // edges⋈labels lookup, and the labels⟕nbrMin hop join all collapse into
+    // it (round-18 measurement: the three folded exchanges were ~1 s of the
+    // ~4.5 s per-call floor at bench scale, and at 100 TB they are two full
+    // shuffles of the node set that never needed to exist). The node set is
+    // exactly the dst side of the symmetric edges, so coverage is identical.
+    var labels: DataFrame = null
     try {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIters) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
-          .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
         // hop: min over self + neighbors, keeping the pre-round label so
         // the changed flag can compare against the FINAL (post-doubling)
         // label — a separate compare join would add a per-round shuffle
-        val hop = labels.as("o")
-          .join(nbrMin.as("n"), Seq("doc_id"), "left")
-          .select(col("doc_id"), col("o.lbl").as("old_lbl"),
-            least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"))
-          .persist() // two consumers below: the left side and the pointer map
+        val hop = (if (iter == 0)
+          edges.groupBy(col("dst").as("doc_id"))
+            .agg(min(col("src")).as("nbr_lbl"))
+            .select(col("doc_id"), col("doc_id").as("old_lbl"),
+              least(col("doc_id"), col("nbr_lbl")).as("lbl"))
+        else {
+          val nbrMin = edges
+            .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
+            .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
+          labels.as("o")
+            .join(nbrMin.as("n"), Seq("doc_id"), "left")
+            .select(col("doc_id"), col("o.lbl").as("old_lbl"),
+              least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"))
+        }).persist() // two consumers below: the left side and the pointer map
         // doubling: follow my new label's own new label. Labels are always
         // node ids and only decrease, so plbl ≤ lbl when matched; the left
         // join + coalesce keeps component minima (self-labeled roots) fixed.
@@ -620,7 +633,8 @@ object Dedup {
         // ONE driver scalar per round
         val anyChanged = step.filter(col("chg")).limit(1).count()
         hop.unpersist()
-        labels.unpersist() // no-op once labels is a checkpointed frame
+        // null in round 0 (folded init); no-op once labels is checkpointed
+        if (labels != null) labels.unpersist()
         labels = step
         converged = anyChanged == 0L
         iter += 1
@@ -638,7 +652,7 @@ object Dedup {
     } finally {
       pairs.unpersist()
       edges.unpersist()
-      labels.unpersist()
+      if (labels != null) labels.unpersist()
     }
   }
 
