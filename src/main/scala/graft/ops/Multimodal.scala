@@ -205,10 +205,16 @@ object Multimodal {
       val md = java.security.MessageDigest.getInstance("MD5")
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
-          val hex = md.digest(r.payload).map(b => f"$b%02x").mkString
-          def f(c: Int): Double =
-            java.lang.Long.parseLong(hex.substring(c * 8, c * 8 + 8), 16)
-              .toDouble / 2147483648.0 - 1.0
+          // feature c is the unsigned big-endian value of digest bytes
+          // [4c, 4c+4) — identical to parsing hex chars [8c, 8c+8), without
+          // the per-byte hex formatting and re-parse the profile showed
+          // dominating this map at scale (round 18; value-identical)
+          val dg = md.digest(r.payload)
+          def f(c: Int): Double = {
+            val v = ((dg(4 * c) & 0xffL) << 24) | ((dg(4 * c + 1) & 0xffL) << 16) |
+              ((dg(4 * c + 2) & 0xffL) << 8) | (dg(4 * c + 3) & 0xffL)
+            v.toDouble / 2147483648.0 - 1.0
+          }
           MediaFeatures(r.media_id, r.kind, f(0), f(1), f(2), f(3))
         }
       }
@@ -264,6 +270,9 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
+      // per-salt suffix bytes built once per task, not per row (the "model
+      // session" amortization this mapPartitions shape exists for)
+      val suffixes = Array.tabulate(salts)(s => s"|$s".getBytes("UTF-8"))
       it.grouped(batchSize).flatMap { batch =>
         batch.map { r =>
           val fv = new Array[Double](salts * 4)
@@ -271,13 +280,17 @@ object Multimodal {
           while (s < salts) {
             md.reset()
             md.update(r.payload)
-            md.update(s"|$s".getBytes("UTF-8"))
-            val hex = md.digest().map(b => f"$b%02x").mkString
+            md.update(suffixes(s))
+            // component c is the unsigned big-endian value of digest bytes
+            // [4c, 4c+4) — identical to parsing hex chars [8c, 8c+8),
+            // without the per-byte hex formatting and re-parse (round 18;
+            // value-identical)
+            val dg = md.digest()
             var c = 0
             while (c < 4) {
-              fv(s * 4 + c) =
-                java.lang.Long.parseLong(hex.substring(c * 8, c * 8 + 8), 16)
-                  .toDouble / 2147483648.0 - 1.0
+              val v = ((dg(4 * c) & 0xffL) << 24) | ((dg(4 * c + 1) & 0xffL) << 16) |
+                ((dg(4 * c + 2) & 0xffL) << 8) | (dg(4 * c + 3) & 0xffL)
+              fv(s * 4 + c) = v.toDouble / 2147483648.0 - 1.0
               c += 1
             }
             s += 1

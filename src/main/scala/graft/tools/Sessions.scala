@@ -27,7 +27,13 @@ object Sessions {
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // local default = the core count (tiny inputs; AQE coalesces below
+      // it). At cluster scale this is the knob to size so post-shuffle
+      // partitions land in the 100 MB–1 GB band (optimization guide §2.2)
+      // — hence env-parameterised rather than hard-coded to local cores;
+      // the driver's bench keeps the default and stays comparable.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
