@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The default `sbt test` excludes the soak/scale scenario suites (the
+// `graft.SlowTest` tag, see graft.SoakTagged) so the contract run finishes
+// inside a CI-style time budget (~10 min of test time instead of ~36 —
+// round-19 measurement). SPARK_GRAFT_FULL_TESTS=1 runs everything.
+Test / testOptions ++= (
+  if (sys.env.contains("SPARK_GRAFT_FULL_TESTS")) Seq.empty
+  else Seq(Tests.Argument(TestFrameworks.ScalaTest, "-l", "graft.SlowTest")))
 // Keep `sbt "runMain graft.Bench"` stdout machine-parseable: the bench
 // contract is ONE JSON line, and sbt's trailing "[success] Total time"
 // banner otherwise lands after it as the final stdout line.

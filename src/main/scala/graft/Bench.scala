@@ -7,6 +7,15 @@ package graft
  * would let Catalyst prune computed columns and drop sorts, under-measuring
  * map-heavy queries). Two warmup runs absorb JIT/codegen compilation so the
  * reported numbers reflect steady-state throughput.
+ *
+ * Self-defense (round-19, verdict item 6 — BENCH_r17's stdout line was
+ * printed but lost on the capture side, orphaning a whole round's
+ * comparison): the SAME one-line JSON is also persisted to files — an
+ * immutable run-stamped `target/bench-<ts>-<pid>.json` on every run, and
+ * the stable `target/bench.json` on full-registry runs (the file
+ * `tools/check_bench.py` reads by default) — so a truncated stdout tail
+ * can never lose a round's numbers. See the persistence block at the end
+ * of `main` for the two-file scheme's provenance.
  */
 object Bench {
   def main(args: Array[String]): Unit = {

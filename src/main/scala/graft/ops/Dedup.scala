@@ -573,8 +573,15 @@ object Dedup {
     // barrier each one re-runs it
     val pairs = pairList
       .select(col(aCol).as("doc_a"), col(bCol).as("doc_b")).persist()
+    // symmetric edge set, hash-partitioned on dst ONCE at materialization
+    // (round-19, guide §2.4 "two operations keyed the same way can share
+    // one exchange"): round 0's groupBy(dst) and every later round's
+    // neighbor-label join probe the cached layout on dst, so the edge set
+    // crosses the wire once per CALL instead of once per ROUND. The
+    // repartition costs exactly the exchange round 0 paid anyway.
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .repartition(col("dst"))
       .persist()
     // labels is null until round 0 completes: with identity initial labels,
     // round 0's "min over self + neighbors" is ONE map-side-combinable
@@ -598,13 +605,26 @@ object Dedup {
             .select(col("doc_id"), col("doc_id").as("old_lbl"),
               least(col("doc_id"), col("nbr_lbl")).as("lbl"))
         else {
-          val nbrMin = edges
-            .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
-            .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
-          labels.as("o")
-            .join(nbrMin.as("n"), Seq("doc_id"), "left")
-            .select(col("doc_id"), col("o.lbl").as("old_lbl"),
-              least(col("o.lbl"), coalesce(col("n.nbr_lbl"), col("o.lbl"))).as("lbl"))
+          // one-exchange hop (round-19, guide §2.4): neighbor labels
+          // arrive through the dst-keyed join against the pre-partitioned
+          // edges (no edge re-shuffle), the node's own label rides along
+          // as ONE extra unioned row (slf non-null only there — exactly
+          // one self row per node, every node present since round 0
+          // covers the whole node set), and a single map-side-combinable
+          // aggregation computes both the new label (min over
+          // self+neighbors) and the carried old label (max(slf)). This
+          // folds the former groupBy(dst)+labels⟕nbrMin pair — two
+          // exchanges and a join per round — into one aggregation.
+          // Neighbor coverage is identical by edge symmetry:
+          // {lbl(s) : (s,d)∈E} grouped by d ≡ {lbl(d) : (s,d)∈E} grouped
+          // by s.
+          edges.join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+            .select(col("src").as("doc_id"), col("lbl"),
+              when(lit(false), col("lbl")).as("slf"))
+            .unionByName(
+              labels.select(col("doc_id"), col("lbl"), col("lbl").as("slf")))
+            .groupBy(col("doc_id"))
+            .agg(min(col("lbl")).as("lbl"), max(col("slf")).as("old_lbl"))
         }).persist() // two consumers below: the left side and the pointer map
         // doubling: follow my new label's own new label. Labels are always
         // node ids and only decrease, so plbl ≤ lbl when matched; the left
@@ -623,20 +643,32 @@ object Dedup {
         // The checkpoint pins this round's labels as a constant-size
         // LogicalRDD; its blocks are ContextCleaner-managed (freed on GC),
         // so nothing outlives the call the way CacheManager entries do.
+        // convergence flag PIGGYBACKED on the checkpoint materialization
+        // (round-19, guide §1.2/§2.4): CollectMetrics aggregates max(chg)
+        // inside the same job that writes the checkpoint blocks, replacing
+        // the former per-round filter(chg).limit(1).count() job. The
+        // driver still sees ONE scalar per round — now for zero extra
+        // jobs. localCheckpoint is an action (withAction), so the
+        // observation is guaranteed to complete.
+        val obs = org.apache.spark.sql.Observation()
         val step = hop.join(ptr, hop("lbl") === ptr("p_doc"), "left")
           .select(col("doc_id"), col("old_lbl"),
             least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("new_lbl"))
           .select(col("doc_id"), col("new_lbl").as("lbl"),
             (col("new_lbl") < col("old_lbl")).as("chg"))
+          .observe(obs, max(col("chg")).as("chg_any"))
           .localCheckpoint()
-        // existence check over the materialized checkpoint blocks — still
-        // ONE driver scalar per round
-        val anyChanged = step.filter(col("chg")).limit(1).count()
+        // max(chg) is true when any label still moved, false when none
+        // did, null on an empty graph (no rows ⇒ converged)
+        val anyChanged = obs.get.get("chg_any").exists {
+          case b: java.lang.Boolean => b.booleanValue()
+          case _ => false
+        }
         hop.unpersist()
         // null in round 0 (folded init); no-op once labels is checkpointed
         if (labels != null) labels.unpersist()
         labels = step
-        converged = anyChanged == 0L
+        converged = !anyChanged
         iter += 1
       }
       require(converged,
@@ -808,11 +840,14 @@ object Dedup {
     * recall at. */
   private val LshDesignAgreement = 0.96
   private val EmbeddingDim = 64
-  private[ops] def lshBitsFor(n: Long): Int = {
+  // private[graft] (was private[ops]) so the dev probes call the real
+  // geometry instead of mirroring the constants (round-18 ADVICE: a
+  // duplicated formula silently measures a stale shape if this changes)
+  private[graft] def lshBitsFor(n: Long): Int = {
     val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
     math.min(LshMaxBits, math.max(LshBaseBits, ceilLog2 + 2))
   }
-  private[ops] def lshBandsFor(bits: Int): Int =
+  private[graft] def lshBandsFor(bits: Int): Int =
     math.ceil(LshBaseBands * math.pow(LshDesignAgreement, LshBaseBits - bits)).toInt
   private val LshMaxBands = lshBandsFor(LshMaxBits)
   private lazy val planePool: Array[Double] = {

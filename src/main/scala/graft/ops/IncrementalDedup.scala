@@ -256,34 +256,49 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
     // EAGER localCheckpoint, not persist (the embed twin's note): the
     // label-merge actions below would each re-pay the candidate+verify
     // pipeline's plan ANALYSIS; the checkpoint pins the batch-bounded
-    // edge set as a LogicalRDD
+    // edge set as a LogicalRDD. The edge COUNT rides the checkpoint job
+    // itself (round-19, the minLabelComponents Observation pattern): it
+    // drives both the small-merge dispatch and the has-edges gate,
+    // replacing the former limit-collect / limit(1).count() probe jobs
+    val edgeObs = org.apache.spark.sql.Observation()
     val edges = Dedup.verifyJaccard(candidates,
         readParts(spark, "shingles", batchId, ShinglesDdl, pruneTo = shSet)
           .unionByName(sh),
         threshold)
-      .select("doc_a", "doc_b").localCheckpoint(true)
+      .select("doc_a", "doc_b")
+      .observe(edgeObs, count(lit(1)).as("n_edges"))
+      .localCheckpoint(true)
+    val nEdges = edgeObs.get.get("n_edges") match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _ => 0L
+    }
     try {
       val docsB = b.select(col("doc_id"), col("source"), md5(col("text")).as("fp"))
-      docsB.write.mode("overwrite").parquet(partDir("docs", batchId).toString)
-      sh.write.mode("overwrite").parquet(partDir("shingles", batchId).toString)
-      bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
+      // four independent jobs into distinct dirs — overlapped per guide
+      // §2.6 (per-batch scale: the wall is job fixed cost, not data; the
+      // fp keepers derive from the cached batch, not from any other part,
+      // and nothing below reads them before the manifest's fpView)
+      inParallel(
+        () => docsB.write.mode("overwrite")
+          .parquet(partDir("docs", batchId).toString),
+        () => sh.write.mode("overwrite")
+          .parquet(partDir("shingles", batchId).toString),
+        () => bandsB.write.mode("overwrite")
+          .parquet(partDir("bands", batchId).toString),
+        () => docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep"))
+          .write.mode("overwrite").parquet(partDir("fpkeep", batchId).toString))
 
       // SMALL-MERGE dispatch (the embed twin's shape — see
       // [[LabelLog.SmallMergeMaxEdges]]): trickle regime + empty relabel
-      // log ⇒ the merge runs driver-side over the bounded collected edge
-      // set; bulk, over-ceiling, or nonempty-log batches keep the
-      // distributed path
+      // log ⇒ the merge runs driver-side over the edge set, collected
+      // only when the OBSERVED count is within the ceiling; bulk,
+      // over-ceiling, or nonempty-log batches keep the distributed path
       val smallEdges =
-        if (tryEndpointPrune && !trackedHasData("relabel", batchId)) {
-          val e = edges.limit(LabelLog.SmallMergeMaxEdges + 1).collect()
-          if (e.length <= LabelLog.SmallMergeMaxEdges)
-            Some(e.toSeq.map(r => (r.getLong(0), r.getLong(1))))
-          else None
-        } else None
-      val hasEdges = smallEdges match {
-        case Some(rows) => rows.nonEmpty
-        case None => edges.limit(1).count() > 0
-      }
+        if (nEdges > 0 && nEdges <= LabelLog.SmallMergeMaxEdges &&
+            tryEndpointPrune && !trackedHasData("relabel", batchId))
+          Some(edges.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        else None
+      val hasEdges = nEdges > 0
       if (hasEdges && smallEdges.isDefined) {
         smallMerge(spark, smallEdges.get, batchId)
       } else if (hasEdges) {
@@ -309,26 +324,21 @@ final class IncrementalDedupIndex(root: Path, threshold: Double = 0.8,
           endpoints.select(col("doc_id").as("id")), cur)
         newAssign.select(col("id").as("doc_id"), col("lbl"))
           .write.mode("overwrite").parquet(partDir("assign", batchId).toString)
-        // relabels need an EXISTING label to move: when no endpoint had a
-        // prior assignment (every batch of a pair-cluster corpus), the map
-        // is empty by construction — skip its probe job outright
-        val curEmpty = cur.isEmpty
         // never write an EMPTY relabel part (the trackNonempty contract —
-        // part existence ⇒ rows; emptiness is deterministic under replay)
-        if (!curEmpty) {
-          val rel = relabel.persist()
-          if (rel.limit(1).count() > 0)
-            rel.write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
-          rel.unpersist()
-        }
+        // part existence ⇒ rows; emptiness is deterministic under replay).
+        // ONE probe job over the persisted relabel frame — the former
+        // cur.isEmpty pre-gate was a second job of the same size class on
+        // every edge-bearing batch with existing assignments (round-19)
+        val rel = relabel.persist()
+        if (rel.limit(1).count() > 0)
+          rel.write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
+        rel.unpersist()
         cur.unpersist(); endpoints.unpersist()
       }
 
-      // fingerprint keepers: the batch's own (fp, min doc_id) rows —
-      // readers group-min over the parts, so no corpus-wide rewrite and
-      // no change-gate join (the round-≤12 snapshot needed both)
-      docsB.groupBy("fp").agg(min(col("doc_id")).as("fp_keep"))
-        .write.mode("overwrite").parquet(partDir("fpkeep", batchId).toString)
+      // fingerprint keepers: written in the parallel group above — the
+      // batch's own (fp, min doc_id) rows; readers group-min over the
+      // parts, so no corpus-wide rewrite and no change-gate join
 
       // arrival-time verdicts for THIS batch's documents (the append-only
       // audit log; a later bridging merge can supersede an old doc's

@@ -87,12 +87,18 @@ final class IncrementalDriftMonitor(root: Path,
             col("sum_diff").cast("double") /
               (lit(2.0) * col("batch_words").cast("double") *
                 col("prior_words").cast("double"))).as("tv"))
-      alarm.write.mode("overwrite").parquet(partDir("drift", batchId).toString)
-
       val merged = prior.unionByName(bc)
         .groupBy("source", "w")
         .agg(sum(col("ca")).as("ca"), sum(col("cb")).as("cb"))
-      merged.write.mode("overwrite").parquet(snapDir("counts", batchId).toString)
+      // alarm part and counts snapshot both derive from (prior, cached
+      // batch counts) and write distinct dirs — independent jobs,
+      // overlapped per guide §2.6 (round-19; the marker still flips only
+      // after both settle)
+      inParallel(
+        () => alarm.write.mode("overwrite")
+          .parquet(partDir("drift", batchId).toString),
+        () => merged.write.mode("overwrite")
+          .parquet(snapDir("counts", batchId).toString))
 
       commitBatch(batchId)
     } finally bc.unpersist()

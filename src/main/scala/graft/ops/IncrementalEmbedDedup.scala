@@ -260,31 +260,47 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
     // whole candidate+verify pipeline's analysis. The checkpoint pins the
     // (batch-bounded) edge set as a LogicalRDD; its distinct() forces full
     // computation anyway, so eagerness costs nothing over the first use.
+    // the edge COUNT rides the checkpoint job itself (round-19, the
+    // minLabelComponents Observation pattern): it drives BOTH the
+    // small-merge dispatch and the has-edges gate below, replacing the
+    // former limit-collect / limit(1).count() probe jobs — one scalar,
+    // zero extra jobs per batch
+    val edgeObs = org.apache.spark.sql.Observation()
     val edges = candidates
       .join(allUnits.select(col("vec_id").as("vec_a"), col("u").as("ua")), "vec_a")
       .join(allUnits.select(col("vec_id").as("vec_b"), col("u").as("ub")), "vec_b")
       .filter(graft.functions.DotProduct(col("ua"), col("ub")) >= threshold)
-      .select("vec_a", "vec_b").localCheckpoint(true)
+      .select("vec_a", "vec_b")
+      .observe(edgeObs, count(lit(1)).as("n_edges"))
+      .localCheckpoint(true)
+    val nEdges = edgeObs.get.get("n_edges") match {
+      case Some(l: java.lang.Long) => l.longValue()
+      case _ => 0L
+    }
     try {
-      unitB.write.mode("overwrite").parquet(partDir("units", batchId).toString)
-      bandsB.write.mode("overwrite").parquet(partDir("bands", batchId).toString)
+      // the two part writes are independent jobs into distinct dirs —
+      // overlapped per guide §2.6 (per-batch scale: the wall is job
+      // fixed cost, not data)
+      inParallel(
+        () => unitB.write.mode("overwrite")
+          .parquet(partDir("units", batchId).toString),
+        () => bandsB.write.mode("overwrite")
+          .parquet(partDir("bands", batchId).toString))
       // SMALL-MERGE dispatch (see [[LabelLog.SmallMergeMaxEdges]]): in the
       // trickle regime with an empty relabel log, the whole label merge
-      // runs driver-side over the bounded collected edge set — the
-      // limit-collect reads the already-materialized checkpoint blocks
-      // and is bounded by construction (≤ ceiling+1 rows of two longs).
-      // Bulk batches, over-ceiling edge sets, and nonempty logs keep the
-      // distributed path below unchanged.
+      // runs driver-side over the bounded collected edge set — the collect
+      // reads the already-materialized checkpoint blocks and is bounded by
+      // the OBSERVED count (≤ ceiling rows of two longs). Bulk batches,
+      // over-ceiling edge sets, and nonempty logs keep the distributed
+      // path below unchanged.
       val smallEdges =
-        if (tryEndpointPrune && !trackedHasData("relabel", batchId)) {
-          val e = edges.limit(LabelLog.SmallMergeMaxEdges + 1).collect()
-          if (e.length <= LabelLog.SmallMergeMaxEdges)
-            Some(e.toSeq.map(r => (r.getLong(0), r.getLong(1))))
-          else None
-        } else None
-      if (smallEdges.exists(_.nonEmpty)) {
+        if (nEdges > 0 && nEdges <= LabelLog.SmallMergeMaxEdges &&
+            tryEndpointPrune && !trackedHasData("relabel", batchId))
+          Some(edges.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+        else None
+      if (smallEdges.isDefined) {
         smallMerge(spark, smallEdges.get, batchId)
-      } else if (smallEdges.isEmpty && edges.limit(1).count() > 0) {
+      } else if (nEdges > 0) {
         // relabel-log label merge (see [[LabelLog]]): look up the edge
         // ENDPOINTS' current labels — the assign read pruned to the
         // endpoints' id-hash buckets in the trickle regime, resolved
@@ -308,19 +324,18 @@ final class IncrementalEmbedIndex(root: Path, threshold: Double = 0.9,
           endpoints.select(col("vec_id").as("id")), cur)
         newAssign.select(col("id").as("vec_id"), col("lbl"))
           .write.mode("overwrite").parquet(partDir("assign", batchId).toString)
-        // relabels need an EXISTING label to move: when no endpoint had a
-        // prior assignment (every batch of a pair-cluster corpus), the map
-        // is empty by construction — skip its probe job outright
-        val curEmpty = cur.isEmpty
         // never write an EMPTY relabel part (the trackNonempty contract:
         // part existence ⇒ rows, which is what buys every later batch the
-        // driver-side skip; emptiness is deterministic, so replay agrees)
-        if (!curEmpty) {
-          val rel = relabel.persist()
-          if (rel.limit(1).count() > 0)
-            rel.write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
-          rel.unpersist()
-        }
+        // driver-side skip; emptiness is deterministic, so replay agrees).
+        // ONE probe job over the persisted relabel frame — the former
+        // cur.isEmpty pre-gate was a second job of the same size class
+        // on every edge-bearing batch with existing assignments (the
+        // steady state), bought to skip this probe only on batches with
+        // no prior labels, where both frames are equally tiny (round-19)
+        val rel = relabel.persist()
+        if (rel.limit(1).count() > 0)
+          rel.write.mode("overwrite").parquet(partDir("relabel", batchId).toString)
+        rel.unpersist()
         cur.unpersist(); endpoints.unpersist()
       }
       commitBatch(batchId)

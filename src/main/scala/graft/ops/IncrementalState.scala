@@ -127,6 +127,19 @@ object IncrementalStateMachine {
   final case class PartTable(name: String, ddl: String,
                              bucket: Option[Bucketing] = None,
                              trackNonempty: Boolean = false)
+
+  /** Shared daemon pool for [[IncrementalStateMachine.inParallel]] — a few
+    * threads is plenty: the point is overlapping independent JOBS' fixed
+    * scheduling latency (guide §2.6), not extra compute, and the serial
+    * `foreachBatch` discipline means at most one batch's writes are in
+    * flight per index. */
+  private[ops] lazy val actionPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-state-write")
+        t.setDaemon(true)
+        t
+      }))
 }
 
 abstract class IncrementalStateMachine(root: Path) {
@@ -229,6 +242,30 @@ abstract class IncrementalStateMachine(root: Path) {
 
   protected final def emptyDf(spark: SparkSession, ddl: String): DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], StructType.fromDDL(ddl))
+
+  /** Run independent Spark actions concurrently and wait for all (round-19,
+    * guide §2.6: actions are only sequential because the driver calls them
+    * sequentially — at the per-batch scale the part writes are dominated by
+    * per-JOB fixed cost, so overlapping them collapses k serial job walls
+    * into ~one). Callers must pass actions with no ordering dependency
+    * (distinct output dirs, no shared mutable state); a failure in any
+    * action propagates after the others finish, and the batch's commit
+    * marker is never written (the ordinary crash-consistency story). */
+  protected final def inParallel(thunks: (() => Unit)*): Unit =
+    if (thunks.size <= 1) thunks.foreach(_())
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: scala.concurrent.ExecutionContext =
+        IncrementalStateMachine.actionPool
+      // wait for EVERY action to settle before propagating the first
+      // failure: an early throw with a sibling write still in flight could
+      // race a replay's overwrite of the same dir
+      val results = Await.result(
+        Future.traverse(thunks.toSeq)(t =>
+          Future(scala.util.Try(t()))), Duration.Inf)
+      results.collectFirst { case scala.util.Failure(e) => throw e }
+    }
 
   /** Fully committed compaction levels strictly below `max`: marker
     * present AND every part table's consolidated dir has `_SUCCESS` —
@@ -500,7 +537,12 @@ abstract class IncrementalStateMachine(root: Path) {
       if (isNew) chainBefore.isEmpty || chainBefore.size + 1 > maxLevels
       else levelIsFull(w)
     if (isNew) {
-      partTables.foreach { t =>
+      // per-table level writes run CONCURRENTLY (round-19, guide §2.6):
+      // each table's consolidation is an independent job into its own
+      // c<w> dir, and at per-level scale the wall clock is k serial job
+      // walls of mostly fixed cost (the text index has 7 part tables).
+      // The marker flip still happens strictly after EVERY table settles.
+      inParallel(partTables.map(t => () => {
         // newIds comes from the PRIMARY table's listing; a part table
         // that skipped a batch (all three current subclasses write every
         // table every batch, but the base must not bake that in) simply
@@ -526,7 +568,8 @@ abstract class IncrementalStateMachine(root: Path) {
           Files.deleteIfExists(sentinel)
           Files.createFile(sentinel)
         }
-      }
+        ()
+      }): _*)
       writeCompactionMarker(w, full)
     }
     // GC, strictly after the marker flip: superseded parts, levels no

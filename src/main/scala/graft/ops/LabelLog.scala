@@ -160,11 +160,22 @@ private[ops] object LabelLog {
       // store corruption, reported loudly instead of hanging
       require(rounds <= 64, "relabel chain did not terminate")
       val ptr = cur.select(col("old").as("p_old"), col("new").as("p_new"))
+      // movement flag piggybacked on the checkpoint job (round-19, the
+      // minLabelComponents pattern): CollectMetrics aggregates max(moved)
+      // inside the materialization itself, so the former per-round
+      // filter(moved).limit(1).count() probe job is gone — on depth-1
+      // logs (the steady state) that is the whole detection round's
+      // second job, paid once per edge-bearing micro-batch
+      val obs = org.apache.spark.sql.Observation()
       val step = cur.join(ptr, cur("new") === ptr("p_old"), "left")
         .select(col("old"), coalesce(col("p_new"), col("new")).as("new"),
           col("p_new").isNotNull.as("moved"))
+        .observe(obs, max(col("moved")).as("any_moved"))
         .localCheckpoint(true)
-      moved = step.filter(col("moved")).limit(1).count() > 0
+      moved = obs.get.get("any_moved").exists {
+        case b: java.lang.Boolean => b.booleanValue()
+        case _ => false
+      }
       cur = step.drop("moved")
     }
     cur

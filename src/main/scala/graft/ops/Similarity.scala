@@ -429,6 +429,29 @@ object Similarity {
   private[graft] def cellJoinLargeProbe(emb: DataFrame): Boolean =
     emb.queryExecution.optimizedPlan.stats.sizeInBytes >= CellJoinShuffleHashBytes
 
+  /** Salt width for the crossover path's cell join (round-19, guide
+    * §2.5): the probe side is split s ways by a DETERMINISTIC hash of the
+    * query id (never `rand()` — retried map tasks must reproduce the same
+    * row-to-salt assignment, SPARK-38388) and the index side is exploded
+    * once per salt, so the join runs on (cell, salt) — pairs identical,
+    * per-task verify work bounded by max-cell/s. Two birds: (a) the skew
+    * hole — user-specified widths are exempt from AQE skew splitting and
+    * SHJ gets no skew mitigation, so a hot IVF cell (a popular region of
+    * embedding space — guaranteed at 100 TB) previously serialized its
+    * whole verify workload into ONE task; (b) key cardinality — nlist=8
+    * distinct cells over w=32 partitions left ≥3/4 of the cores idle in
+    * the verify stage even on uniform data (§2.5: synthetic keys need
+    * 20-100× more distinct values than partitions; 8·s keys spread where
+    * 8 cannot). Cost: index-side shuffle bytes ×s (the index is the
+    * narrow side — code arrays, not unit vectors, on the PQ paths), and
+    * the per-task SHJ build grows with how many (cell, salt) groups hash
+    * into one partition (each group is one full cell's index rows) — at
+    * cluster scale size the shuffle width to ≥ cells·s for this join so
+    * each task builds ~one cell. Env-tunable for cluster geometries; the
+    * default keeps 8·16 = 128 granules ≈ 4×w locally. */
+  private val CellJoinSaltWidth: Int =
+    sys.env.get("SPARK_GRAFT_CELL_SALT").map(_.toInt).getOrElse(16)
+
   /** The cell equi-join with the crossover applied. Above the threshold
     * the join is hinted to shuffled-hash — so neither static planning
     * nor AQE can demote the verify stage to a broadcast over a coalesced
@@ -436,15 +459,26 @@ object Similarity {
     * width: the cell shuffle is only a few MiB of codes, so AQE's
     * coalescer would otherwise fold it to a task or two and re-serialize
     * the 100M-pair verify stage the hint just rescued (user-specified
-    * widths are exempt from coalescing). Below the threshold: the plain
+    * widths are exempt from coalescing). The join key is salted
+    * (cell, salt) per [[CellJoinSaltWidth]] — skew defense + key
+    * cardinality, result-identical. Below the threshold: the plain
     * join, exactly the measured-optimal bench-point plan. */
   private def cellJoinWithCrossover(probed: DataFrame, index: DataFrame,
                                     largeProbe: Boolean): DataFrame =
     if (!largeProbe) probed.join(index, "cell")
     else {
       val w = index.sparkSession.sessionState.conf.numShufflePartitions
-      probed.repartition(w, col("cell"))
-        .join(index.repartition(w, col("cell")).hint("shuffle_hash"), "cell")
+      val s = CellJoinSaltWidth
+      probed
+        .withColumn("salt", pmod(xxhash64(col("vec_id")), lit(s)).cast("int"))
+        .repartition(w, col("cell"), col("salt"))
+        .join(
+          index
+            .withColumn("salt", explode(array((0 until s).map(lit): _*)))
+            .repartition(w, col("cell"), col("salt"))
+            .hint("shuffle_hash"),
+          Seq("cell", "salt"))
+        .drop("salt")
     }
 
   /** The shared tail of the batched kNN join — both the trained-KMeans

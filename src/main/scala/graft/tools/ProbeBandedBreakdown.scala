@@ -59,10 +59,10 @@ object ProbeBandedBreakdown {
         u
       }
       val n = unit.count()
-      // mirror Dedup.lshBitsFor/lshBandsFor (private[ops])
-      val ceilLog2 = if (n <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
-      val bits = math.min(32, math.max(12, ceilLog2 + 2))
-      val bands = math.ceil(48 * math.pow(0.96, 12 - bits)).toInt
+      // the REAL geometry (round-18 ADVICE: don't mirror the constants —
+      // a duplicated formula silently measures a stale shape)
+      val bits = Dedup.lshBitsFor(n)
+      val bands = Dedup.lshBandsFor(bits)
       println(s"  bits=$bits bands=$bands")
       val bandedAll = t("band-persist-count") {
         val b = unit.select(col("vec_id"),
@@ -92,19 +92,21 @@ object ProbeBandedBreakdown {
           onConverged = it => println(s"  label rounds=$it"))
         noop(lbl)
       }
-      // replicate minLabelComponents' internals with per-step timing
-      t("labels-instrumented") {
-        val p2 = t("  lbl:pairs-persist") {
+      // replicate minLabelComponents' PRE-round-19 internals with per-step
+      // timing — kept as the in-session A/B baseline for the round-19 fold
+      // (per-round: 2 joins + checkpoint + separate convergence count)
+      t("labels-instrumented-prefold19") {
+        val p2 = t("  old:pairs-persist") {
           val x = pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist()
           x.count(); x
         }
-        val edges = t("  lbl:edges-persist") {
+        val edges = t("  old:edges-persist") {
           val e = p2.select(col("doc_a").as("src"), col("doc_b").as("dst"))
             .unionByName(p2.select(col("doc_b").as("src"), col("doc_a").as("dst")))
             .persist()
           e.count(); e
         }
-        var labels = t("  lbl:init-distinct") {
+        var labels = t("  old:init-distinct") {
           val l = edges.select(col("src").as("doc_id"))
             .distinct().withColumn("lbl", col("doc_id")).persist()
           l.count(); l
@@ -115,7 +117,7 @@ object ProbeBandedBreakdown {
           val nbrMin = edges
             .join(labels.select(col("doc_id").as("src"), col("lbl")), "src")
             .groupBy(col("dst").as("doc_id")).agg(min(col("lbl")).as("nbr_lbl"))
-          val hop = t(s"  lbl:r$iter-hop-persist") {
+          val hop = t(s"  old:r$iter-hop-persist") {
             val h = labels.as("o")
               .join(nbrMin.as("n"), Seq("doc_id"), "left")
               .select(col("doc_id"), col("o.lbl").as("old_lbl"),
@@ -123,10 +125,16 @@ object ProbeBandedBreakdown {
               .persist()
             h
           }
+          // the round-19 fold's plan evidence pair, PRE side: the real
+          // round-1 hop over the real cached inputs (plans/r19)
+          if (iter == 1 && round == 1) {
+            println("----- round1 hop PRE-fold (edges⋈labels + groupBy(dst) + labels⟕nbrMin) -----")
+            hop.explain("formatted")
+          }
           val ptr = hop.select(col("doc_id"), col("lbl"))
             .withColumnRenamed("doc_id", "p_doc")
             .withColumnRenamed("lbl", "p_lbl")
-          val step = t(s"  lbl:r$iter-step-ckpt") {
+          val step = t(s"  old:r$iter-step-ckpt") {
             hop.join(ptr, hop("lbl") === ptr("p_doc"), "left")
               .select(col("doc_id"), col("old_lbl"),
                 least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("new_lbl"))
@@ -134,7 +142,7 @@ object ProbeBandedBreakdown {
                 (col("new_lbl") < col("old_lbl")).as("chg"))
               .localCheckpoint()
           }
-          val anyChanged = t(s"  lbl:r$iter-changed-count") {
+          val anyChanged = t(s"  old:r$iter-changed-count") {
             step.filter(col("chg")).limit(1).count()
           }
           hop.unpersist(); labels.unpersist()
@@ -143,6 +151,73 @@ object ProbeBandedBreakdown {
           iter += 1
         }
         p2.unpersist(); edges.unpersist(); labels.unpersist()
+      }
+      // replicate minLabelComponents' CURRENT (round-19) internals: edges
+      // hash-partitioned on dst once, rounds ≥1 as ONE union-aggregation,
+      // convergence observed on the checkpoint job itself (zero extra jobs)
+      t("labels-instrumented-r19") {
+        val p2 = t("  new:pairs-persist") {
+          val x = pairs.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")).persist()
+          x.count(); x
+        }
+        val edges = t("  new:edges-persist") {
+          val e = p2.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+            .unionByName(p2.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+            .repartition(col("dst"))
+            .persist()
+          e.count(); e
+        }
+        var labels: DataFrame = null
+        var converged = false
+        var iter = 0
+        while (!converged && iter < 50) {
+          val hop = t(s"  new:r$iter-hop-persist") {
+            val h = (if (labels == null)
+              edges.groupBy(col("dst").as("doc_id"))
+                .agg(min(col("src")).as("nbr_lbl"))
+                .select(col("doc_id"), col("doc_id").as("old_lbl"),
+                  least(col("doc_id"), col("nbr_lbl")).as("lbl"))
+            else
+              edges.join(labels.select(col("doc_id").as("dst"), col("lbl")), "dst")
+                .select(col("src").as("doc_id"), col("lbl"),
+                  when(lit(false), col("lbl")).as("slf"))
+                .unionByName(
+                  labels.select(col("doc_id"), col("lbl"), col("lbl").as("slf")))
+                .groupBy(col("doc_id"))
+                .agg(min(col("lbl")).as("lbl"), max(col("slf")).as("old_lbl"))
+            ).persist()
+            h
+          }
+          // the round-19 fold's plan evidence pair, POST side (plans/r19):
+          // dst-keyed join against the pre-partitioned cached edges + ONE
+          // union-aggregation — no groupBy(dst) exchange, no hop left join
+          if (iter == 1 && round == 1) {
+            println("----- round1 hop POST-fold (dst-keyed join + one union-aggregation) -----")
+            hop.explain("formatted")
+          }
+          val ptr = hop.select(col("doc_id").as("p_doc"), col("lbl").as("p_lbl"))
+          val obs = org.apache.spark.sql.Observation()
+          val step = t(s"  new:r$iter-step-ckpt+observe") {
+            hop.join(ptr, hop("lbl") === ptr("p_doc"), "left")
+              .select(col("doc_id"), col("old_lbl"),
+                least(col("lbl"), coalesce(col("p_lbl"), col("lbl"))).as("new_lbl"))
+              .select(col("doc_id"), col("new_lbl").as("lbl"),
+                (col("new_lbl") < col("old_lbl")).as("chg"))
+              .observe(obs, max(col("chg")).as("chg_any"))
+              .localCheckpoint()
+          }
+          val anyChanged = obs.get.get("chg_any").exists {
+            case b: java.lang.Boolean => b.booleanValue()
+            case _ => false
+          }
+          hop.unpersist()
+          if (labels != null) labels.unpersist()
+          labels = step
+          converged = !anyChanged
+          iter += 1
+        }
+        p2.unpersist(); edges.unpersist()
+        if (labels != null) labels.unpersist()
       }
       // round-0 subplan shapes, before vs after the round-18 fold (the
       // returned frame's plan is round-structure-free, so the evidence of

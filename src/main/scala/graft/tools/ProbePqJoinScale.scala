@@ -28,11 +28,35 @@ object ProbePqJoinScale {
     val base = graft.queries.Tables.scratchDir("pqjoinscale")
 
     val shuffleBytes = new AtomicLong(0L)
+    // per-stage task durations (round-19, verdict item 4's done-criterion):
+    // the verify stage is the longest-total stage of a run; its
+    // max-task/median-task ratio is the skew number the salted crossover
+    // join bounds
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        if (t.taskMetrics != null)
+        if (t.taskMetrics != null) {
           shuffleBytes.addAndGet(t.taskMetrics.shuffleWriteMetrics.bytesWritten)
+          stageTasks.computeIfAbsent(t.stageId,
+              _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+            .add(t.taskInfo.duration)
+        }
     })
+    def skewReport(label: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val stages = stageTasks.asScala.toSeq
+        .map { case (id, q) => (id, q.asScala.toSeq.sorted) }
+        .filter(_._2.nonEmpty)
+      stages.sortBy(-_._2.sum).headOption.foreach { case (id, ds) =>
+        val mx = ds.last
+        val med = ds(ds.size / 2)
+        println(f"SKEW $label verify-stage $id: ${ds.size} tasks, " +
+          f"max=${mx / 1e3}%.2f s median=${med / 1e3}%.2f s " +
+          f"ratio=${mx.toDouble / math.max(1L, med)}%.1f")
+      }
+      stageTasks.clear()
+    }
     // (runSec, shuffleMiB) of the better of two runs by wall time
     def measure(thunk: => Unit): (Double, Double) =
       (1 to 2).map { _ =>
@@ -58,9 +82,34 @@ object ProbePqJoinScale {
         graft.ops.Similarity.knnJoinDet(emb)
           .write.format("noop").mode("overwrite").save()
       }
+      skewReport(s"n60 n=$n")
       val (sdcS, sdcMiB) = measure {
         graft.ops.Similarity.pqKnnJoin(emb)
           .write.format("noop").mode("overwrite").save()
+      }
+      skewReport(s"n65 n=$n")
+      // hot-cell mode (round-19, verdict item 4): half the corpus is a
+      // tight cluster (one popular region of embedding space — the
+      // guaranteed-at-100 TB case), so one IVF cell owns ~n/2 index rows
+      // AND ~n/2·nProbe probe rows — the workload the unsalted pinned
+      // shuffle-hash join serialized into one task
+      if (args.contains("skew")) {
+        val skComps = transform(sequence(lit(0), lit(63)), i =>
+          when(col("id") % 2 === 0,
+            ((pmod(xxhash64(col("id"), i), lit(1000001L)).cast("double")
+              / 1000000.0 - 0.5) * 0.02 + 0.3).cast("float"))
+          .otherwise((pmod(xxhash64(col("id"), i), lit(1000001L)).cast("double")
+              / 1000000.0 - 0.5).cast("float")))
+        spark.range(n).select(col("id").as("vec_id"), skComps.as("embedding"),
+            lit(0).as("label"))
+          .repartition(32).write.mode("overwrite").parquet(s"$dir/embskew.parquet")
+        val embSk = spark.read.parquet(s"$dir/embskew.parquet")
+        val (skS, skMiB) = measure {
+          graft.ops.Similarity.pqKnnJoin(embSk)
+            .write.format("noop").mode("overwrite").save()
+        }
+        skewReport(s"n65-hotcell n=$n")
+        println(f"HOTCELL n=$n%d n65_sdc=$skS%.2f s ($skMiB%.1f MiB shuffled)")
       }
       val (sq8S, sq8MiB) = measure {
         graft.ops.Similarity.sq8KnnJoin(emb)

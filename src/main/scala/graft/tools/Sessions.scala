@@ -22,8 +22,22 @@ import org.apache.spark.sql.SparkSession
   *    driver, a Spark job per pruned read costs more than the listing.
   */
 object Sessions {
+  /** Fail fast on a malformed env override (round-18 ADVICE: a raw string
+    * forwarded to Spark conf only fails at the first shuffle with an opaque
+    * error rather than at session construction, naming the variable). */
+  private def envInt(name: String, default: Int): Int =
+    sys.env.get(name).map { s =>
+      val v = try s.toInt catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$name must be a positive integer, got '$s'")
+      }
+      require(v > 0, s"$name must be a positive integer, got '$s'")
+      v
+    }.getOrElse(default)
+
   def local(cpus: Int, logLevel: String = "WARN"): SparkSession = {
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft-warehouse-").toString)
       .master(s"local[$cpus]")
@@ -33,7 +47,21 @@ object Sessions {
       // — hence env-parameterised rather than hard-coded to local cores;
       // the driver's bench keeps the default and stays comparable.
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus.toString))
+        envInt("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus).toString)
+    // 100 TB posture knobs (guide §2.2/§2.3/§9), set ONLY when the env
+    // names them so the local bench keeps Spark's defaults (advisory 64m,
+    // lz4) and stays comparable round over round:
+    //  - SPARK_GRAFT_ADVISORY_PARTITION_BYTES: AQE coalescing target —
+    //    size post-shuffle partitions into the 100 MB–1 GB band at scale
+    //    (e.g. "256m") instead of the 64 MB local default;
+    //  - SPARK_GRAFT_SHUFFLE_CODEC: shuffle/spill compression codec —
+    //    "zstd" usually wins markedly on ratio at cluster NIC speeds for
+    //    a bit more CPU; measure per §2.3, there is no universal answer.
+    sys.env.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES").foreach(v =>
+      builder.config("spark.sql.adaptive.advisoryPartitionSizeInBytes", v))
+    sys.env.get("SPARK_GRAFT_SHUFFLE_CODEC").foreach(v =>
+      builder.config("spark.io.compression.codec", v))
+    val spark = builder
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

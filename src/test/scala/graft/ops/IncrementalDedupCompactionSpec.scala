@@ -16,7 +16,7 @@ import graft.queries.Tables
  * index with the same convergence guarantee, and a half-written
  * consolidation stays invisible.
  */
-class IncrementalDedupCompactionSpec extends AnyFunSuite {
+class IncrementalDedupCompactionSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private def modIs(r: Int, m: Int) = pmod(col("doc_id"), lit(m)) === r

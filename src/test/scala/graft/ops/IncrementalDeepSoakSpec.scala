@@ -22,7 +22,7 @@ import graft.{SparkTestSession => T}
  * per-batch fixed overheads. 500-batch horizon numbers recorded in
  * BASELINE.md ("governance-twin depth soaks").
  */
-class IncrementalDeepSoakSpec extends AnyFunSuite {
+class IncrementalDeepSoakSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private val Batches = 500

@@ -15,7 +15,7 @@ import graft.{SparkTestSession => T}
  * leave subsequent batches joining against the compacted view with the
  * same convergence guarantee.
  */
-class IncrementalEmbedCompactionSpec extends AnyFunSuite {
+class IncrementalEmbedCompactionSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private def hashIn(rs: Int*) = {

@@ -33,7 +33,7 @@ import graft.{SparkTestSession => T}
  * the drift soak uses, tolerating shared-VM noise while catching O(stream)
  * ramps), and the final state equals the closed-form answer.
  */
-class IncrementalLabelSoakSpec extends AnyFunSuite {
+class IncrementalLabelSoakSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private val Batches = 40

@@ -12,7 +12,7 @@ import graft.{SparkTestSession => T}
  * column — the d73 treatment), and pruning is invisible to results: the
  * pruned view contains every row whose band key collides with the batch.
  */
-class IncrementalPruningSpec extends AnyFunSuite {
+class IncrementalPruningSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private def hashIn(rs: Int*) = {

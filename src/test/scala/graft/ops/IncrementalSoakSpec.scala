@@ -18,7 +18,7 @@ import graft.{SparkTestSession => T}
  * batch answer. Disk growth bounded by cadence, not stream lifetime, is
  * the claim the round-10 GC work made — this is its direct measurement.
  */
-class IncrementalSoakSpec extends AnyFunSuite {
+class IncrementalSoakSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private val Batches = 50

@@ -17,7 +17,7 @@ import graft.queries.Tables
  * crash window (delta committed but parts not yet swept; full merge
  * committed but old levels not yet swept) is invisible to results.
  */
-class IncrementalTieringSpec extends AnyFunSuite {
+class IncrementalTieringSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   private def modIs(r: Int, m: Int) = pmod(col("doc_id"), lit(m)) === r

@@ -8,7 +8,7 @@ import graft.queries.Tables
 
 /** Scale utilities: salted joins must be result-identical to plain joins;
   * bucketed tables must sort-merge-join without a shuffle exchange. */
-class ScaleSpec extends AnyFunSuite {
+class ScaleSpec extends AnyFunSuite with graft.SoakTagged {
   lazy val spark = T.spark
 
   test("saltedJoin equals the plain join") {
